@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column helpers shared by the query inventory.
+  *
+  * Determinism doctrine (oracle hash-compare, SURVEY §7.5): every numeric
+  * output must be bit-identical between Spark and the DuckDB oracle, so
+  *  - double SUM/AVG go through exact DECIMAL accumulation (order-free),
+  *    then one cast back to double (exact while the scaled sum < 2^53);
+  *  - float vector math is quantized to integer microunits (×1e6) so dot
+  *    products and norms are exact integer sums in both engines;
+  *  - hashing is md5 (identical in Spark and DuckDB), consumed either as a
+  *    hex-string prefix or via conv(hex,16,10) — never engine-native hash().
+  */
+object ColFns {
+
+  /** Order-independent exact sum of a 2-decimal double column, as double. */
+  def decSum2(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Order-independent exact sum of a 4-decimal product column, as double. */
+  def decSum4(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Exact mean of a 2-decimal double column: exact decimal sum cast to
+    * double, divided by the group count (both deterministic). */
+  def decAvg2(c: Column): Column =
+    decSum2(c) / count(c)
+
+  /** Quantize a float-array embedding to integer microunits. Exact and
+    * identical in both engines (same double rounding, ties impossible for
+    * generated float data). */
+  def quantizeVec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000000d).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors (scale 1e12). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer squared norm of a quantized vector (scale 1e12). */
+  def qnorm2(a: Column): Column =
+    aggregate(a, lit(0L), (acc, v) => acc + v * v)
+
+  /** Seconds-precision epoch of a long-nanos timestamp column. Must be
+    * `div` (integer division): `/` on longs is double division, and nanos
+    * since epoch (~1.7e18) exceeds a double's 53-bit mantissa — the
+    * quotient can round across a second boundary. */
+  def nsToEpochSec(c: Column): Column = call_function("div", c, lit(1000000000L))
+
+  /** Hour-bucket epoch (seconds) of a long-nanos timestamp column. */
+  def nsToHourEpoch(c: Column): Column =
+    call_function("div", c, lit(3600L * 1000000000L)) * 3600L
+
+  /** First 8 hex chars of md5 as a non-negative long (32-bit range).
+    * DuckDB equivalent: CAST('0x' || substring(md5(x),1,8) AS BIGINT). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Whitespace tokenization shared with the oracle: split on single
+    * spaces, drop empties. DuckDB: string_split(text, ' ') + filter. */
+  def words(c: Column): Column =
+    filter(split(c, " "), w => w =!= "")
+}

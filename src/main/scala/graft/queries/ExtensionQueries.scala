@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.ColFns._
+
+/** Extension operators beyond the reference surface (BASELINE.json north
+  * star): exact dedup, text wordcount, embedding cosine top-k, event window
+  * aggregates, and a star join with rollup. All are plain shuffle+agg/join
+  * plans so they inherit Spark spill, codegen, and AQE at 100 TB.
+  */
+object ExtensionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup: group on normalized text, keep the smallest doc_id as the
+    * canonical representative (hpmr set-insert semantics made deterministic).
+    * At 100 TB: single hash shuffle on a digest of the text — grouping by
+    * md5(norm) rather than the full text keeps shuffle rows small; here we
+    * group on the normalized text directly since the oracle must agree, and
+    * document the digest variant in DedupOps. */
+  val dedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(lower(trim(col("text"))).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** The canonical MapReduce demo on real data: tokenize → explode →
+    * count → top-k. Top-k is orderBy+limit — Spark plans TakeOrderedAndProject
+    * (partial per-partition top-k, no global sort materialization). */
+  val textWordcountTopk: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(20)
+
+  /** Brute-force cosine top-k over embeddings: quantized integer dot
+    * products (exact, engine-portable) + per-probe window rank. The 100 TB
+    * path is the LSH-bucketed variant in SimilarityOps; brute force is the
+    * correctness baseline, with the probe side broadcast so candidates
+    * never shuffle. */
+  val simCosineTopk: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+    val scored = q.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        (qdot(col("pv"), col("qv")) /
+          (sqrt(qnorm2(col("pv"))) * sqrt(qnorm2(col("qv"))))).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("score"))
+      .orderBy("probe_id", "cand_id")
+  }
+
+  /** Tumbling-window aggregate over the event stream (batch form; the
+    * streaming form with watermarks lives in graft.streaming). Pure integer
+    * hour bucketing on the long-nanos ts — deterministic in both engines. */
+  val eventsTumblingAgg: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(nsToHourEpoch(col("ts")).as("hour_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           decSum2(col("value")).as("sum_value"),
+           min(col("value")).as("min_value"),
+           max(col("value")).as("max_value"))
+      .orderBy("hour_epoch", "event_type")
+
+  /** Per-user event profile: count, distinct types, first/last seen, exact
+    * value sum — the per-key "stats" shape of a sessionization pipeline. */
+  val eventsSessionlessStats: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("event_type")).as("n_types"),
+           min(nsToEpochSec(col("ts"))).as("first_sec"),
+           max(nsToEpochSec(col("ts"))).as("last_sec"),
+           decSum2(col("value")).as("sum_value"))
+      .orderBy("user_id")
+
+  /** Star join + ROLLUP grouped aggregate — exercises the join family the
+    * reference lacks (SURVEY §2.2). nation is broadcast explicitly;
+    * orders⋈customer and lineitem⋈orders shuffle on their keys (AQE may
+    * still elect broadcast at small SF). Revenue accumulates exactly in
+    * DECIMAL(18,4). */
+  val joinStarRollup: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val nat = broadcast(Tables.nation(s, d))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(decSum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "text_wordcount_topk" -> textWordcountTopk,
+    "sim_cosine_topk" -> simCosineTopk,
+    "events_tumbling_agg" -> eventsTumblingAgg,
+    "events_sessionless_stats" -> eventsSessionlessStats,
+    "join_star_rollup" -> joinStarRollup,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id, LOWER(TRIM(text)) AS norm FROM documents)
+        |GROUP BY norm ORDER BY doc_id""".stripMargin,
+    "text_wordcount_topk" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word
+        |ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "sim_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv,
+        |         (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS norm2
+        |  FROM q
+        |), pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         (SELECT SUM(a * b) FROM (SELECT UNNEST(p.qv) AS a, UNNEST(c.qv) AS b)) AS dot,
+        |         p.norm2 AS pn, c.norm2 AS cn
+        |  FROM n p, n c
+        |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, cand_id, dot / (sqrt(pn) * sqrt(cn)) AS cos,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(pn) * sqrt(cn)) DESC, cand_id) AS rank
+        |  FROM pairs
+        |)
+        |SELECT probe_id, cand_id, round(cos, 6) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, cand_id""".stripMargin,
+    "events_tumbling_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY hour_epoch, event_type
+        |ORDER BY hour_epoch, event_type""".stripMargin,
+    "events_sessionless_stats" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT event_type) AS n_types,
+        |       MIN(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS first_sec,
+        |       MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS last_sec,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "join_star_rollup" ->
+      """SELECT n_name, c_mktsegment,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+  )
+}

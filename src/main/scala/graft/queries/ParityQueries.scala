@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.ColFns._
+
+/** The hpmr parity inventory (SURVEY §2.3): each query re-expresses one
+  * reference operator (SURVEY §2.1 #) as a declarative Spark plan whose
+  * result is hash-checked against a DuckDB oracle.
+  *
+  * Scale posture (100 TB): every query is a pure DataFrame plan — shuffles
+  * only on group-by keys, no driver collect, no RDDs; Catalyst pushes
+  * filters/projections into the parquet scan and AQE picks join strategies
+  * and coalesces post-shuffle partitions at runtime.
+  */
+object ParityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** #1/#3/#4/#17 — the canonical mapreduce: scan → map-side partial agg →
+    * hash shuffle → final merge (hpmr src/dist_map_test.cc:71-88 reduces 1M
+    * KV pairs with Reducer::sum; here: lineitem quantities by returnflag). */
+  val mrSumByKey: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(decSum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** #2 — KV→KV re-key mapreduce (hpmr src/dist_map.h:255-279): orders
+    * re-keyed to customer, re-aggregated. */
+  val mrFanoutRemap: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(decSum2(col("o_totalprice")).as("total_spend"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  /** #1 — Range source mapreduce (hpmr src/range.h:28-64, range_test.cc:6-16):
+    * spark.range is the direct analog of Range<T>(start,end,step). */
+  val mrRangeSource: Q = (s, _) =>
+    s.range(0L, 100000L)
+      .groupBy((col("id") % 1000L).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** #5 — DistMap::get point lookup with default (hpmr src/dist_map.h:132-145).
+    * The probe-key set is broadcast (tiny build side) so at 100 TB this is a
+    * broadcast hash join against the keyed table, not a shuffle. Absent key
+    * ⇒ caller default, exactly hpmr's default_value. */
+  val pointGet: Q = (s, d) => {
+    import s.implicits._
+    val keys = Seq(1L, 42L, 99999999L).toDF("k")
+    Tables.customer(s, d)
+      .join(broadcast(keys), col("c_custkey") === col("k"), "right_outer")
+      .select(col("k"), coalesce(col("c_acctbal"), lit(-1.0)).as("acctbal"))
+      .orderBy("k")
+  }
+
+  /** #8/#9 — set membership as a left-semi join (hpmr
+    * src/bare_hash_container.h:181-196 `has`). */
+  val membershipSemi: Q = (s, d) => {
+    val keep = Tables.part(s, d).filter(col("p_size") > 25).select("p_partkey")
+    Tables.lineitem(s, d)
+      .join(keep, col("l_partkey") === col("p_partkey"), "left_semi")
+      .select("l_partkey").distinct()
+      .orderBy("l_partkey")
+  }
+
+  /** #7 — unset/delete as a left-anti join (hpmr
+    * src/bare_hash_container.h:150-179 backshift delete). */
+  val unsetAnti: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val deleted = orders.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey").as("del_key"))
+    orders.join(deleted, col("o_orderkey") === col("del_key"), "left_anti")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** #9/#10 — set insert + get_n_keys (hpmr src/dist_map.h:90-96): global
+    * distinct-key counts. Spark plans this as partial distinct + exchange +
+    * final — the same two-phase shape as hpmr's staged sets. */
+  val distinctKeys: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(countDistinct(col("l_partkey")).as("n_part_keys"),
+           countDistinct(col("l_suppkey")).as("n_supp_keys"))
+
+  /** #17 — Reducer::min/max by group. NOTE the reference's comparisons are
+    * swapped (src/reducer.h:16-22: `min` keeps the larger value); we
+    * implement the correct semantics and record the divergence (SURVEY §1.3). */
+  val reduceMinMax: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(min(col("l_quantity")).as("min_qty"),
+           max(col("l_quantity")).as("max_qty"),
+           min(col("l_extendedprice")).as("min_price"),
+           max(col("l_extendedprice")).as("max_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** #17 — Reducer::keep (first-write-wins) / overwrite (last-write-wins),
+    * src/reducer.h:10-12. Order-dependent under parallelism (SURVEY §1.3),
+    * so declared deterministically as min_by/max_by over the unique
+    * o_orderkey write order. */
+  val reduceFirstLast: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+           max_by(col("o_totalprice"), col("o_orderkey")).as("last_price"))
+      .orderBy("o_custkey")
+
+  /** #13 — for_each full scan + projection (hpmr src/bare_map.h:83-93),
+    * sorted for hash stability. */
+  val fullScanProject: Q = (s, d) =>
+    Tables.nation(s, d)
+      .select(col("n_nationkey"), upper(col("n_name")).as("name_u"),
+              col("n_regionkey"))
+      .orderBy("n_nationkey")
+
+  val queries: Map[String, Q] = Map(
+    "mr_sum_by_key" -> mrSumByKey,
+    "mr_fanout_remap" -> mrFanoutRemap,
+    "mr_range_source" -> mrRangeSource,
+    "point_get" -> pointGet,
+    "membership_semi" -> membershipSemi,
+    "unset_anti" -> unsetAnti,
+    "distinct_keys" -> distinctKeys,
+    "reduce_min_max" -> reduceMinMax,
+    "reduce_first_last" -> reduceFirstLast,
+    "full_scan_project" -> fullScanProject,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mr_sum_by_key" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "mr_fanout_remap" ->
+      """SELECT o_custkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "mr_range_source" ->
+      """SELECT range % 1000 AS bucket, COUNT(*) AS n
+        |FROM range(0, 100000) GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "point_get" ->
+      """SELECT k, COALESCE(c_acctbal, -1.0) AS acctbal
+        |FROM (VALUES (CAST(1 AS BIGINT)), (CAST(42 AS BIGINT)), (CAST(99999999 AS BIGINT))) AS v(k)
+        |LEFT JOIN customer ON c_custkey = k ORDER BY k""".stripMargin,
+    "membership_semi" ->
+      """SELECT DISTINCT l_partkey FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
+        |ORDER BY l_partkey""".stripMargin,
+    "unset_anti" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "distinct_keys" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_part_keys,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp_keys
+        |FROM lineitem""".stripMargin,
+    "reduce_min_max" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "reduce_first_last" ->
+      """SELECT o_custkey,
+        |       MIN_BY(o_totalprice, o_orderkey) AS first_price,
+        |       MAX_BY(o_totalprice, o_orderkey) AS last_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "full_scan_project" ->
+      """SELECT n_nationkey, UPPER(n_name) AS name_u, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+  )
+}

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table sources over the driver-generated parquet fixtures.
+  *
+  * The reference (jl2922/hpmr) has no file I/O at all — its only sources are
+  * an integer `Range` (src/range.h:7-26) and in-memory maps. Our engine's
+  * sources are the parquet star schema plus `spark.range`; parquet scans give
+  * column pruning + predicate pushdown for free, which matters at 100 TB
+  * (only the referenced columns of a scan are read; see `.explain` ReadSchema).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 only reads via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in all session
+    * builders); the column arrives as `long` nanoseconds since epoch, which
+    * keeps every time computation pure integer arithmetic — deterministic
+    * and identical to the DuckDB oracle's `epoch()` on its µs-truncated
+    * TIMESTAMP. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
