@@ -1,0 +1,97 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed facade mirroring hpmr's public surface (src/hpmr.h:1-10) over
+  * Datasets — SURVEY §2.4. A "DistMap" here is simply a `Dataset[(K, V)]`
+  * with distinct keys: the hash-partitioned Exchange that `groupByKey`
+  * plans is the analog of hpmr's `hash % n_procs` routing
+  * (src/dist_map.h:121-124), and typed aggregation runs the same
+  * partial-combine → shuffle → final-combine phases as
+  * async_set + sync (src/dist_map.h:118-130,147-210).
+  *
+  * Scale posture: every method is a lazy transformation on distributed
+  * data; nothing but `get`/`count` touches the driver, and those return
+  * scalars (a point lookup and a global count — the same collectives the
+  * reference exposes, src/dist_map.h:90-96,132-145).
+  */
+object Graft {
+
+  /** Any associative+commutative combine fn — hpmr's reducer contract
+    * (src/dist_map.h:31-39). */
+  type Reducer[V] = (V, V) => V
+
+  /** hpmr mapper: one input pair emits 0..n output pairs
+    * (src/dist_map.h:257-259, src/range.h:31). */
+  type Mapper[K, V, KR, VR] = (K, V) => IterableOnce[(KR, VR)]
+
+  /** Integer range source — `Range<T>(start, end, step)` (src/range.h:7-26). */
+  def fromRange(spark: SparkSession, start: Long, end: Long, step: Long = 1L): Dataset[java.lang.Long] =
+    spark.range(start, end, step)
+
+  /** The central operator: flat-map each pair through `mapper`, hash-shuffle
+    * by the emitted key, merge values with `reducer`
+    * (DistMap::mapreduce, src/dist_map.h:255-279). Spark plans map-side
+    * partial reduction (ReduceAggregator partials) before the exchange,
+    * matching hpmr's staging-map combine. */
+  def mapreduce[K, V, KR, VR](in: Dataset[(K, V)], mapper: Mapper[K, V, KR, VR],
+                              reducer: Reducer[VR])(
+      implicit ekr: Encoder[(KR, VR)], ek: Encoder[KR],
+      et: Encoder[(KR, (KR, VR))]): Dataset[(KR, VR)] =
+    in.flatMap { case (k, v) => mapper(k, v) }
+      .groupByKey(_._1)
+      .reduceGroups((a: (KR, VR), b: (KR, VR)) => (a._1, reducer(a._2, b._2)))
+      .map { case (_, (k, v)) => (k, v) }
+
+  /** Range::mapreduce (src/range.h:28-64): the same shape with the range
+    * source fused in. */
+  def mapreduceRange[KR, VR](range: Dataset[java.lang.Long],
+                             mapper: Long => IterableOnce[(KR, VR)],
+                             reducer: Reducer[VR])(
+      implicit ekr: Encoder[(KR, VR)], ek: Encoder[KR],
+      et: Encoder[(KR, (KR, VR))]): Dataset[(KR, VR)] =
+    range.flatMap((i: java.lang.Long) => mapper(i))
+      .groupByKey(_._1)
+      .reduceGroups((a: (KR, VR), b: (KR, VR)) => (a._1, reducer(a._2, b._2)))
+      .map { case (_, (k, v)) => (k, v) }
+
+  /** Buffered write with combine (DistMap::async_set,
+    * src/dist_map.h:118-130): merge a batch of new pairs into the store,
+    * resolving key collisions with `reducer`. */
+  def put[K, V](store: Dataset[(K, V)], batch: Dataset[(K, V)], reducer: Reducer[V])(
+      implicit ekv: Encoder[(K, V)], ek: Encoder[K],
+      et: Encoder[(K, (K, V))]): Dataset[(K, V)] =
+    mapreduce[K, V, K, V](store.union(batch), (k, v) => Iterator.single((k, v)), reducer)
+
+  /** Point lookup with default (DistMap::get, src/dist_map.h:132-145).
+    * Driver-side scalar — the reference's MPI_Bcast collective collapses
+    * to a filter + take(1) on the keyed store. */
+  def get[K, V](store: Dataset[(K, V)], key: K, default: V): V =
+    store.filter(col("_1") === lit(key)).take(1)
+      .headOption.map(_._2).getOrElse(default)
+
+  /** Membership (`has`, src/bare_hash_container.h:181-196) for a single key. */
+  def has[K, V](store: Dataset[(K, V)], key: K): Boolean =
+    !store.filter(col("_1") === lit(key)).isEmpty
+
+  /** Set-membership as a relational op: keep pairs whose key appears in
+    * `keys` (left-semi join — the distributed form of `has`). */
+  def hasAll[K, V](store: Dataset[(K, V)], keys: Dataset[K])(
+      implicit ekv: Encoder[(K, V)]): Dataset[(K, V)] =
+    store.join(keys.toDF("_k"), col("_1") === col("_k"), "left_semi").as[(K, V)]
+
+  /** Delete keys (`unset`, src/bare_hash_container.h:150-179) as a
+    * left-anti join. */
+  def remove[K, V](store: Dataset[(K, V)], keys: Dataset[K])(
+      implicit ekv: Encoder[(K, V)]): Dataset[(K, V)] =
+    store.join(keys.toDF("_k"), col("_1") === col("_k"), "left_anti").as[(K, V)]
+
+  /** Set insert / dedup (HashSet::set, src/bare_set.h:34-52). */
+  def distinctKeys[K, V](store: Dataset[(K, V)])(implicit ek: Encoder[K]): Dataset[K] =
+    store.map(_._1).distinct()
+
+  /** Global key count (get_n_keys, src/dist_map.h:90-96). Keys are unique
+    * by construction in a keyed store, so this is a plain count. */
+  def countKeys[K, V](store: Dataset[(K, V)]): Long = store.count()
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.core.{Graft, Reducers}
+
+/** Parity unit tests mirroring the reference's own suite (SURVEY §5.1):
+  * closed-form goldens, tiny-literal operator semantics, and the 1M-pair
+  * LargeMapReduce workload (reference src/dist_map_test.cc:71-88,
+  * src/range_test.cc:6-16, src/bare_map_test.cc:49-60).
+  */
+class GraftCoreSpec extends SparkSpec {
+
+  import TestSpark.spark.implicits._
+
+  test("range mapreduce: 1M pairs sum to N(N-1)/2 (dist_map_test.cc:71-88)") {
+    val n = 1000000L
+    val res = Graft.mapreduceRange[String, Long](
+      Graft.fromRange(spark, 0, n),
+      i => Iterator.single(("total", i)),
+      _ + _).collect()
+    assert(res.toSeq == Seq(("total", n * (n - 1) / 2)))
+  }
+
+  test("range mapreduce: distinct key per element (range_test.cc:6-16)") {
+    val n = 100000L
+    val res = Graft.mapreduceRange[Long, Boolean](
+      Graft.fromRange(spark, 0, n),
+      i => Iterator.single((i, true)),
+      (a, _) => a)
+    assert(res.count() == n)
+  }
+
+  test("kv mapreduce re-keys and re-aggregates (dist_map.h:255-279)") {
+    val in = Seq(("aa", 1L), ("ab", 2L), ("bc", 3L)).toDS()
+    val res = Graft.mapreduce[String, Long, String, Long](
+      in, (k, v) => Iterator.single((k.take(1), v)), _ + _)
+      .collect().toMap
+    assert(res == Map("a" -> 3L, "b" -> 3L))
+  }
+
+  test("mapper may emit 0..n pairs (flat-map + implicit filter, range.h:49)") {
+    val res = Graft.mapreduceRange[String, Long](
+      Graft.fromRange(spark, 0, 10),
+      i => if (i % 2 == 0) Iterator(("even", 1L), ("all", 1L)) else Iterator.empty,
+      _ + _).collect().toMap
+    assert(res == Map("even" -> 5L, "all" -> 5L))
+  }
+
+  test("put merges with reducer on collision (async_set, dist_map.h:118-130)") {
+    val store = Seq(("aa", 1L), ("bb", 2L)).toDS()
+    val batch = Seq(("bb", 10L), ("cc", 5L)).toDS()
+    val merged = Graft.put(store, batch, (a: Long, b: Long) => a + b).collect().toMap
+    assert(merged == Map("aa" -> 1L, "bb" -> 12L, "cc" -> 5L))
+  }
+
+  test("get returns value or default (dist_map.h:132-145)") {
+    val store = Seq(("aa", 1L), ("bb", 2L)).toDS()
+    assert(Graft.get(store, "bb", -1L) == 2L)
+    assert(Graft.get(store, "zz", -1L) == -1L)
+  }
+
+  test("has / remove / distinct / count (set ops, bare_set.h, bare_hash_container.h)") {
+    val store = Seq(("aa", 1L), ("bb", 2L), ("cc", 3L)).toDS()
+    assert(Graft.has(store, "aa"))
+    assert(!Graft.has(store, "zz"))
+    val removed = Graft.remove(store, Seq("bb").toDS()).collect().toMap
+    assert(removed == Map("aa" -> 1L, "cc" -> 3L))
+    assert(Graft.countKeys(store) == 3L)
+    assert(Graft.distinctKeys(store.union(store)).count() == 3L)
+  }
+
+  test("reduceWith Aggregator: arbitrary combine fn (dist_map.h:31-39)") {
+    val ds = Seq(1L, 10L, 100L, 1000L).toDS()
+    val agg = Reducers.reduceWith[Long](0L, _ + _)
+    assert(ds.select(agg.toColumn).head() == 1111L)
+  }
+
+  test("partition-count invariance (reference runs -n 1 and -n 4, Makefile:53-58)") {
+    val n = 10000L
+    def run(parts: Int): Map[Long, Long] =
+      Graft.mapreduceRange[Long, Long](
+        Graft.fromRange(spark, 0, n).repartition(parts),
+        i => Iterator.single((i % 7, i)),
+        _ + _).collect().toMap
+    assert(run(1) == run(13))
+  }
+}

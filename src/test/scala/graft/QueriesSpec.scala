@@ -1,0 +1,61 @@
+package graft
+
+/** Smoke + golden checks for the declared query inventory on sf0.001.
+  * The authoritative differential check is the DuckDB oracle
+  * (tools/check_oracle.py, driver t2); these specs pin schema/shape and a
+  * few closed-form values so regressions fail fast in `sbt test`.
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every declared query has an oracle and runs with rows > 0") {
+    val qs = SparkEntry.queries
+    assert(qs.keySet == SparkEntry.oracleSql.keySet)
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.count() > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("mr_sum_by_key groups to the 3 returnflags") {
+    val rows = SparkEntry.queries("mr_sum_by_key")(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "N", "R"))
+  }
+
+  test("point_get returns defaults for absent keys") {
+    val rows = SparkEntry.queries("point_get")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    assert(rows.last.getDouble(1) == -1.0) // key 99999999 absent
+  }
+
+  test("sim_cosine_topk: 5 probes x top-5, scores in [-1, 1]") {
+    val rows = SparkEntry.queries("sim_cosine_topk")(spark, sfDir).collect()
+    assert(rows.length == 25)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("unset_anti removed every 10th order key") {
+    val rows = SparkEntry.queries("unset_anti")(spark, sfDir).collect()
+    assert(rows.forall(_.getLong(0) % 10 != 0))
+  }
+
+  test("join_star_rollup has grand-total row matching lineitem join count") {
+    val rows = SparkEntry.queries("join_star_rollup")(spark, sfDir).collect()
+    val grand = rows.head // nulls sort first
+    assert(grand.isNullAt(0) && grand.isNullAt(1))
+    val detail = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(detail.map(_.getLong(3)).sum == grand.getLong(3))
+  }
+
+  test("queries are deterministic across repeated runs") {
+    for (name <- Seq("text_wordcount_topk", "events_tumbling_agg", "reduce_first_last")) {
+      val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+      val b = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+      assert(a == b, s"$name not deterministic")
+    }
+  }
+}
