@@ -63,4 +63,25 @@ object ColFns {
     * spaces, drop empties. DuckDB: string_split(text, ' ') + filter. */
   def words(c: Column): Column =
     filter(split(c, " "), w => w =!= "")
+
+  /** Word 3-grams ("shingles") of a words array. Caller must ensure
+    * size(words) >= 3: Spark's sequence() flips to a descending range when
+    * start > stop, which would index out of bounds. */
+  def shingles3(w: Column): Column =
+    transform(sequence(lit(0), size(w) - 3), i =>
+      concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))
+
+  /** First 15 hex chars of md5 as a non-negative long (60-bit range) —
+    * the portable "big" hash. DuckDB: CAST('0x' || substring(md5(x),1,15)
+    * AS BIGINT). */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Bit b (0-based) of a non-negative long column. */
+  def bitAt(h: Column, b: Column): Column =
+    call_function("shiftright", h, b).bitwiseAND(lit(1L))
+
+  /** 2^b as a long column (b <= 62). */
+  def pow2(b: Column): Column =
+    call_function("shiftleft", lit(1L), b)
 }

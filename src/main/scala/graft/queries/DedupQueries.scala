@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.ColFns._
+
+/** Deduplication operators for a training-data pipeline (BASELINE.json
+  * north star), over the `documents` table. Four families:
+  *
+  *  - exact (ExtensionQueries.dedupExact): hash group on normalized text;
+  *  - MinHash + LSH banding: candidate near-dup pairs without all-pairs
+  *    comparison — the 100 TB path (shuffle cost O(docs × bands), join
+  *    only within band buckets);
+  *  - n-gram Jaccard: exact similarity on shingle sets — the correctness
+  *    baseline the LSH recall is measured against;
+  *  - SimHash: 60-bit signatures + Hamming-distance pairs.
+  *
+  * All hashing is md5-based (portable to the DuckDB oracle), never
+  * engine-native hash(). Documents with fewer than 3 words are excluded
+  * (both engines) since 3-gram shingles are undefined there.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (doc_id, shingle) with set semantics — the shared scan for the
+    * shingle-based dedup family. */
+  private def shingleSet(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles3(col("w")))).as("s"))
+
+  /** MinHash (k=16) + LSH banding (8 bands × 2 rows): docs sharing any
+    * band key become candidate pairs. At 100 TB this is the dedup
+    * workhorse: per-doc work is O(shingles × k), the only shuffle is
+    * groupBy(doc, band), and the pair join touches only same-bucket docs.
+    * Skewed buckets (boilerplate text) are the risk — AQE skew-join
+    * handles moderate cases; extreme cases get a bucket-size cap. */
+  val dedupMinhashLsh: Q = (s, d) => {
+    val sh = shingleSet(s, d)
+    val mh = sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("j"), col("s"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("s")))).as("mh"))
+    val bands = mh
+      .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
+      .agg(concat(min(when(col("j") % 2 === 0, col("mh"))),
+                  min(when(col("j") % 2 === 1, col("mh")))).as("band_key"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact 3-gram Jaccard similarity ≥ 0.5 via shingle-key self-join —
+    * cost bounded by shared-shingle pairs, not all pairs. inter/union are
+    * exact integers, so the similarity is bit-identical in both engines. */
+  val dedupNgramJaccard: Q = (s, d) => {
+    val sh = shingleSet(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("nsh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("nsh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 60-bit SimHash near-dup pairs (Hamming ≤ 4). Signature: per-bit
+    * majority vote over token hashes (with multiplicity = tf weighting).
+    * The pair scan is an all-pairs Hamming check here (correctness
+    * baseline); the 100 TB path blocks on signature bytes first. */
+  val dedupSimhash: Q = (s, d) => {
+    val sig = simhashSignatures(s, d)
+    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 4)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** doc_id → 60-bit simhash (shared with TextQueries.textFingerprint
+    * consumers). */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("wd"))
+      .select(col("doc_id"), md5Long60(col("wd")).as("h"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(59))).as("b"), col("h"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(bitAt(col("h"), col("b")) === 1L, 1L).otherwise(-1L)).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, pow2(col("b"))).otherwise(0L)).as("simhash"))
+
+  /** Embedding-cosine near-dup: top-20 closest pairs over quantized
+    * vectors. All-pairs nested-loop with the (small) deduped vector set
+    * broadcast; the 100 TB path is the sign-LSH bucketing in
+    * SimilarityQueries. */
+  val dedupEmbeddingPairs: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+      .withColumn("n2", qnorm2(col("qv")))
+    val cos: Column = qdot(col("a.qv"), col("b.qv")) /
+      (sqrt(col("a.n2")) * sqrt(col("b.n2")))
+    q.as("a").join(broadcast(q.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              cos.as("cos"))
+      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
+      .limit(20)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("score"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding_pairs" -> dedupEmbeddingPairs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), mh AS (
+        |  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+        |  FROM sh, UNNEST(generate_series(0, 15)) AS t(j)
+        |  GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |         MIN(CASE WHEN j % 2 = 0 THEN mh END) || MIN(CASE WHEN j % 2 = 1 THEN mh END) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |       round(inter / (na.nsh + nb.nsh - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = doc_a
+        |JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE inter / (na.nsh + nb.nsh - inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
+        |  FROM documents
+        |), wh AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(wd), 1, 15) AS BIGINT) AS h FROM tok
+        |), votes AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM wh, UNNEST(generate_series(0, 59)) AS t(b)
+        |  GROUP BY doc_id, b
+        |), sig AS (
+        |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding_pairs" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2 FROM q
+        |), pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         (SELECT SUM(x * y) FROM (SELECT UNNEST(a.qv) AS x, UNNEST(b.qv) AS y)) /
+        |           (sqrt(a.n2) * sqrt(b.n2)) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b, round(cos, 6) AS score
+        |FROM (SELECT * FROM pairs ORDER BY cos DESC, vec_a, vec_b LIMIT 20)
+        |ORDER BY cos DESC, vec_a, vec_b""".stripMargin,
+  )
+}

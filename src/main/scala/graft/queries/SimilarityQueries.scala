@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.ColFns._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Brute-force cosine (ExtensionQueries.simCosineTopk) is the correctness
+  * baseline; this module adds the scale path: sign-LSH (random-hyperplane)
+  * bucketing. Hyperplane weights come from a deterministic integer LCG
+  * (w(p,d) = ((1103515245·(p·64+d) + 12345) mod 2^16) − 2^15) so both
+  * engines compute identical buckets with pure bigint arithmetic — no
+  * engine RNG, no float divergence. At 100 TB: bucketing is a map-side
+  * expression (one pass, codegen'd), the join is equi-key on bucket, and
+  * probe count × bucket size bounds the pair work; more planes / multi-probe
+  * trades recall vs. fan-in without changing the plan shape.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NPlanes = 4
+
+  /** Signed dot product of the quantized vector with hyperplane p. */
+  private def planeDot(qv: Column, p: Column): Column =
+    aggregate(
+      zip_with(qv,
+        transform(sequence(lit(0), lit(63)), dd =>
+          (lit(1103515245L) * (p * 64L + dd) + 12345L) % 65536L - 32768L),
+        (x, w) => x * w),
+      lit(0L), (acc, v) => acc + v)
+
+  /** 4-bit sign-LSH bucket id (16 buckets). */
+  private def lshBucket(qv: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(NPlanes - 1)), p =>
+        when(planeDot(qv, p) > 0L, pow2(p)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** ANN top-5 per probe, searching only the probe's LSH bucket. Results
+    * are approximate by design (bucket recall < 1); the oracle computes
+    * the identical bucketing so the check stays exact. */
+  val simAnnLsh: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+      .withColumn("n2", qnorm2(col("qv")))
+      .withColumn("bucket", lshBucket(col("qv")))
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+              col("n2").as("pn2"), col("bucket").as("pbucket"))
+    val cos: Column = qdot(col("pv"), col("qv")) /
+      (sqrt(col("pn2")) * sqrt(col("n2")))
+    val scored = q.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"), cos.as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("score"))
+      .orderBy("probe_id", "cand_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_ann_lsh" -> simAnnLsh,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_ann_lsh" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), qb AS (
+        |  SELECT vec_id, qv,
+        |         (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2,
+        |         CAST(list_sum(list_transform(generate_series(0, 3), p ->
+        |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
+        |                  qv[dd] * ((1103515245 * (p * 64 + (dd - 1)) + 12345) % 65536 - 32768))) > 0
+        |                THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+        |  FROM q
+        |), pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         (SELECT SUM(x * y) FROM (SELECT UNNEST(p.qv) AS x, UNNEST(c.qv) AS y)) /
+        |           (sqrt(p.n2) * sqrt(c.n2)) AS cos
+        |  FROM qb p JOIN qb c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 5
+        |), ranked AS (
+        |  SELECT probe_id, cand_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM pairs
+        |)
+        |SELECT probe_id, cand_id, round(cos, 6) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, cand_id""".stripMargin,
+  )
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.ColFns._
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (stopword-voting heuristic), quality scoring, token counting
+  * (whitespace + regex lexer), and document fingerprinting. All per-doc
+  * work is embarrassingly parallel map-side compute over the scan — no
+  * shuffle except the final small aggregates — so these scale linearly
+  * with input size.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopEn = Seq("the", "a", "of", "and", "to")
+  private val stopEs = Seq("el", "la", "de", "y", "que")
+  private val stopDe = Seq("der", "die", "das", "und", "ist")
+  private val stopFr = Seq("le", "la", "de", "et", "les")
+
+  private def hits(w: Column, set: Seq[String]): Column =
+    size(filter(w, x => x.isin(set.map(s => s: Any): _*)))
+
+  /** Language-ID by stopword-set voting, reported as a confusion matrix
+    * against the labeled `lang` column. Deterministic argmax with fixed
+    * preference order en > es > de > fr on ties. */
+  val textLangId: Q = (s, d) => {
+    val w = words(col("text"))
+    val scored = Tables.documents(s, d).select(
+      col("lang"),
+      hits(w, stopEn).as("he"), hits(w, stopEs).as("hs"),
+      hits(w, stopDe).as("hd"), hits(w, stopFr).as("hf"))
+    scored.select(col("lang"),
+        when(col("he") >= col("hs") && col("he") >= col("hd") && col("he") >= col("hf"), "en")
+          .when(col("hs") >= col("hd") && col("hs") >= col("hf"), "es")
+          .when(col("hd") >= col("hf"), "de")
+          .otherwise("fr").as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Per-document quality score from length, stopword ratio, and lexical
+    * diversity — all ratios of exact integers, so the double arithmetic is
+    * bit-identical in both engines. */
+  val textQualityScore: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_uniq"),
+        hits(col("w"), stopEn).cast("long").as("n_stop"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_uniq"),
+        round(
+          least(col("n_words") / 100.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - col("n_stop") / col("n_words").cast("double")) * 0.4 +
+            (col("n_uniq") / col("n_words").cast("double")) * 0.2,
+          6).as("score"))
+      .orderBy("doc_id")
+
+  /** Token counting per source: whitespace tokens and a regex "lexer"
+    * count (word / number / punctuation tokens — a BPE-ish pre-tokenizer
+    * shape). The regex keeps to char classes so Java and RE2 semantics
+    * agree. */
+  val textTokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), col("text"), words(col("text")).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(col("w")).cast("long")).as("ws_tokens"),
+           sum(regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")).as("re_tokens"),
+           sum(length(col("text")).cast("long")).as("n_chars"))
+      .orderBy("source")
+
+  /** Document fingerprints: full-text digest (60-bit md5 prefix) and the
+    * minimum shingle hash (a 1-permutation MinHash — the rolling-hash
+    * fingerprint family). Join either column to find candidate dups. */
+  val textFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(lower(trim(col("text")))).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        md5Long60(concat_ws(" ", col("w"))).as("fp_doc"),
+        transform(array_distinct(shingles3(col("w"))), sh => md5(sh)).as("shash"))
+      .select(col("doc_id"), col("fp_doc"), array_min(col("shash")).as("fp_min_shingle"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "text_lang_id" -> textLangId,
+    "text_quality_score" -> textQualityScore,
+    "text_token_count" -> textTokenCount,
+    "text_fingerprint" -> textFingerprint,
+  )
+
+  private val wordsSql =
+    "list_filter(string_split(%s, ' '), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "text_lang_id" ->
+      s"""WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS he,
+        |    len(list_filter(w, x -> x IN ('el','la','de','y','que'))) AS hs,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS hd,
+        |    len(list_filter(w, x -> x IN ('le','la','de','et','les'))) AS hf
+        |  FROM (SELECT lang, ${wordsSql.format("text")} AS w FROM documents)
+        |)
+        |SELECT lang,
+        |       CASE WHEN he >= hs AND he >= hd AND he >= hf THEN 'en'
+        |            WHEN hs >= hd AND hs >= hf THEN 'es'
+        |            WHEN hd >= hf THEN 'de'
+        |            ELSE 'fr' END AS pred_lang,
+        |       COUNT(*) AS n
+        |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "text_quality_score" ->
+      s"""SELECT doc_id, n_words, n_uniq,
+        |       round(least(n_words / 100.0, 1.0) * 0.4 +
+        |             (1.0 - n_stop / CAST(n_words AS DOUBLE)) * 0.4 +
+        |             (n_uniq / CAST(n_words AS DOUBLE)) * 0.2, 6) AS score
+        |FROM (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |         CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+        |         CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
+        |  FROM (SELECT doc_id, ${wordsSql.format("text")} AS w FROM documents)
+        |)
+        |WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+        |       SUM(CAST(len(w) AS BIGINT)) AS ws_tokens,
+        |       SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS re_tokens,
+        |       SUM(CAST(length(text) AS BIGINT)) AS n_chars
+        |FROM (SELECT source, text, ${wordsSql.format("text")} AS w FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, ${wordsSql.format("lower(trim(text))")} AS w FROM documents
+        |), shingled AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substring(md5(list_aggregate(w, 'string_agg', ' ')), 1, 15) AS BIGINT) AS fp_doc,
+        |         list_transform(list_distinct(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])), sh -> md5(sh)) AS shash
+        |  FROM docs WHERE len(w) >= 3
+        |)
+        |SELECT doc_id, fp_doc, list_min(shash) AS fp_min_shingle
+        |FROM shingled ORDER BY doc_id""".stripMargin,
+  )
+}
