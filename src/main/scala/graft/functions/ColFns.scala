@@ -36,13 +36,14 @@ object ColFns {
   def quantizeVec(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000000d).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors (scale 1e12). */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors (scale 1e12).
+    * Backed by the codegen'd QDotProduct expression — the declarative
+    * `aggregate(zip_with(...))` form is interpreted (no codegen for
+    * higher-order functions) and was the all-pairs scan bottleneck. */
+  def qdot(a: Column, b: Column): Column = QDotOps.qdotNative(a, b)
 
   /** Exact integer squared norm of a quantized vector (scale 1e12). */
-  def qnorm2(a: Column): Column =
-    aggregate(a, lit(0L), (acc, v) => acc + v * v)
+  def qnorm2(a: Column): Column = QDotOps.qdotNative(a, a)
 
   /** Seconds-precision epoch of a long-nanos timestamp column. Must be
     * `div` (integer division): `/` on longs is double division, and nanos

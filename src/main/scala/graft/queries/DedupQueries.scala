@@ -34,20 +34,28 @@ object DedupQueries {
 
   /** MinHash (k=16) + LSH banding (8 bands × 2 rows): docs sharing any
     * band key become candidate pairs. At 100 TB this is the dedup
-    * workhorse: per-doc work is O(shingles × k), the only shuffle is
-    * groupBy(doc, band), and the pair join touches only same-bucket docs.
-    * Skewed buckets (boilerplate text) are the risk — AQE skew-join
-    * handles moderate cases; extreme cases get a bucket-size cap. */
+    * workhorse: per-doc work is O(shingles × k), the only shuffles are
+    * the k-column min aggregate on doc_id and the equi-join on band
+    * buckets. Skewed buckets (boilerplate text) are the risk — AQE
+    * skew-join handles moderate cases; extreme cases get a bucket-size cap.
+    *
+    * The signature uses the standard affine construction: one md5 base
+    * hash per distinct shingle, then mh_j = min over shingles of
+    * (a_j·h + b_j) mod (2^31−1). One digest per shingle (not per
+    * shingle×j), and the k minima are one codegen'd aggregate — no row
+    * explosion. Constants are small enough that a_j·h < 2^52 stays exact
+    * in both engines (DuckDB errors on BIGINT overflow rather than
+    * wrapping, so this bound is semantic, not just hygiene). */
   val dedupMinhashLsh: Q = (s, d) => {
-    val sh = shingleSet(s, d)
-    val mh = sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("j"), col("s"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("s")))).as("mh"))
-    val bands = mh
-      .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
-      .agg(concat(min(when(col("j") % 2 === 0, col("mh"))),
-                  min(when(col("j") % 2 === 1, col("mh")))).as("band_key"))
+    val base = shingleSet(s, d)
+      .select(col("doc_id"), md5Long(col("s")).as("h"))
+    def mhCol(j: Int) =
+      min((col("h") * (j * 40503L + 10007L) + (j * 69621L + 30011L)) % 2147483647L).as(s"mh$j")
+    val sig = base.groupBy("doc_id").agg(mhCol(0), (1 until 16).map(mhCol): _*)
+    val bandKeys = (0 until 8).map(b =>
+      concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as(s"bk$b"))
+    val bands = sig
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -90,17 +98,22 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** doc_id → 60-bit simhash (shared with TextQueries.textFingerprint
-    * consumers). */
-  def simhashSignatures(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** doc_id → 60-bit simhash. One codegen'd hash aggregate with 60 vote
+    * columns (bit b of each token hash votes ±1) — not a 60× bit-row
+    * explosion, which would shuffle 60× the token count for nothing. The
+    * whole signature is one scan + one shuffle on doc_id. */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(words(col("text"))).as("wd"))
       .select(col("doc_id"), md5Long60(col("wd")).as("h"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(59))).as("b"), col("h"))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(bitAt(col("h"), col("b")) === 1L, 1L).otherwise(-1L)).as("v"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, pow2(col("b"))).otherwise(0L)).as("simhash"))
+    val votes = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    val simhash = (0 until 60).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
 
   /** Embedding-cosine near-dup: top-20 closest pairs over quantized
     * vectors. All-pairs nested-loop with the (small) deduped vector set
@@ -134,13 +147,16 @@ object DedupQueries {
         |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
         |  WHERE len(w) >= 3
+        |), base AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh
         |), mh AS (
-        |  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
-        |  FROM sh, UNNEST(generate_series(0, 15)) AS t(j)
+        |  SELECT doc_id, j, MIN((h * (j * 40503 + 10007) + (j * 69621 + 30011)) % 2147483647) AS mh
+        |  FROM base, UNNEST(generate_series(0, 15)) AS t(j)
         |  GROUP BY doc_id, j
         |), bands AS (
         |  SELECT doc_id, j // 2 AS band,
-        |         MIN(CASE WHEN j % 2 = 0 THEN mh END) || MIN(CASE WHEN j % 2 = 1 THEN mh END) AS band_key
+        |         CAST(MIN(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
+        |           CAST(MIN(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS band_key
         |  FROM mh GROUP BY doc_id, j // 2
         |)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

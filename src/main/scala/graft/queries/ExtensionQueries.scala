@@ -15,15 +15,16 @@ object ExtensionQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Exact dedup: group on normalized text, keep the smallest doc_id as the
-    * canonical representative (hpmr set-insert semantics made deterministic).
-    * At 100 TB: single hash shuffle on a digest of the text — grouping by
-    * md5(norm) rather than the full text keeps shuffle rows small; here we
-    * group on the normalized text directly since the oracle must agree, and
-    * document the digest variant in DedupOps. */
+  /** Exact dedup: group on an md5 digest of the normalized text, keep the
+    * smallest doc_id as canonical (hpmr set-insert semantics made
+    * deterministic). Grouping on the digest rather than the text keeps
+    * shuffle rows at 32 bytes regardless of document size — the 100 TB
+    * essential. The oracle groups on the normalized text itself; results
+    * agree absent md5 collisions (2^-64 per corpus — acceptable and
+    * standard for content-addressed dedup). */
   val dedupExact: Q = (s, d) =>
     Tables.documents(s, d)
-      .groupBy(lower(trim(col("text"))).as("norm"))
+      .groupBy(md5(lower(trim(col("text")))).as("norm"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
       .orderBy("doc_id")

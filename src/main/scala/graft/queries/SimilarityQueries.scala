@@ -24,21 +24,19 @@ object SimilarityQueries {
 
   private val NPlanes = 4
 
-  /** Signed dot product of the quantized vector with hyperplane p. */
-  private def planeDot(qv: Column, p: Column): Column =
-    aggregate(
-      zip_with(qv,
-        transform(sequence(lit(0), lit(63)), dd =>
-          (lit(1103515245L) * (p * 64L + dd) + 12345L) % 65536L - 32768L),
-        (x, w) => x * w),
-      lit(0L), (acc, v) => acc + v)
+  /** Hyperplane p's weights, precomputed driver-side — they are data
+    * independent. MUST stay formula-identical to the oracle SQL:
+    * ((1103515245·(p·64+d) + 12345) mod 2^16) − 2^15, all values positive
+    * before the mod so Scala and SQL `%` agree. */
+  private def weights(p: Int): Array[Long] =
+    Array.tabulate(64)(d => (1103515245L * (p * 64 + d) + 12345L) % 65536L - 32768L)
 
-  /** 4-bit sign-LSH bucket id (16 buckets). */
+  /** 4-bit sign-LSH bucket id (16 buckets): NPlanes codegen'd qdots
+    * against constant weight arrays — pure map-side compute. */
   private def lshBucket(qv: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(NPlanes - 1)), p =>
-        when(planeDot(qv, p) > 0L, pow2(p)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
+    (0 until NPlanes).map(p =>
+      when(qdot(qv, typedlit(weights(p))) > 0L, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
 
   /** ANN top-5 per probe, searching only the probe's LSH bucket. Results
     * are approximate by design (bucket recall < 1); the oracle computes
