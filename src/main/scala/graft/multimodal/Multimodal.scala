@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing for a training-data pipeline.
+  *
+  * Media payloads are opaque `binary` columns with typed metadata — the
+  * schema, partitioning, and per-partition batch processing are the real,
+  * tested engine surface; the actual image/audio decode is STUBBED (the
+  * decode libraries are not in this environment) behind deterministic
+  * fakes that are clearly marked. Swapping the stub for a real JNI/FFmpeg
+  * decoder changes no plan shape: decode stays a `mapPartitions` over
+  * batches of rows, exactly where a vectorized decode belongs.
+  *
+  * At 100 TB: payload bytes never shuffle — every operator here is either
+  * a map-side projection/flatMap or aggregates only extracted metadata.
+  * Partition sizing is governed by `spark.sql.files.maxPartitionBytes` on
+  * the scan; decode parallelism is partition parallelism.
+  */
+object Multimodal {
+
+  /** Typed media row: id, modality kind, payload, and source metadata. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte], n_chars: Long)
+
+  /** Decoded-media features (stub decode output). */
+  case class MediaFeatures(media_id: Long, kind: String, width: Int, height: Int,
+                           channels: Int, n_bytes: Long)
+
+  /** Deterministic media table derived from `documents`: the text payload
+    * stands in for encoded media bytes; kind cycles image/audio/video. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      col("n_chars"))
+
+  /** STUB image/audio decode: a real implementation would parse the codec
+    * header and pixel/sample data here (e.g. via a JNI decoder bound per
+    * partition). The fake derives dimensions deterministically from the
+    * payload length so tests have stable goldens. Runs as mapPartitions:
+    * one decoder instance per partition, streaming over rows — the batch
+    * shape a vectorized decoder needs. */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), col("n_chars"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition decoder setup would happen here (stub: none)
+        rows.map { r =>
+          val n = r.payload.length.toLong
+          // STUB decode: dimensions derived from payload size, not pixels.
+          val w = (n % 640 + 64).toInt
+          val h = (n % 480 + 48).toInt
+          val c = if (r.kind == "audio") 1 else 3
+          MediaFeatures(r.media_id, r.kind, w, h, c, n)
+        }
+      }
+  }
+
+  /** STUB resize: records the target geometry in metadata; a real kernel
+    * would transform pixel data. Plan shape: pure projection. */
+  def resizeStub(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): DataFrame =
+    features.toDF().withColumn("scale",
+        least(lit(maxW) / col("width"), lit(maxH) / col("height"), lit(1.0)))
+      .withColumn("out_w", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
+
+  /** Frame sampling for video rows: emit one row per sampled frame
+    * (1 frame per 100 "chars" of payload, at least 1) — a flatMap whose
+    * fan-out is bounded per row; payload bytes are NOT duplicated per
+    * frame (only ids/indices), which is what keeps this shuffle-safe at
+    * scale. */
+  def frameSample(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L),
+          call_function("div", length(col("payload")).cast("long"), lit(100L)))).as("frame_idx"))
+
+  /** Oracle-checkable plumbing query: per-kind payload stats. */
+  def metaStats(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+           sum(length(col("payload")).cast("long")).as("total_bytes"),
+           max(length(col("payload")).cast("long")).as("max_bytes"))
+      .orderBy("kind")
+
+  /** Oracle-checkable plumbing query: frames per video, ordered. */
+  def frameCounts(s: SparkSession, d: String): DataFrame =
+    frameSample(mediaTable(s, d))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"))
+      .orderBy("media_id")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "mm_meta_stats" -> metaStats,
+    "mm_frame_counts" -> frameCounts,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta_stats" ->
+      """SELECT kind, COUNT(*) AS n,
+        |       SUM(octet_length(payload)) AS total_bytes,
+        |       MAX(octet_length(payload)) AS max_bytes
+        |FROM (SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |             encode(text) AS payload
+        |      FROM documents)
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+    "mm_frame_counts" ->
+      """SELECT media_id, COUNT(*) AS n_frames
+        |FROM (SELECT doc_id AS media_id,
+        |             UNNEST(generate_series(0, octet_length(encode(text)) // 100)) AS frame_idx
+        |      FROM documents
+        |      WHERE CAST(doc_id % 3 AS INT) = 2)
+        |GROUP BY media_id ORDER BY media_id""".stripMargin,
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event operators.
+  *
+  * The reference is batch-synchronous only (its `sync()` is a blocking
+  * collective, SURVEY §2.2), so these are pure extensions: the same
+  * tumbling-window aggregate the batch query declares, plus stateful
+  * sessionization via flatMapGroupsWithState. Transformations are
+  * source-agnostic — they accept any DataFrame with the events schema, so
+  * the identical plan runs over `spark.readStream` in production and over
+  * a MemoryStream in tests, or over a batch frame for backfill (the
+  * batch/streaming unification Spark gives for free).
+  *
+  * Scale notes: the window aggregate shuffles once on (window, type) with
+  * watermark-bounded state; sessionization keys state by user_id with a
+  * processing-time timeout so abandoned sessions are evicted rather than
+  * accumulating forever.
+  */
+object EventStreams {
+
+  /** Input shape: the events table with ts as a proper timestamp. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionUpdate(user_id: Long, n_events: Long, sum_value: Double,
+                           closed: Boolean)
+
+  /** Long-nanos events frame → typed timestamp frame (micros precision). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+
+  /** Tumbling 1-hour window counts/sums per event type, 2-hour watermark
+    * for late data. Append mode emits each window once it is final. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Stateful sessionization: per-user running session (count + value sum)
+    * that closes after `gapMinutes` of event-time inactivity —
+    * KeyValueGroupedDataset.flatMapGroupsWithState with explicit
+    * GroupState, the Spark-native form of custom keyed streaming state.
+    *
+    * Timeouts are event-time based (the input must carry a watermark,
+    * which withSessionWatermark applies): deterministic under replay and
+    * testable without a wall clock — processing-time timeouts would make
+    * results depend on scheduler timing (and keep scheduling wake-up
+    * batches, which stalls processAllAvailable in tests). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), SessionUpdate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, s) = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, n, s, closed = true))
+          } else {
+            val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0
+            var s = s0
+            var maxTs = Long.MinValue
+            rows.foreach { e => n += 1; s += e.value; maxTs = math.max(maxTs, e.ts.getTime) }
+            state.update((n, s))
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs + gapMinutes * 60000L)
+            Iterator.single(SessionUpdate(userId, n, s, closed = false))
+          }
+      }
+  }
+}
