@@ -35,6 +35,15 @@ object Demo {
       (a: Long, b: Long) => a + b).count()
     println(s"DRIVE put-empty-batch -> $p rows (expect 2)")
 
+    // Skew recipe: one hot key (90% of rows), salted two-phase agg
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val skewed = spark.range(0, 100000)
+      .selectExpr("IF(id % 10 = 0, id, 0) AS k", "1 AS v")
+    val salted = graft.operators.Skew.saltedAgg(skewed.toDF(), "k", 16, Seq(
+      ("n", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))))
+    val hot = salted.filter(col("k") === 0).select("n").head().getLong(0)
+    println(s"DRIVE salted-agg hot key n -> $hot (expect 90001: 90000 non-multiples + id=0 itself)")
+
     spark.stop()
   }
 }
