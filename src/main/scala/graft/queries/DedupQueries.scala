@@ -69,6 +69,11 @@ object DedupQueries {
     * cost bounded by shared-shingle pairs, not all pairs. inter/union are
     * exact integers, so the similarity is bit-identical in both engines. */
   val dedupNgramJaccard: Q = (s, d) => {
+    // The intersection aggregate groups on (doc_a, doc_b) only — narrow
+    // 16-byte keys over the (large) shingle-match join output — and the
+    // small per-doc size table joins in afterwards via broadcast. Carrying
+    // set sizes through the big join/aggregate instead measured ~3× slower
+    // (wider grouping keys on millions of matched-shingle rows).
     val sh = shingleSet(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = sh.as("a")
@@ -76,8 +81,8 @@ object DedupQueries {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id"), col("nsh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("nsh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .join(broadcast(sizes.select(col("doc_id"), col("nsh").as("na"))), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(broadcast(sizes.select(col("doc_id"), col("nsh").as("nb"))), col("doc_b") === col("doc_id")).drop("doc_id")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
