@@ -104,7 +104,58 @@ object ExtensionQueries {
       .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
   }
 
+  /** Batch sessionization via window functions: a new session starts after
+    * a >30 min gap; session count = sum of session-start flags per user.
+    * Ordering and gaps use integer epoch seconds with event_id tiebreak so
+    * both engines see the identical sequence (raw nanos vs the oracle's
+    * µs-truncated timestamps could disagree within a microsecond of a
+    * boundary). The window shuffles once on user_id — the same state
+    * keying the streaming sessionizer uses. */
+  val eventsSessionized: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), nsToEpochSec(col("ts")).as("sec"))
+      .withColumn("new_session",
+        when(col("sec") - lag(col("sec"), 1).over(w) > 1800L || lag(col("sec"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Exact per-type percentiles (p50/p90/p99) of the value column —
+    * interpolated rank statistics over identical sorted doubles are
+    * bit-identical across engines. */
+  val eventsPercentiles: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        call_function("percentile", col("value"), lit(0.5)).as("p50"),
+        call_function("percentile", col("value"), lit(0.9)).as("p90"),
+        call_function("percentile", col("value"), lit(0.99)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Relational set algebra (union/intersect/except counts) over two
+    * customer key sets, as one full-outer join + conditional aggregate —
+    * the set-container semantics of the reference (SURVEY §2.2 set ops)
+    * expressed without materializing three separate plans. */
+  val setOpsCounts: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val a = cust.filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("k")).distinct().withColumn("in_a", lit(1))
+    val b = cust.filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey").as("k")).distinct().withColumn("in_b", lit(1))
+    a.join(b, Seq("k"), "full_outer")
+      .agg(count(lit(1)).as("n_union"),
+           sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L)).as("n_intersect"),
+           sum(when(col("in_a").isNotNull && col("in_b").isNull, 1L).otherwise(0L)).as("n_except"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_sessionized" -> eventsSessionized,
+    "events_percentiles" -> eventsPercentiles,
+    "set_ops_counts" -> setOpsCounts,
     "dedup_exact" -> dedupExact,
     "text_wordcount_topk" -> textWordcountTopk,
     "sim_cosine_topk" -> simCosineTopk,
@@ -114,6 +165,36 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_sessionized" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id,
+        |         CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |                OR LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |)
+        |SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90,
+        |       quantile_cont(value, 0.99) AS p99,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "set_ops_counts" ->
+      """WITH a AS (
+        |  SELECT DISTINCT c_custkey AS k, 1 AS in_a FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |), b AS (
+        |  SELECT DISTINCT c_custkey AS k, 1 AS in_b FROM customer WHERE c_acctbal > 5000.0
+        |)
+        |SELECT COUNT(*) AS n_union,
+        |       SUM(CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL THEN 1 ELSE 0 END) AS n_intersect,
+        |       SUM(CASE WHEN in_a IS NOT NULL AND in_b IS NULL THEN 1 ELSE 0 END) AS n_except
+        |FROM a FULL OUTER JOIN b USING (k)""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, LOWER(TRIM(text)) AS norm FROM documents)

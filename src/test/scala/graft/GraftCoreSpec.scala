@@ -74,6 +74,14 @@ class GraftCoreSpec extends SparkSpec {
     assert(ds.select(agg.toColumn).head() == 1111L)
   }
 
+  test("parquet round-trip preserves a keyed store (to_string/from_string, bare_map_test.cc:157-168)") {
+    val store = Seq(("aa", 1L), ("bb", 2L), ("cc", 3L)).toDS()
+    val dir = java.nio.file.Files.createTempDirectory("graft-rt").toString + "/store"
+    store.toDF("key", "value").write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[(String, Long)].collect().toMap
+    assert(back == store.collect().toMap)
+  }
+
   test("partition-count invariance (reference runs -n 1 and -n 4, Makefile:53-58)") {
     val n = 10000L
     def run(parts: Int): Map[Long, Long] =
