@@ -152,7 +152,31 @@ object ExtensionQueries {
            sum(when(col("in_a").isNotNull && col("in_b").isNull, 1L).otherwise(0L)).as("n_except"))
   }
 
+  /** JSON extraction over the props column: parse `{"k": <int>}`, bucket
+    * by k decile, aggregate. get_json_object is codegen'd path extraction —
+    * no UDF, no whole-document parse per field at scale. */
+  val eventsPropsJson: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+              col("value"))
+      .filter(col("k").isNotNull)
+      .groupBy(call_function("div", col("k"), lit(10L)).as("k_decile"))
+      .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
+      .orderBy("k_decile")
+
+  /** Calendar aggregation on the timestamp_ntz order date: monthly order
+    * counts and exact revenue — date_trunc + epoch output (bigint), the
+    * date-function row of the SURVEY §2.2 checklist. */
+  val ordersMonthly: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"))
+      .agg(count(lit(1)).as("n_orders"),
+           decSum2(col("o_totalprice")).as("revenue"))
+      .orderBy("month_epoch")
+
   val queries: Map[String, Q] = Map(
+    "events_props_json" -> eventsPropsJson,
+    "orders_monthly" -> ordersMonthly,
     "events_sessionized" -> eventsSessionized,
     "events_percentiles" -> eventsPercentiles,
     "set_ops_counts" -> setOpsCounts,
@@ -165,6 +189,18 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_props_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE json_extract(props, '$.k') IS NOT NULL
+        |GROUP BY k_decile ORDER BY k_decile""".stripMargin,
+    "orders_monthly" ->
+      """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY month_epoch ORDER BY month_epoch""".stripMargin,
     "events_sessionized" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec

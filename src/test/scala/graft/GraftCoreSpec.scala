@@ -82,6 +82,16 @@ class GraftCoreSpec extends SparkSpec {
     assert(back == store.collect().toMap)
   }
 
+  test("csv sink/source round-trip preserves a keyed store") {
+    val store = Seq(("aa", 1L), ("bb", 2L), ("cc", 3L)).toDS().toDF("key", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/store"
+    store.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema("key STRING, value LONG").csv(dir)
+      .as[(String, Long)].collect().toMap
+    assert(back == Map("aa" -> 1L, "bb" -> 2L, "cc" -> 3L))
+  }
+
   test("partition-count invariance (reference runs -n 1 and -n 4, Makefile:53-58)") {
     val n = 10000L
     def run(parts: Int): Map[Long, Long] =
