@@ -61,11 +61,101 @@ object SimilarityQueries {
       .orderBy("probe_id", "cand_id")
   }
 
+  /** IVF-style ANN: coarse quantizer = per-label centroids built by
+    * aggregation; each probe searches only its nearest centroid's
+    * partition. All centroid math stays in exact integers by clearing
+    * denominators: nearest centroid minimizes |n_l·q − S_l|² (≡ n_l²·|q −
+    * S_l/n_l|²), where S_l is the per-dimension sum and n_l the partition
+    * size — no division, no floats, oracle-identical. A millunit (1e3)
+    * quantization keeps the squared sums within BIGINT (DuckDB raises on
+    * overflow). At 100 TB the centroid table is tiny (built by one
+    * aggregate, broadcast everywhere) and the search join is equi-key on
+    * the partition label — same shape as a trained IVF index. */
+  val simAnnIvf: Q = (s, d) => {
+    val q3 = Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000d).cast("long")).as("q3"),
+      quantizeVec(col("embedding")).as("qv"))
+    val sumCols = (0 until 64).map(i => sum(element_at(col("q3"), i + 1)).as(s"s$i"))
+    val cents = q3.groupBy("label")
+      .agg(count(lit(1)).as("n_l"), sumCols: _*)
+      .select(col("label").as("c_label"), col("n_l"),
+        array((0 until 64).map(i => col(s"s$i")): _*).as("cs"))
+    val probes = q3.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("q3").as("p3"),
+              col("qv").as("pv"))
+    // nearest centroid per probe: dist = |n_l * p3 - S_l|^2, ties by label
+    val dist = qdot(zip_with(col("p3"), col("cs"), (x, s_) => col("n_l") * x - s_),
+                    zip_with(col("p3"), col("cs"), (x, s_) => col("n_l") * x - s_))
+    val wN = Window.partitionBy("probe_id").orderBy(asc("dist"), asc("c_label"))
+    val assigned = probes.crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .withColumn("rk", row_number().over(wN))
+      .filter(col("rk") === 1)
+      .select(col("probe_id"), col("pv"), col("c_label"))
+    // exact cosine search within the assigned partition
+    val cand = q3.select(col("vec_id"), col("label"), col("qv"),
+                         qnorm2(col("qv")).as("n2"))
+    val cos: Column = qdot(col("pv"), col("qv")) /
+      (sqrt(qnorm2(col("pv"))) * sqrt(col("n2")))
+    val scored = cand.join(broadcast(assigned),
+        col("label") === col("c_label") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"), cos.as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("score"))
+      .orderBy("probe_id", "cand_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_ivf" -> simAnnIvf,
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_ann_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q3,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), qn AS (
+        |  SELECT vec_id, label, q3, qv,
+        |         (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2
+        |  FROM q
+        |), cexp AS (
+        |  SELECT label, unnest(q3) AS v, unnest(generate_series(1, 64)) AS d FROM q
+        |), cents AS (
+        |  SELECT label AS c_label, d, SUM(v) AS s_d, COUNT(*) AS n_l
+        |  FROM cexp GROUP BY label, d
+        |), pexp AS (
+        |  SELECT vec_id AS probe_id, unnest(q3) AS v, unnest(generate_series(1, 64)) AS d
+        |  FROM q WHERE vec_id < 5
+        |), adist AS (
+        |  SELECT probe_id, c_label,
+        |         SUM((n_l * v - s_d) * (n_l * v - s_d)) AS dist
+        |  FROM pexp JOIN cents USING (d)
+        |  GROUP BY probe_id, c_label
+        |), assigned AS (
+        |  SELECT probe_id, c_label FROM (
+        |    SELECT probe_id, c_label,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, c_label) AS rk
+        |    FROM adist) WHERE rk = 1
+        |), pairs AS (
+        |  SELECT a.probe_id, c.vec_id AS cand_id,
+        |         (SELECT SUM(x * y) FROM (SELECT UNNEST(p.qv) AS x, UNNEST(c.qv) AS y)) /
+        |           (sqrt(p.n2) * sqrt(c.n2)) AS cos
+        |  FROM assigned a
+        |  JOIN qn p ON p.vec_id = a.probe_id
+        |  JOIN qn c ON c.label = a.c_label AND c.vec_id <> a.probe_id
+        |), ranked AS (
+        |  SELECT probe_id, cand_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM pairs
+        |)
+        |SELECT probe_id, cand_id, round(cos, 6) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, cand_id""".stripMargin,
     "sim_ann_lsh" ->
       """WITH q AS (
         |  SELECT vec_id,
