@@ -174,7 +174,20 @@ object ExtensionQueries {
            decSum2(col("o_totalprice")).as("revenue"))
       .orderBy("month_epoch")
 
+  /** CUBE grouping sets over (event_type, day): all four aggregation
+    * granularities in one pass (Expand → single shuffle), completing the
+    * grouping-sets family next to the star ROLLUP. */
+  val eventsTypeDayCube: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+              call_function("div", nsToEpochSec(col("ts")), lit(86400L)).as("day"),
+              col("value"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+
   val queries: Map[String, Q] = Map(
+    "events_type_day_cube" -> eventsTypeDayCube,
     "events_props_json" -> eventsPropsJson,
     "orders_monthly" -> ordersMonthly,
     "events_sessionized" -> eventsSessionized,
@@ -189,6 +202,14 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_type_day_cube" ->
+      """SELECT event_type,
+        |       CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, day)
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
     "events_props_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
         |       COUNT(*) AS n,

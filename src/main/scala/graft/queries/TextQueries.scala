@@ -89,7 +89,25 @@ object TextQueries {
       .select(col("doc_id"), col("fp_doc"), array_min(col("shash")).as("fp_min_shingle"))
       .orderBy("doc_id")
 
+  /** Top-5 words per language — partitioned top-k (window rank over a
+    * grouped aggregate), the per-group form of the global top-k in
+    * textWordcountTopk. The rank window shuffles on lang only after the
+    * wordcount aggregate has collapsed cardinality. */
+  val textWordcountPerLang: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(words(col("text"))).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("n"), asc("word"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("word"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_wordcount_per_lang" -> textWordcountPerLang,
     "text_lang_id" -> textLangId,
     "text_quality_score" -> textQualityScore,
     "text_token_count" -> textTokenCount,
@@ -100,6 +118,19 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_wordcount_per_lang" ->
+      """WITH counts AS (
+        |  SELECT lang, word, COUNT(*) AS n
+        |  FROM (SELECT lang, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |        FROM documents)
+        |  GROUP BY lang, word
+        |), ranked AS (
+        |  SELECT lang, word, n,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rank
+        |  FROM counts
+        |)
+        |SELECT lang, rank, word, n FROM ranked WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
     "text_lang_id" ->
       s"""WITH scored AS (
         |  SELECT lang,
