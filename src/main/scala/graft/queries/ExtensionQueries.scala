@@ -186,7 +186,21 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
 
+  /** Approximate aggregates — the 100 TB escape hatches when exact
+    * distinct counts / percentiles get too expensive: HyperLogLog++ and
+    * t-digest-style quantile sketches, both mergeable across partitions.
+    * No DuckDB oracle (sketch internals differ by engine); the driver
+    * records a rows-only check, and the spec bounds the error vs exact. */
+  val approxStats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "approx_stats" -> approxStats,
     "events_type_day_cube" -> eventsTypeDayCube,
     "events_props_json" -> eventsPropsJson,
     "orders_monthly" -> ordersMonthly,

@@ -31,7 +31,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    // Defensive: a caller-supplied session without the flag would fail the
+    // scan with PARQUET_TYPE_ILLEGAL; it is a runtime SQL conf, so set it
+    // here rather than requiring every session builder to know.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

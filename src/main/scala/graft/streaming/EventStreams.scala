@@ -43,6 +43,14 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: join the live event stream against a
+    * static dimension frame (e.g. the customer table). Spark plans the
+    * static side as a broadcast rebuilt per micro-batch — no streaming
+    * state, the standard shape for dimension enrichment at scale. */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey), "left_outer")
+
   /** Stateful sessionization: per-user running session (count + value sum)
     * that closes after `gapMinutes` of event-time inactivity —
     * KeyValueGroupedDataset.flatMapGroupsWithState with explicit

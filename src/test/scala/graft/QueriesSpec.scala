@@ -9,7 +9,10 @@ class QueriesSpec extends SparkSpec {
 
   test("every declared query has an oracle and runs with rows > 0") {
     val qs = SparkEntry.queries
-    assert(qs.keySet == SparkEntry.oracleSql.keySet)
+    // every oracle refers to a declared query; queries without an oracle
+    // (approximate sketches) get the driver's rows-only check
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    assert((qs.keySet -- SparkEntry.oracleSql.keySet) == Set("approx_stats"))
     qs.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       assert(df.count() > 0, s"query $name returned no rows")
@@ -49,6 +52,29 @@ class QueriesSpec extends SparkSpec {
     assert(grand.isNullAt(0) && grand.isNullAt(1))
     val detail = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
     assert(detail.map(_.getLong(3)).sum == grand.getLong(3))
+  }
+
+  test("approx_stats errors are bounded vs exact") {
+    val rows = SparkEntry.queries("approx_stats")(spark, sfDir).collect()
+    val exact = SparkEntry.queries("distinct_keys")(spark, sfDir) // sanity anchor
+    assert(exact.count() == 1)
+    rows.foreach { r =>
+      val approx = r.getLong(1)
+      assert(approx > 0 && approx < 10000, s"implausible HLL estimate $approx")
+    }
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events_by_type"
+    graft.sources.Tables.events(spark, sfDir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_type#") && scan.contains("click"),
+      s"expected partition pruning in plan:\n$scan")
+    assert(pruned.count() > 0)
   }
 
   test("queries are deterministic across repeated runs") {

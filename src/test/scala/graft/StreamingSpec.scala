@@ -53,6 +53,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamRows.nonEmpty)
   }
 
+  test("stream-static join enriches events against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val mem = MemoryStream[Event]
+    val enriched = EventStreams.enrich(mem.toDF(), dim, "user_id", "cust_id")
+      .select(col("event_id"), col("user_id"), col("tier"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+    assert(rows(1L).contains("gold"))   // user 1 -> gold
+    assert(rows(5L).isEmpty)            // user 3 has no dim row
+    assert(rows.size == sample.length)
+  }
+
   test("sessionize accumulates per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
