@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — an operator Spark has no native form
+  * of, composed from built-ins per the preference order of SURVEY §7.3:
+  * tag both sides, union, and carry the last quote value forward with a
+  * running `last(ignoreNulls)` window — then keep only probe rows.
+  *
+  * Cost model: one union (no shuffle) + one hash exchange on the join key
+  * + one in-partition sort — O(n log n) per key group, versus the O(n·m)
+  * of the naive inequality join Spark would otherwise plan
+  * (BroadcastNestedLoopJoin). At 100 TB the shuffle is the same exchange
+  * a groupBy on the key would need; state never exceeds a partition sort.
+  *
+  * Tie semantics: at equal timestamps the quote sorts before the probe
+  * (tag 0 < 1), making the match inclusive (probe_t >= quote_t) — the same
+  * convention as DuckDB's ASOF JOIN, which the oracle uses. Callers must
+  * ensure (key, time) is unique on the quote side (pre-aggregate
+  * duplicates) or the carried value at a tied timestamp is plan-dependent.
+  */
+object AsOf {
+
+  /** @param probes  (key, t, probeCols...)
+    * @param quotes  (key, t, valueCol) — (key, t) must be unique
+    * @return probes with `valueCol` = latest quote value at or before t
+    */
+  def asofJoin(probes: DataFrame, quotes: DataFrame, key: String, t: String,
+               valueCol: String): DataFrame = {
+    val probeCols = probes.columns.filter(c => c != key && c != t)
+    val q = quotes.select(
+      Seq(col(key), col(t), lit(0).as("__tag"), col(valueCol)) ++
+        probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
+    val p = probes.select(
+      Seq(col(key), col(t), lit(1).as("__tag"),
+        lit(null).cast(quotes.schema(valueCol).dataType).as(valueCol)) ++
+        probeCols.map(c => col(c)): _*)
+    val w = Window.partitionBy(key).orderBy(col(t), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.unionByName(p)
+      .withColumn("__asof", last(col(valueCol), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col(key) +: col(t) +: probeCols.map(col) :+ col("__asof").as(valueCol): _*)
+  }
+}

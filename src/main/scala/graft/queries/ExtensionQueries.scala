@@ -199,7 +199,27 @@ object ExtensionQueries {
            count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** As-of join: each event picks up the most recent prior order total of
+    * the same customer (graft.operators.AsOf — union + running-last
+    * window, one shuffle on the key). The quote side pre-aggregates to a
+    * unique (custkey, date) so tie resolution is well defined; the oracle
+    * is DuckDB's native ASOF LEFT JOIN. */
+  val asofLastOrder: Q = (s, d) => {
+    import graft.operators.AsOf
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("k"),
+               unix_timestamp(col("o_orderdate")).as("t"))
+      .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("last_price"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("k"), nsToEpochSec(col("ts")).as("t"),
+              col("event_id"))
+    AsOf.asofJoin(ev, ord, "k", "t", "last_price")
+      .select(col("event_id"), col("k").as("user_id"), col("last_price"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "asof_last_order" -> asofLastOrder,
     "approx_stats" -> approxStats,
     "events_type_day_cube" -> eventsTypeDayCube,
     "events_props_json" -> eventsPropsJson,
@@ -216,6 +236,19 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "asof_last_order" ->
+      """WITH ord AS (
+        |  SELECT o_custkey AS k, CAST(epoch(o_orderdate) AS BIGINT) AS t,
+        |         max_by(o_totalprice, o_orderkey) AS last_price
+        |  FROM orders GROUP BY 1, 2
+        |), ev AS (
+        |  SELECT user_id AS k, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+        |         event_id
+        |  FROM events
+        |)
+        |SELECT ev.event_id, ev.k AS user_id, ord.last_price
+        |FROM ev ASOF LEFT JOIN ord ON ev.k = ord.k AND ev.t >= ord.t
+        |ORDER BY event_id""".stripMargin,
     "events_type_day_cube" ->
       """SELECT event_type,
         |       CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,

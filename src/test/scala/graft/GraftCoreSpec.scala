@@ -82,6 +82,22 @@ class GraftCoreSpec extends SparkSpec {
     assert(back == store.collect().toMap)
   }
 
+  test("asof join: inclusive ties, carry-forward, and no-match nulls") {
+    import graft.operators.AsOf
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 15L, 150.0))
+      .toDF("k", "t", "v")
+    val probes = Seq((1L, 9L, "before"), (1L, 10L, "tie"), (1L, 25L, "after"),
+                     (2L, 14L, "before2"), (3L, 10L, "nokey"))
+      .toDF("k", "t", "tag")
+    val out = AsOf.asofJoin(probes, quotes, "k", "t", "v")
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out("before").isEmpty)          // no quote at or before t=9
+    assert(out("tie").contains(100.0))     // inclusive: quote at equal t matches
+    assert(out("after").contains(200.0))   // latest prior carried forward
+    assert(out("before2").isEmpty)
+    assert(out("nokey").isEmpty)           // key absent from quotes
+  }
+
   test("csv sink/source round-trip preserves a keyed store") {
     val store = Seq(("aa", 1L), ("bb", 2L), ("cc", 3L)).toDS().toDF("key", "value")
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/store"
