@@ -37,8 +37,7 @@ object Graft {
     * matching hpmr's staging-map combine. */
   def mapreduce[K, V, KR, VR](in: Dataset[(K, V)], mapper: Mapper[K, V, KR, VR],
                               reducer: Reducer[VR])(
-      implicit ekr: Encoder[(KR, VR)], ek: Encoder[KR],
-      et: Encoder[(KR, (KR, VR))]): Dataset[(KR, VR)] =
+      implicit ekr: Encoder[(KR, VR)], ek: Encoder[KR]): Dataset[(KR, VR)] =
     in.flatMap { case (k, v) => mapper(k, v) }
       .groupByKey(_._1)
       .reduceGroups((a: (KR, VR), b: (KR, VR)) => (a._1, reducer(a._2, b._2)))
@@ -49,8 +48,7 @@ object Graft {
   def mapreduceRange[KR, VR](range: Dataset[java.lang.Long],
                              mapper: Long => IterableOnce[(KR, VR)],
                              reducer: Reducer[VR])(
-      implicit ekr: Encoder[(KR, VR)], ek: Encoder[KR],
-      et: Encoder[(KR, (KR, VR))]): Dataset[(KR, VR)] =
+      implicit ekr: Encoder[(KR, VR)], ek: Encoder[KR]): Dataset[(KR, VR)] =
     range.flatMap((i: java.lang.Long) => mapper(i))
       .groupByKey(_._1)
       .reduceGroups((a: (KR, VR), b: (KR, VR)) => (a._1, reducer(a._2, b._2)))
@@ -60,32 +58,34 @@ object Graft {
     * src/dist_map.h:118-130): merge a batch of new pairs into the store,
     * resolving key collisions with `reducer`. */
   def put[K, V](store: Dataset[(K, V)], batch: Dataset[(K, V)], reducer: Reducer[V])(
-      implicit ekv: Encoder[(K, V)], ek: Encoder[K],
-      et: Encoder[(K, (K, V))]): Dataset[(K, V)] =
+      implicit ekv: Encoder[(K, V)], ek: Encoder[K]): Dataset[(K, V)] =
     mapreduce[K, V, K, V](store.union(batch), (k, v) => Iterator.single((k, v)), reducer)
 
   /** Point lookup with default (DistMap::get, src/dist_map.h:132-145).
     * Driver-side scalar — the reference's MPI_Bcast collective collapses
-    * to a filter + take(1) on the keyed store. */
+    * to a filter + take(1) on the keyed store. Typed filter, not
+    * `col === lit(key)`: `lit` throws for non-primitive K, and the
+    * facade's contract (like hpmr's templates) is any encodable key. */
   def get[K, V](store: Dataset[(K, V)], key: K, default: V): V =
-    store.filter(col("_1") === lit(key)).take(1)
+    store.filter((p: (K, V)) => p._1 == key).take(1)
       .headOption.map(_._2).getOrElse(default)
 
   /** Membership (`has`, src/bare_hash_container.h:181-196) for a single key. */
   def has[K, V](store: Dataset[(K, V)], key: K): Boolean =
-    !store.filter(col("_1") === lit(key)).isEmpty
+    !store.filter((p: (K, V)) => p._1 == key).isEmpty
 
   /** Set-membership as a relational op: keep pairs whose key appears in
-    * `keys` (left-semi join — the distributed form of `has`). */
+    * `keys` (left-semi join — the distributed form of `has`). Keys wrap
+    * in Tuple1 so product-typed keys stay a single struct column. */
   def hasAll[K, V](store: Dataset[(K, V)], keys: Dataset[K])(
-      implicit ekv: Encoder[(K, V)]): Dataset[(K, V)] =
-    store.join(keys.toDF("_k"), col("_1") === col("_k"), "left_semi").as[(K, V)]
+      implicit ekv: Encoder[(K, V)], ek1: Encoder[Tuple1[K]]): Dataset[(K, V)] =
+    store.join(keys.map(Tuple1(_)).select(col("_1").as("_k")), col("_1") === col("_k"), "left_semi").as[(K, V)]
 
   /** Delete keys (`unset`, src/bare_hash_container.h:150-179) as a
     * left-anti join. */
   def remove[K, V](store: Dataset[(K, V)], keys: Dataset[K])(
-      implicit ekv: Encoder[(K, V)]): Dataset[(K, V)] =
-    store.join(keys.toDF("_k"), col("_1") === col("_k"), "left_anti").as[(K, V)]
+      implicit ekv: Encoder[(K, V)], ek1: Encoder[Tuple1[K]]): Dataset[(K, V)] =
+    store.join(keys.map(Tuple1(_)).select(col("_1").as("_k")), col("_1") === col("_k"), "left_anti").as[(K, V)]
 
   /** Set insert / dedup (HashSet::set, src/bare_set.h:34-52). */
   def distinctKeys[K, V](store: Dataset[(K, V)])(implicit ek: Encoder[K]): Dataset[K] =

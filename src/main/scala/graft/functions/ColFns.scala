@@ -25,11 +25,6 @@ object ColFns {
   def decSum4(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast("double")
 
-  /** Exact mean of a 2-decimal double column: exact decimal sum cast to
-    * double, divided by the group count (both deterministic). */
-  def decAvg2(c: Column): Column =
-    decSum2(c) / count(c)
-
   /** Quantize a float-array embedding to integer microunits. Exact and
     * identical in both engines (same double rounding, ties impossible for
     * generated float data). */
@@ -78,11 +73,4 @@ object ColFns {
   def md5Long60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Bit b (0-based) of a non-negative long column. */
-  def bitAt(h: Column, b: Column): Column =
-    call_function("shiftright", h, b).bitwiseAND(lit(1L))
-
-  /** 2^b as a long column (b <= 62). */
-  def pow2(b: Column): Column =
-    call_function("shiftleft", lit(1L), b)
 }

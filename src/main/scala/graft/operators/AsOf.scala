@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * convention as DuckDB's ASOF JOIN, which the oracle uses. Callers must
   * ensure (key, time) is unique on the quote side (pre-aggregate
   * duplicates) or the carried value at a tied timestamp is plan-dependent.
+  *
+  * NULL quote values are dropped before the union (the running
+  * last(ignoreNulls) could not distinguish them from "no quote yet"
+  * anyway): the result is "latest non-null quote at or before t". This
+  * differs from a native as-of join against a nullable value column —
+  * which would match the null row and return null — so quote values
+  * should be non-null by construction.
   */
 object AsOf {
 
@@ -30,7 +37,7 @@ object AsOf {
   def asofJoin(probes: DataFrame, quotes: DataFrame, key: String, t: String,
                valueCol: String): DataFrame = {
     val probeCols = probes.columns.filter(c => c != key && c != t)
-    val q = quotes.select(
+    val q = quotes.filter(col(valueCol).isNotNull).select(
       Seq(col(key), col(t), lit(0).as("__tag"), col(valueCol)) ++
         probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
     val p = probes.select(

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * extreme single-key skew in aggregations, where one reduce key swamps one
   * task. The recipe is two-phase salted aggregation:
   *
-  *   1. add salt = pmod(hash(whole row), S) and aggregate on (key, salt) —
-  *      the hot key spreads over S tasks, map-side partials still combine;
+  *   1. add a salt in [0, S) that cycles with row position (partition id +
+  *      row offset — NOT a content hash, which would put identical hot-key
+  *      rows in one bucket and defeat the spread) and aggregate on
+  *      (key, salt); the hot key spreads over S tasks, partials combine;
   *   2. re-aggregate the S partials on key.
   *
   * Only ASSOCIATIVE aggregates survive two-phase splitting; this utility
@@ -34,6 +36,7 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, key: String, salts: Int,
                 aggs: Seq[(String, Column, Column => Column)]): DataFrame = {
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
     val partial = salted

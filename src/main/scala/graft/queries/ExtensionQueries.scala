@@ -165,14 +165,17 @@ object ExtensionQueries {
       .orderBy("k_decile")
 
   /** Calendar aggregation on the timestamp_ntz order date: monthly order
-    * counts and exact revenue — date_trunc + epoch output (bigint), the
-    * date-function row of the SURVEY §2.2 checklist. */
+    * counts and exact revenue — the date-function row of the SURVEY §2.2
+    * checklist. The month is output as a formatted string, not an epoch:
+    * formatting an NTZ value is timezone-free in both engines, whereas
+    * unix_timestamp would shift with the session timezone and silently
+    * break oracle parity on a non-UTC session. */
   val ordersMonthly: Q = (s, d) =>
     Tables.orders(s, d)
-      .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
            decSum2(col("o_totalprice")).as("revenue"))
-      .orderBy("month_epoch")
+      .orderBy("month")
 
   /** CUBE grouping sets over (event_type, day): all four aggregation
     * granularities in one pass (Expand → single shuffle), completing the
@@ -265,10 +268,10 @@ object ExtensionQueries {
         |WHERE json_extract(props, '$.k') IS NOT NULL
         |GROUP BY k_decile ORDER BY k_decile""".stripMargin,
     "orders_monthly" ->
-      """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |       COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders GROUP BY month_epoch ORDER BY month_epoch""".stripMargin,
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
     "events_sessionized" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec

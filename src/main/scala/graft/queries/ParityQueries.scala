@@ -45,16 +45,24 @@ object ParityQueries {
       .orderBy("bucket")
 
   /** #5 — DistMap::get point lookup with default (hpmr src/dist_map.h:132-145).
-    * The probe-key set is broadcast (tiny build side) so at 100 TB this is a
-    * broadcast hash join against the keyed table, not a shuffle. Absent key
-    * ⇒ caller default, exactly hpmr's default_value. */
+    * Absent key ⇒ caller default, exactly hpmr's default_value.
+    *
+    * Shape note: an outer join can only broadcast its non-preserved side,
+    * so `customer RIGHT JOIN broadcast(keys)` would silently drop the hint
+    * and shuffle the whole table at scale. Instead: inner join with the
+    * tiny key set broadcast (BuildRight is legal), then union the missed
+    * keys back with the default via a broadcast anti join against the
+    * (even tinier) present-key set — every join builds on the small side. */
   val pointGet: Q = (s, d) => {
     import s.implicits._
     val keys = Seq(1L, 42L, 99999999L).toDF("k")
-    Tables.customer(s, d)
-      .join(broadcast(keys), col("c_custkey") === col("k"), "right_outer")
-      .select(col("k"), coalesce(col("c_acctbal"), lit(-1.0)).as("acctbal"))
-      .orderBy("k")
+    val present = Tables.customer(s, d)
+      .join(broadcast(keys), col("c_custkey") === col("k"))
+      .select(col("k"), col("c_acctbal").as("acctbal"))
+    val absent = keys
+      .join(broadcast(present.select("k")), Seq("k"), "left_anti")
+      .withColumn("acctbal", lit(-1.0))
+    present.unionByName(absent).orderBy("k")
   }
 
   /** #8/#9 — set membership as a left-semi join (hpmr

@@ -34,7 +34,10 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     // Defensive: a caller-supplied session without the flag would fail the
     // scan with PARQUET_TYPE_ILLEGAL; it is a runtime SQL conf, so set it
-    // here rather than requiring every session builder to know.
+    // here rather than requiring every session builder to know. This is a
+    // session-wide side effect by design — Spark 4 cannot read NANOS
+    // parquet as TIMESTAMP at all, so no caller loses a capability; any
+    // nanos column in the session simply reads as long nanos.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
   }

@@ -29,6 +29,11 @@ object EventStreams {
   case class SessionUpdate(user_id: Long, n_events: Long, sum_value: Double,
                            closed: Boolean)
 
+  /** Session state: running count/sum plus the max event time seen, so an
+    * out-of-order (but not watermark-late) event cannot move the timeout
+    * backward. */
+  case class SessionState(n: Long, sum: Double, maxTsMillis: Long)
+
   /** Long-nanos events frame → typed timestamp frame (micros precision). */
   def withEventTime(events: DataFrame): DataFrame =
     events.withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
@@ -56,34 +61,37 @@ object EventStreams {
     * KeyValueGroupedDataset.flatMapGroupsWithState with explicit
     * GroupState, the Spark-native form of custom keyed streaming state.
     *
-    * Timeouts are event-time based (the input must carry a watermark,
-    * which withSessionWatermark applies): deterministic under replay and
-    * testable without a wall clock — processing-time timeouts would make
-    * results depend on scheduler timing (and keep scheduling wake-up
-    * batches, which stalls processAllAvailable in tests). */
+    * Timeouts are event-time based (the transformation applies the
+    * watermark itself): deterministic under replay and testable without a
+    * wall clock — processing-time timeouts would make results depend on
+    * scheduler timing (and keep scheduling wake-up batches, which stalls
+    * processAllAvailable in tests). The timeout is set from the maximum
+    * event time the session has EVER seen (carried in state), not the
+    * current batch's max — an out-of-order batch must not shrink the
+    * session's lifetime. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.withWatermark("ts", "0 seconds")
       .as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Double), SessionUpdate](
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Double)]) =>
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val (n, s) = state.get
+            val st = state.get
             state.remove()
-            Iterator.single(SessionUpdate(userId, n, s, closed = true))
+            Iterator.single(SessionUpdate(userId, st.n, st.sum, closed = true))
           } else {
-            val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
-            var n = n0
-            var s = s0
-            var maxTs = Long.MinValue
-            rows.foreach { e => n += 1; s += e.value; maxTs = math.max(maxTs, e.ts.getTime) }
-            state.update((n, s))
-            if (maxTs != Long.MinValue)
-              state.setTimeoutTimestamp(maxTs + gapMinutes * 60000L)
-            Iterator.single(SessionUpdate(userId, n, s, closed = false))
+            var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+            rows.foreach { e =>
+              st = SessionState(st.n + 1, st.sum + e.value,
+                math.max(st.maxTsMillis, e.ts.getTime))
+            }
+            state.update(st)
+            if (st.maxTsMillis != Long.MinValue)
+              state.setTimeoutTimestamp(st.maxTsMillis + gapMinutes * 60000L)
+            Iterator.single(SessionUpdate(userId, st.n, st.sum, closed = false))
           }
       }
   }

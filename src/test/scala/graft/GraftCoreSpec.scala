@@ -82,6 +82,17 @@ class GraftCoreSpec extends SparkSpec {
     assert(back == store.collect().toMap)
   }
 
+  test("facade supports non-primitive (product) keys like hpmr's templates") {
+    val store = Seq(((1, "a"), 10L), ((2, "b"), 20L)).toDS()
+    assert(Graft.get(store, (2, "b"), -1L) == 20L)
+    assert(Graft.get(store, (9, "z"), -1L) == -1L)
+    assert(Graft.has(store, (1, "a")))
+    val kept = Graft.hasAll(store, Seq((1, "a")).toDS()).collect().toMap
+    assert(kept == Map((1, "a") -> 10L))
+    val left = Graft.remove(store, Seq((1, "a")).toDS()).collect().toMap
+    assert(left == Map((2, "b") -> 20L))
+  }
+
   test("asof join: inclusive ties, carry-forward, and no-match nulls") {
     import graft.operators.AsOf
     val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 15L, 150.0))
