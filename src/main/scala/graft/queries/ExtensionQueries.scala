@@ -221,7 +221,27 @@ object ExtensionQueries {
       .orderBy("event_id")
   }
 
+  /** Range join: every event falling inside a 45-minute "incident window"
+    * opened at the first error of each hour, counted per window
+    * (graft.operators.RangeJoin — binned equi-join, not a nested loop;
+    * windows deliberately cross bin boundaries). Oracle: DuckDB's native
+    * inequality join. */
+  val eventsErrorWindowJoin: Q = (s, d) => {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(s, d)
+      .select(nsToEpochSec(col("ts")).as("sec"), col("event_type"))
+    val windows = ev.filter(col("event_type") === "error")
+      .groupBy((call_function("div", col("sec"), lit(3600L)) * 3600L).as("hr"))
+      .agg(min(col("sec")).as("win_start"))
+      .select(col("win_start"), (col("win_start") + 2700L).as("win_end"))
+    RangeJoin.rangeJoin(ev.select("sec"), "sec", windows, "win_start", "win_end", 1800L)
+      .groupBy("win_start")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("win_start")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_error_window_join" -> eventsErrorWindowJoin,
     "asof_last_order" -> asofLastOrder,
     "approx_stats" -> approxStats,
     "events_type_day_cube" -> eventsTypeDayCube,
@@ -239,6 +259,18 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_error_window_join" ->
+      """WITH ev AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type
+        |  FROM events
+        |), w AS (
+        |  SELECT MIN(sec) AS win_start, MIN(sec) + 2700 AS win_end
+        |  FROM ev WHERE event_type = 'error'
+        |  GROUP BY sec // 3600
+        |)
+        |SELECT win_start, COUNT(*) AS n_events
+        |FROM w JOIN ev ON ev.sec >= w.win_start AND ev.sec < w.win_end
+        |GROUP BY win_start ORDER BY win_start""".stripMargin,
     "asof_last_order" ->
       """WITH ord AS (
         |  SELECT o_custkey AS k, CAST(epoch(o_orderdate) AS BIGINT) AS t,

@@ -93,6 +93,25 @@ class GraftCoreSpec extends SparkSpec {
     assert(left == Map((2, "b") -> 20L))
   }
 
+  test("range join: boundary semantics and bin-crossing intervals") {
+    import graft.operators.RangeJoin
+    val points = Seq(5L, 10L, 14L, 15L, 29L, 30L).toDF("t")
+    val intervals = Seq((10L, 15L), (12L, 30L)).toDF("s", "e")
+    // binWidth 4 forces both intervals across several bins
+    val out = RangeJoin.rangeJoin(points, "t", intervals, "s", "e", 4L)
+      .select("t", "s").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 10L), (14L, 10L), (14L, 12L), (15L, 12L), (29L, 12L)))
+    // start inclusive (10 in [10,15)); end exclusive (15 not in [10,15),
+    // 30 not in [12,30)); 15 does fall in the overlapping [12,30)
+  }
+
+  test("range join: no self-pairing when no interval covers a point") {
+    import graft.operators.RangeJoin
+    val points = Seq(100L).toDF("t")
+    val intervals = Seq((1L, 5L)).toDF("s", "e")
+    assert(RangeJoin.rangeJoin(points, "t", intervals, "s", "e", 10L).count() == 0)
+  }
+
   test("asof join: inclusive ties, carry-forward, and no-match nulls") {
     import graft.operators.AsOf
     val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 15L, 150.0))
