@@ -38,17 +38,24 @@ object SimilarityQueries {
       when(qdot(qv, typedlit(weights(p))) > 0L, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** ANN top-5 per probe, searching only the probe's LSH bucket. Results
-    * are approximate by design (bucket recall < 1); the oracle computes
-    * the identical bucketing so the check stays exact. */
+  /** ANN top-5 per probe — multi-probe sign-LSH: each probe searches its
+    * own bucket plus the NPlanes buckets at Hamming distance 1 (one
+    * flipped hyperplane sign), the standard recall lever that leaves the
+    * equi-join plan shape untouched — the probe side just explodes to
+    * (NPlanes+1) bucket keys. Results remain approximate by design; the
+    * oracle computes the identical multi-probe bucketing so the check
+    * stays exact. */
   val simAnnLsh: Q = (s, d) => {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
       .withColumn("n2", qnorm2(col("qv")))
       .withColumn("bucket", lshBucket(col("qv")))
+    val probeBuckets = transform(sequence(lit(0), lit(NPlanes)), i =>
+      when(i === 0, col("bucket"))
+        .otherwise(expr("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i - 1))))
     val probes = q.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
-              col("n2").as("pn2"), col("bucket").as("pbucket"))
+              col("n2").as("pn2"), explode(probeBuckets).as("pbucket"))
     val cos: Column = qdot(col("pv"), col("qv")) /
       (sqrt(col("pn2")) * sqrt(col("n2")))
     val scored = q.join(broadcast(probes),
@@ -169,12 +176,17 @@ object SimilarityQueries {
         |                  qv[dd] * ((1103515245 * (p * 64 + (dd - 1)) + 12345) % 65536 - 32768))) > 0
         |                THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
         |  FROM q
+        |), pb AS (
+        |  SELECT vec_id AS probe_id, qv AS pqv, n2 AS pn2,
+        |         UNNEST(list_transform(generate_series(0, 4), i ->
+        |           CASE WHEN i = 0 THEN bucket
+        |                ELSE xor(bucket, CAST(1 AS BIGINT) << (i - 1)) END)) AS pbucket
+        |  FROM qb WHERE vec_id < 5
         |), pairs AS (
-        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-        |         (SELECT SUM(x * y) FROM (SELECT UNNEST(p.qv) AS x, UNNEST(c.qv) AS y)) /
-        |           (sqrt(p.n2) * sqrt(c.n2)) AS cos
-        |  FROM qb p JOIN qb c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
-        |  WHERE p.vec_id < 5
+        |  SELECT p.probe_id, c.vec_id AS cand_id,
+        |         (SELECT SUM(x * y) FROM (SELECT UNNEST(p.pqv) AS x, UNNEST(c.qv) AS y)) /
+        |           (sqrt(p.pn2) * sqrt(c.n2)) AS cos
+        |  FROM pb p JOIN qb c ON p.pbucket = c.bucket AND c.vec_id <> p.probe_id
         |), ranked AS (
         |  SELECT probe_id, cand_id, cos,
         |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank

@@ -106,7 +106,44 @@ object TextQueries {
       .orderBy("lang", "rank")
   }
 
+  /** Log-free tf-idf: rank each language's terms by tf · (N/df). Both
+    * factors stay exact integers until one IEEE division+multiplication
+    * (bit-identical in any engine) — avoiding ln(), whose last-bit
+    * behavior is libm-dependent and would break the oracle hash. Rank and
+    * tie-break are deterministic. */
+  val textTfidfTopTerms: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("term"))
+    val nDocs = Tables.documents(s, d).select(countDistinct(col("doc_id")).as("n"))
+    val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * (col("n").cast("double") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("score"), asc("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("term"),
+              col("tf"), col("df"), round(col("score"), 6).as("score"))
+      .orderBy("lang", "rank")
+  }
+
+  /** Deterministic content-hash sampling — the reproducible way to sample
+    * at 100 TB (engine RNG sampling is neither portable nor stable across
+    * retries/partitioning): keep rows whose md5-derived value falls under
+    * the rate threshold. Stratification = the filter applied per group. */
+  val sampleStratified: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("h", md5Long(col("text")) % 100L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("h") < 20L, 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "text_tfidf_top_terms" -> textTfidfTopTerms,
+    "sample_stratified" -> sampleStratified,
     "text_wordcount_per_lang" -> textWordcountPerLang,
     "text_lang_id" -> textLangId,
     "text_quality_score" -> textQualityScore,
@@ -118,6 +155,30 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf_top_terms" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang, UNNEST(${wordsSql.format("text")}) AS term FROM documents
+        |), nd AS (
+        |  SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+        |), tf AS (
+        |  SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY lang, term
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+        |), scored AS (
+        |  SELECT lang, term, tf, df, tf * (CAST(n AS DOUBLE) / df) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd
+        |), ranked AS (
+        |  SELECT lang, term, tf, df, score,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rank
+        |  FROM scored
+        |)
+        |SELECT lang, rank, term, tf, df, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+    "sample_stratified" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |       SUM(CASE WHEN CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 100 < 20
+        |                THEN 1 ELSE 0 END) AS n_sampled
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "text_wordcount_per_lang" ->
       """WITH counts AS (
         |  SELECT lang, word, COUNT(*) AS n

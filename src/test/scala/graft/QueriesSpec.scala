@@ -77,6 +77,30 @@ class QueriesSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import org.apache.spark.sql.functions.col
+    // warehouse dir is a static conf, set in TestSpark's builder
+    graft.sources.Tables.orders(spark, sfDir)
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    graft.sources.Tables.lineitem(spark, sfDir)
+      .write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("queries are deterministic across repeated runs") {
     for (name <- Seq("text_wordcount_topk", "events_tumbling_agg", "reduce_first_last")) {
       val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
