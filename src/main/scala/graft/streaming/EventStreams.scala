@@ -48,6 +48,16 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id — the streaming form of the dedup
+    * family. dropDuplicatesWithinWatermark keeps only watermark-bounded
+    * state (plain dropDuplicates on a stream would grow keys forever);
+    * duplicates arriving within the watermark window are suppressed,
+    * later ones are the upstream's replay responsibility. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-static enrichment: join the live event stream against a
     * static dimension frame (e.g. the customer table). Spark plans the
     * static side as a broadcast rebuilt per micro-batch — no streaming

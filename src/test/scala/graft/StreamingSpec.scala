@@ -73,6 +73,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows.size == sample.length)
   }
 
+  test("streaming dedup suppresses duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(
+        mem.toDF().withColumn("ts", $"ts".cast("long") * 1000000000L))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      mem.addData(sample.take(3): _*) // replay first three events
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("deduped").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == sample.map(_.event_id).sorted, s"got $ids")
+  }
+
   test("sessionize accumulates per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
