@@ -141,7 +141,35 @@ object TextQueries {
            sum(when(col("h") < 20L, 1L).otherwise(0L)).as("n_sampled"))
       .orderBy("source")
 
+  /** Capstone composition — the canonical corpus-cleaning pipeline as ONE
+    * declarative plan: quality gate → exact dedup (keep min doc_id per
+    * normalized text) → deterministic 50% hash sample → per-lang corpus
+    * stats. Catalyst fuses the stages; nothing materializes in between.
+    * The count shapes mirror what a 100 TB cleaning job reports. */
+  val pipelineCleanCorpus: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 10)
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("w"))) / size(col("w")).cast("double"))
+      .filter(col("uniq_ratio") >= 0.3)
+    val deduped = scored
+      .groupBy(md5(lower(trim(col("text")))).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"),
+           // min, not first: identical text may still carry different lang
+           // labels, and first() is order-dependent under parallelism
+           min(col("lang")).as("lang"),
+           min(size(col("w"))).as("n_tokens"))
+    deduped
+      .filter(md5Long(col("norm")) % 100L < 50L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens").cast("long")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_tfidf_top_terms" -> textTfidfTopTerms,
     "sample_stratified" -> sampleStratified,
     "text_wordcount_per_lang" -> textWordcountPerLang,
@@ -155,6 +183,22 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang, text, w
+        |  FROM (SELECT doc_id, lang, text, ${wordsSql.format("text")} AS w FROM documents)
+        |  WHERE len(w) >= 10
+        |    AND len(list_distinct(w)) / CAST(len(w) AS DOUBLE) >= 0.3
+        |), deduped AS (
+        |  SELECT md5(lower(trim(text))) AS norm,
+        |         MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+        |         MIN(len(w)) AS n_tokens
+        |  FROM scored GROUP BY norm
+        |)
+        |SELECT lang, COUNT(*) AS n_docs, SUM(CAST(n_tokens AS BIGINT)) AS n_tokens
+        |FROM deduped
+        |WHERE CAST('0x' || substring(md5(norm), 1, 8) AS BIGINT) % 100 < 50
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_tfidf_top_terms" ->
       s"""WITH tok AS (
         |  SELECT doc_id, lang, UNNEST(${wordsSql.format("text")}) AS term FROM documents
