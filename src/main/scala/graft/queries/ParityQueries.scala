@@ -124,7 +124,39 @@ object ParityQueries {
               col("n_regionkey"))
       .orderBy("n_nationkey")
 
+  /** #2 chained — mapreduce over a mapreduce result (hpmr's DistMap is
+    * both sink and source, src/dist_map.h:255-279): lineitem → per-order
+    * totals → re-keyed to order-buckets → re-aggregated. In Spark the
+    * intermediate store is just lineage; Catalyst plans both aggregations
+    * with partial/final phases back to back. */
+  val mrChainRemap: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(decSum2(col("l_quantity")).as("order_qty"))
+      .groupBy((col("l_orderkey") % 100L).as("bucket"))
+      .agg(sum(col("order_qty").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+             .cast("double").as("sum_qty"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("bucket")
+
+  /** #17 arbitrary user reducer as a declared query: the Aggregator from
+    * Reducers.reduceWith registered as a UDAF — hpmr's `std::function`
+    * combine surface (src/dist_map.h:31-39) on the DataFrame path.
+    * l_quantity values are integer-valued doubles, so the user fn's
+    * partition-order float sums are still exact and deterministic. */
+  val reduceCustomUdaf: Q = (s, d) => {
+    implicit val de: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+    val userReducer = udaf(graft.core.Reducers.reduceWith[Double](0.0, _ + _))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(userReducer(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mr_chain_remap" -> mrChainRemap,
+    "reduce_custom_udaf" -> reduceCustomUdaf,
     "mr_sum_by_key" -> mrSumByKey,
     "mr_fanout_remap" -> mrFanoutRemap,
     "mr_range_source" -> mrRangeSource,
@@ -138,6 +170,19 @@ object ParityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "mr_chain_remap" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS order_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |)
+        |SELECT l_orderkey % 100 AS bucket,
+        |       CAST(SUM(CAST(order_qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n_orders
+        |FROM per_order GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "reduce_custom_udaf" ->
+      """SELECT l_returnflag, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "mr_sum_by_key" ->
       """SELECT l_returnflag,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
