@@ -49,6 +49,40 @@ object PropertySpec extends Properties("graft") {
       once == twice && once == xs.distinct.sorted
     }
 
+  property("asofJoin equals the brute-force as-of reference") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 30L), Gen.choose(1, 99))),
+           Gen.listOfN(8, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 30L)))) { (qs, ps) =>
+      import graft.operators.AsOf
+      // unique (key, t) on the quote side, as the operator contract requires
+      val quotes = qs.map { case (k, t, v) => ((k, t), v.toDouble) }.toMap.toSeq
+        .map { case ((k, t), v) => (k, t, v) }
+      val probes = ps.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val expected = probes.map { case (k, t, id) =>
+        val m = quotes.filter(q => q._1 == k && q._2 <= t)
+        id -> (if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+      }.toMap
+      val got = AsOf.asofJoin(
+          probes.toDF("k", "t", "id"), quotes.toDF("k", "t", "v"), "k", "t", "v")
+        .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+      got == expected
+    }
+
+  property("rangeJoin equals the naive inequality join for any bin width") =
+    forAll(Gen.listOfN(10, Gen.choose(0L, 50L)),
+           Gen.listOfN(6, Gen.zip(Gen.choose(0L, 40L), Gen.choose(1L, 15L))),
+           Gen.choose(1L, 20L)) { (pts, ivs, binWidth) =>
+      import graft.operators.RangeJoin
+      val intervals = ivs.map { case (s0, len) => (s0, s0 + len) }
+      val expected = (for {
+        t <- pts; (s0, e0) <- intervals if t >= s0 && t < e0
+      } yield (t, s0)).toSet
+      val got = RangeJoin.rangeJoin(
+          pts.toDF("t"), "t", intervals.toDF("s", "e"), "s", "e", binWidth)
+        .select("t", "s").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // multiset vs set: duplicate points/intervals collapse identically
+      got == expected
+    }
+
   property("salted aggregation equals plain aggregation (skew recipe lossless)") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(-100, 100)))) { xs =>
       val df = xs.toDF("k", "v")
