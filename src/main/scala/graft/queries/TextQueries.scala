@@ -168,7 +168,22 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Fixed-size per-stratum sample: exactly k docs per source, chosen by
+    * md5 rank — the deterministic, replayable alternative to reservoir
+    * sampling (same rows on every run, any partitioning, any engine).
+    * One window shuffle on the stratum key. */
+  val sampleFixedPerSource: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"))
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sample_fixed_per_source" -> sampleFixedPerSource,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_tfidf_top_terms" -> textTfidfTopTerms,
     "sample_stratified" -> sampleStratified,
@@ -183,6 +198,12 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "sample_fixed_per_source" ->
+      """SELECT source, rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH scored AS (
         |  SELECT doc_id, lang, text, w
