@@ -240,7 +240,26 @@ object ExtensionQueries {
       .orderBy("win_start")
   }
 
+  /** Native gap-based session windows (session_window, the engine
+    * primitive behind streaming sessionization) — per-user sessions with
+    * a 30-minute gap, reported as (user, session_start, n_events, exact
+    * value sum). The oracle reproduces the semantics with lag/cumsum over
+    * integer seconds; a session closes when the next event is >= gap away
+    * (session windows are end-exclusive). */
+  val eventsSessionWindows: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"),
+              timestamp_micros(call_function("div", col("ts"), lit(1000L))).as("tts"),
+              col("value"))
+      .groupBy(col("user_id"), session_window(col("tts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), decSum2(col("value")).as("sum_value"))
+      .select(col("user_id"),
+              unix_timestamp(col("sw.start")).as("session_start"),
+              col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   val queries: Map[String, Q] = Map(
+    "events_session_windows" -> eventsSessionWindows,
     "events_error_window_join" -> eventsErrorWindowJoin,
     "asof_last_order" -> asofLastOrder,
     "approx_stats" -> approxStats,
@@ -259,6 +278,28 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_session_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |         epoch_us(ts) AS us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, value, us,
+        |         CASE WHEN us - LAG(us) OVER w >= 1800000000
+        |                OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sessions AS (
+        |  SELECT user_id, value, us,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(us) // 1000000 AS session_start,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "events_error_window_join" ->
       """WITH ev AS (
         |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type
