@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit the parent's stdout/stderr directly: without this, sbt's logger
+// prefixes every forked-run line with [info], which broke the driver's
+// parse of Bench's single JSON output line in round 1 (BENCH_r01 parsed:null).
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

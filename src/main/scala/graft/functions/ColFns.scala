@@ -73,4 +73,13 @@ object ColFns {
   def md5Long60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Sign-LSH hyperplane p's 64 weights, precomputed driver-side — data
+    * independent. Shared by SimilarityQueries (planes 0..3) and
+    * DedupQueries embedding blocking (planes 0..7). MUST stay
+    * formula-identical to the oracle SQL:
+    * ((1103515245·(p·64+d) + 12345) mod 2^16) − 2^15, all values positive
+    * before the mod so Scala and SQL `%` agree. */
+  def lshWeights(p: Int): Array[Long] =
+    Array.tabulate(64)(d => (1103515245L * (p * 64 + d) + 12345L) % 65536L - 32768L)
+
 }

@@ -107,7 +107,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_meta_stats" ->
       """SELECT kind, COUNT(*) AS n,
-        |       SUM(octet_length(payload)) AS total_bytes,
+        |       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
         |       MAX(octet_length(payload)) AS max_bytes
         |FROM (SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
         |             encode(text) AS payload

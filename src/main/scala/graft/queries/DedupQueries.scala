@@ -103,6 +103,35 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Banded SimHash near-dup pairs — the scale-safe form of
+    * [[dedupSimhash]], and EXACTLY the same result set: the 60-bit
+    * signature splits into 5 disjoint 12-bit bands; a pair at Hamming
+    * distance ≤ 4 differs in at most 4 bands, so by pigeonhole it matches
+    * on at least one band exactly. Candidates come from an equi-join on
+    * (band, band_bits) — never an all-pairs scan — then the exact Hamming
+    * check keeps true pairs only. This is the reference's own principle:
+    * hpmr routes every interaction through a hash key
+    * (/root/reference/src/dist_map.h:118-130) precisely to avoid
+    * all-to-all. Shuffle cost is O(docs × 5) rows of 24 bytes; the only
+    * skew risk is a band value shared by a huge near-dup cluster, which
+    * AQE skew-join splits. */
+  val dedupSimhashBanded: Q = (s, d) => {
+    val sig = simhashSignatures(s, d)
+    val bandCols = (0 until 5).map(b =>
+      shiftright(col("simhash"), 12 * b).bitwiseAND(lit(0xFFFL)).as(s"band$b"))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bits")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 4)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** doc_id → 60-bit simhash. One codegen'd hash aggregate with 60 vote
     * columns (bit b of each token hash votes ±1) — not a 60× bit-row
     * explosion, which would shuffle 60× the token count for nothing. The
@@ -120,11 +149,51 @@ object DedupQueries {
       .select(col("doc_id"), simhash.as("simhash"))
   }
 
-  /** Embedding-cosine near-dup: top-20 closest pairs over quantized
-    * vectors. All-pairs nested-loop with the (small) deduped vector set
-    * broadcast; the 100 TB path is the sign-LSH bucketing in
-    * SimilarityQueries. */
+  /** Embedding-cosine near-dup: top-20 closest candidate pairs, where
+    * candidates come from sign-LSH blocking — 2 independent hash tables of
+    * 4 hyperplanes each (same deterministic-LCG hyperplanes as
+    * SimilarityQueries); a pair is a candidate iff it lands in the same
+    * bucket of either table. Exact integer qdot rescoring within buckets,
+    * then global top-20. The oracle computes the identical bucketing, so
+    * the gate is exact; recall vs the all-pairs truth is asserted in
+    * DedupRecallSpec. At 100 TB: bucketing is map-side codegen, candidate
+    * generation is an equi-join on (table, bucket) — never all-pairs —
+    * and rescoring joins back on vec_id (equi). Replaces the round-1
+    * all-pairs BroadcastNestedLoopJoin (VERDICT.md "What's wrong" #4);
+    * the brute form survives as [[dedupEmbeddingPairsBrute]] for specs. */
   val dedupEmbeddingPairs: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+      .withColumn("n2", qnorm2(col("qv")))
+    def bucket(tbl: Int): Column =
+      (0 until 4).map(p =>
+        when(qdot(col("qv"), typedlit(lshWeights(tbl * 4 + p))) > 0L, lit(1L << p))
+          .otherwise(lit(0L))).reduce(_ + _)
+    val keyed = q.select(col("vec_id"),
+      posexplode(array(bucket(0), bucket(1))).as(Seq("tbl", "bucket")))
+    // Narrow candidate pairs first (16-byte rows through the join +
+    // distinct), then join the 64-long vectors back by vec_id — carrying
+    // qv through the bucket join would shuffle ~40× the bytes.
+    val cand = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val cos: Column = qdot(col("pa.qv"), col("pb.qv")) /
+      (sqrt(col("pa.n2")) * sqrt(col("pb.n2")))
+    cand
+      .join(q.as("pa"), col("vec_a") === col("pa.vec_id"))
+      .join(q.as("pb"), col("vec_b") === col("pb.vec_id"))
+      .select(col("vec_a"), col("vec_b"), cos.as("cos"))
+      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
+      .limit(20)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("score"))
+  }
+
+  /** All-pairs brute-force form of [[dedupEmbeddingPairs]] — the recall
+    * ground truth for specs only; O(n²), never declared as a query. */
+  def dedupEmbeddingPairsBrute(s: SparkSession, d: String): DataFrame = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
       .withColumn("n2", qnorm2(col("qv")))
@@ -142,6 +211,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_banded" -> dedupSimhashBanded,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
   )
 
@@ -203,7 +273,29 @@ object DedupQueries {
         |  FROM votes GROUP BY doc_id
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same all-pairs computation as dedup_simhash: the banded form is
+    // provably the identical result set (pigeonhole over 5 bands for
+    // Hamming ≤ 4), so sharing the oracle IS the equivalence check.
+    "dedup_simhash_banded" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
+        |  FROM documents
+        |), wh AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(wd), 1, 15) AS BIGINT) AS h FROM tok
+        |), votes AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM wh, UNNEST(generate_series(0, 59)) AS t(b)
+        |  GROUP BY doc_id, b
+        |), sig AS (
+        |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
         |ORDER BY doc_a, doc_b""".stripMargin,
@@ -212,13 +304,26 @@ object DedupQueries {
         |  SELECT vec_id,
         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
         |  FROM embeddings
-        |), n AS (
+        |), qn AS (
         |  SELECT vec_id, qv, (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2 FROM q
+        |), keyed AS (
+        |  SELECT vec_id, tbl,
+        |         CAST(list_sum(list_transform(generate_series(0, 3), p ->
+        |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
+        |                  qv[dd] * ((1103515245 * ((tbl * 4 + p) * 64 + (dd - 1)) + 12345) % 65536 - 32768))) > 0
+        |                THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+        |  FROM qn, UNNEST(generate_series(0, 1)) AS t(tbl)
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM keyed a JOIN keyed b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         |), pairs AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         (SELECT SUM(x * y) FROM (SELECT UNNEST(a.qv) AS x, UNNEST(b.qv) AS y)) /
-        |           (sqrt(a.n2) * sqrt(b.n2)) AS cos
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  SELECT vec_a, vec_b,
+        |         (SELECT SUM(x * y) FROM (SELECT UNNEST(pa.qv) AS x, UNNEST(pb.qv) AS y)) /
+        |           (sqrt(pa.n2) * sqrt(pb.n2)) AS cos
+        |  FROM cand
+        |  JOIN qn pa ON pa.vec_id = vec_a
+        |  JOIN qn pb ON pb.vec_id = vec_b
         |)
         |SELECT vec_a, vec_b, round(cos, 6) AS score
         |FROM (SELECT * FROM pairs ORDER BY cos DESC, vec_a, vec_b LIMIT 20)

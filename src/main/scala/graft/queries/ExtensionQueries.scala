@@ -356,7 +356,7 @@ object ExtensionQueries {
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM e
         |)
-        |SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_percentiles" ->
       """SELECT event_type,
@@ -372,8 +372,8 @@ object ExtensionQueries {
         |  SELECT DISTINCT c_custkey AS k, 1 AS in_b FROM customer WHERE c_acctbal > 5000.0
         |)
         |SELECT COUNT(*) AS n_union,
-        |       SUM(CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL THEN 1 ELSE 0 END) AS n_intersect,
-        |       SUM(CASE WHEN in_a IS NOT NULL AND in_b IS NULL THEN 1 ELSE 0 END) AS n_except
+        |       CAST(SUM(CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_intersect,
+        |       CAST(SUM(CASE WHEN in_a IS NOT NULL AND in_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_except
         |FROM a FULL OUTER JOIN b USING (k)""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

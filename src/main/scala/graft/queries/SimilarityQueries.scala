@@ -24,12 +24,8 @@ object SimilarityQueries {
 
   private val NPlanes = 4
 
-  /** Hyperplane p's weights, precomputed driver-side — they are data
-    * independent. MUST stay formula-identical to the oracle SQL:
-    * ((1103515245·(p·64+d) + 12345) mod 2^16) − 2^15, all values positive
-    * before the mod so Scala and SQL `%` agree. */
-  private def weights(p: Int): Array[Long] =
-    Array.tabulate(64)(d => (1103515245L * (p * 64 + d) + 12345L) % 65536L - 32768L)
+  /** Hyperplane p's weights — shared formula in [[ColFns.lshWeights]]. */
+  private def weights(p: Int): Array[Long] = lshWeights(p)
 
   /** 4-bit sign-LSH bucket id (16 buckets): NPlanes codegen'd qdots
     * against constant weight arrays — pure map-side compute. */

@@ -216,7 +216,7 @@ object TextQueries {
         |         MIN(len(w)) AS n_tokens
         |  FROM scored GROUP BY norm
         |)
-        |SELECT lang, COUNT(*) AS n_docs, SUM(CAST(n_tokens AS BIGINT)) AS n_tokens
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM deduped
         |WHERE CAST('0x' || substring(md5(norm), 1, 8) AS BIGINT) % 100 < 50
         |GROUP BY lang ORDER BY lang""".stripMargin,
@@ -241,8 +241,8 @@ object TextQueries {
         |FROM ranked WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
     "sample_stratified" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |       SUM(CASE WHEN CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 100 < 20
-        |                THEN 1 ELSE 0 END) AS n_sampled
+        |       CAST(SUM(CASE WHEN CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 100 < 20
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "text_wordcount_per_lang" ->
       """WITH counts AS (
@@ -287,9 +287,9 @@ object TextQueries {
         |WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       s"""SELECT source, COUNT(*) AS n_docs,
-        |       SUM(CAST(len(w) AS BIGINT)) AS ws_tokens,
-        |       SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS re_tokens,
-        |       SUM(CAST(length(text) AS BIGINT)) AS n_chars
+        |       CAST(SUM(len(w)) AS BIGINT) AS ws_tokens,
+        |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
+        |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
         |FROM (SELECT source, text, ${wordsSql.format("text")} AS w FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin,
     "text_fingerprint" ->

@@ -5,9 +5,11 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<query>/ parquet (Spark result), runs the matching
 oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over views of the
-sfDir parquet tables, and compares: column names (sorted), row count, and
-exact cell equality in row order. Exact equality here is strictly stronger
-than any hash the driver applies.
+sfDir parquet tables, and compares: column names (sorted), DuckDB logical
+column TYPES (the round-1 wound: DuckDB types integer SUM as HUGEINT while
+Spark writes BIGINT — value-equal, hash-different), row count, and exact
+cell equality in row order. The driver's hash is type-sensitive, so a type
+mismatch here is a real failure even when every value matches.
 """
 import glob
 import json
@@ -34,16 +36,19 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            spark_rel = con.execute(
-                "SELECT * FROM read_parquet(?)", [files]).fetchall()
-            spark_cols = [d[0] for d in con.description]
-            duck_rel = con.execute(sql).fetchall()
-            duck_cols = [d[0] for d in con.description]
+            s_q = con.sql("SELECT * FROM read_parquet($files)",
+                          params={"files": files})
+            spark_cols, spark_types = list(s_q.columns), [str(t) for t in s_q.types]
+            spark_rel = s_q.fetchall()
+            d_q = con.sql(sql)
+            duck_cols, duck_types = list(d_q.columns), [str(t) for t in d_q.types]
+            duck_rel = d_q.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: {ex}")
             n_fail += 1
             continue
-        ok, msg = compare(spark_rel, spark_cols, duck_rel, duck_cols)
+        ok, msg = compare(spark_rel, spark_cols, spark_types,
+                          duck_rel, duck_cols, duck_types)
         if ok:
             print(f"ok   {name}: {len(spark_rel)} rows")
         else:
@@ -54,9 +59,15 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 
-def compare(s_rows, s_cols, d_rows, d_cols):
+def compare(s_rows, s_cols, s_types, d_rows, d_cols, d_types):
     if sorted(s_cols) != sorted(d_cols):
         return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    for c in sorted(s_cols):
+        st = s_types[s_cols.index(c)]
+        dt = d_types[d_cols.index(c)]
+        if st != dt:
+            return False, (f"column {c} TYPE differs: spark={st} duck={dt} "
+                           "(driver hash is type-sensitive)")
     if len(s_rows) != len(d_rows):
         return False, f"row counts differ: spark={len(s_rows)} duck={len(d_rows)}"
     s_ix = [s_cols.index(c) for c in sorted(s_cols)]
