@@ -74,12 +74,16 @@ object ColFns {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Sign-LSH hyperplane p's 64 weights, precomputed driver-side — data
-    * independent. Shared by SimilarityQueries (planes 0..3) and
-    * DedupQueries embedding blocking (planes 0..7). MUST stay
-    * formula-identical to the oracle SQL:
-    * ((1103515245·(p·64+d) + 12345) mod 2^16) − 2^15, all values positive
-    * before the mod so Scala and SQL `%` agree. */
-  def lshWeights(p: Int): Array[Long] =
-    Array.tabulate(64)(d => (1103515245L * (p * 64 + d) + 12345L) % 65536L - 32768L)
+    * independent. Shared by SimilarityQueries and DedupQueries embedding
+    * blocking. md5-based so the directions are isotropic: the earlier LCG
+    * construction made consecutive weights differ by a constant (a
+    * sawtooth), which correlated all hyperplanes and measured only ~0.5
+    * recall. MUST stay formula-identical to the oracle SQL:
+    * CAST('0x' || substring(md5(p || ':' || d), 1, 4) AS INTEGER) − 32768. */
+  def lshWeights(p: Int): Array[Long] = Array.tabulate(64) { d =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h2 = md.digest(s"$p:$d".getBytes("UTF-8")).take(2)
+    (((h2(0) & 0xFF) << 8) | (h2(1) & 0xFF)).toLong - 32768L
+  }
 
 }

@@ -310,7 +310,7 @@ object DedupQueries {
         |  SELECT vec_id, tbl,
         |         CAST(list_sum(list_transform(generate_series(0, 3), p ->
         |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
-        |                  qv[dd] * ((1103515245 * ((tbl * 4 + p) * 64 + (dd - 1)) + 12345) % 65536 - 32768))) > 0
+        |                  qv[dd] * (CAST('0x' || substring(md5(CAST(tbl * 4 + p AS VARCHAR) || ':' || CAST(dd - 1 AS VARCHAR)), 1, 4) AS INTEGER) - 32768))) > 0
         |                THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
         |  FROM qn, UNNEST(generate_series(0, 1)) AS t(tbl)
         |), cand AS (

@@ -192,14 +192,26 @@ object ExtensionQueries {
   /** Approximate aggregates — the 100 TB escape hatches when exact
     * distinct counts / percentiles get too expensive: HyperLogLog++ and
     * t-digest-style quantile sketches, both mergeable across partitions.
-    * No DuckDB oracle (sketch internals differ by engine); the driver
-    * records a rows-only check, and the spec bounds the error vs exact. */
+    * Sketch internals differ by engine, so raw sketch values cannot be
+    * oracle-compared; instead the query emits the exactly-checkable
+    * columns (`n`, `exact_parts`) plus `approx_ok` — whether BOTH sketch
+    * results land within 5% of the exact values computed in the same plan.
+    * The oracle asserts `approx_ok = TRUE`, so a sketch whose error drifts
+    * past the contract turns the driver gate red (round-1 gap #5: this
+    * query had no checkable entry at all). ApproxStatsSpec additionally
+    * bounds the numeric errors. */
   val approxStats: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-           count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("l_partkey")).as("exact_parts"),
+           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+           call_function("percentile", col("l_extendedprice"), lit(0.5)).as("exact_median"))
+      .select(col("l_returnflag"), col("n"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * 0.05 &&
+         abs(col("approx_median") - col("exact_median")) <= abs(col("exact_median")) * 0.05)
+          .as("approx_ok"))
       .orderBy("l_returnflag")
 
   /** As-of join: each event picks up the most recent prior order total of
@@ -358,6 +370,14 @@ object ExtensionQueries {
         |)
         |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Exact columns checked exactly; approx_ok = the 5%-error contract of
+    // the sketches, asserted as a literal — Spark emitting `false` (sketch
+    // drift) hash-mismatches and turns the driver gate red.
+    "approx_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       COUNT(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "events_percentiles" ->
       """SELECT event_type,
         |       quantile_cont(value, 0.5) AS p50,

@@ -9,10 +9,11 @@ class QueriesSpec extends SparkSpec {
 
   test("every declared query has an oracle and runs with rows > 0") {
     val qs = SparkEntry.queries
-    // every oracle refers to a declared query; queries without an oracle
-    // (approximate sketches) get the driver's rows-only check
+    // every oracle refers to a declared query, and every declared query
+    // has an oracle (approx_stats gained one in round 2: exact columns
+    // plus the sketch-error contract boolean)
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
-    assert((qs.keySet -- SparkEntry.oracleSql.keySet) == Set("approx_stats"))
+    assert((qs.keySet -- SparkEntry.oracleSql.keySet) == Set.empty[String])
     qs.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       assert(df.count() > 0, s"query $name returned no rows")
