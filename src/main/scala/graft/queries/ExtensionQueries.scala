@@ -200,19 +200,29 @@ object ExtensionQueries {
     * past the contract turns the driver gate red (round-1 gap #5: this
     * query had no checkable entry at all). ApproxStatsSpec additionally
     * bounds the numeric errors. */
-  val approxStats: Q = (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
+  val approxStats: Q = (s, d) => {
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+    // countDistinct mixed into the same agg as the percentiles makes
+    // Catalyst plan an Expand (row multiplication per distinct path) under
+    // the exact-percentile buffer — measured 7.3 s at sf0.1. Instead the
+    // exact distinct count runs as explicit two-phase aggregation (pairs,
+    // then count) — the shape that scales anyway — and joins back on the
+    // 3-row group key.
+    val sketches = base.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-           countDistinct(col("l_partkey")).as("exact_parts"),
            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
            call_function("percentile", col("l_extendedprice"), lit(0.5)).as("exact_median"))
+    val exact = base.select("l_returnflag", "l_partkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+    sketches.join(exact, "l_returnflag")
       .select(col("l_returnflag"), col("n"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * 0.05 &&
          abs(col("approx_median") - col("exact_median")) <= abs(col("exact_median")) * 0.05)
           .as("approx_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** As-of join: each event picks up the most recent prior order total of
     * the same customer (graft.operators.AsOf — union + running-last

@@ -154,7 +154,44 @@ object ParityQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Skew posture as a DECLARED query (upgrades the round-1
+    * property-test-only coverage): two-phase salted aggregation via
+    * graft.operators.Skew — partial agg on (key, positional salt), final
+    * re-combine per key. The result equals the plain GROUP BY (associative
+    * aggregates only), which is exactly what the oracle checks; the plan
+    * shows the two HashAggregate+Exchange phases. The reference's
+    * counterpart is probe-imbalance detection
+    * (src/bare_hash_container.h:135-148); salting is the engine's remedy
+    * when one reduce key swamps one task. Double sums go through DECIMAL
+    * per the determinism doctrine, so partial order cannot change bits. */
+  val skewSaltedAgg: Q = (s, d) =>
+    graft.operators.Skew.saltedAgg(
+      Tables.events(s, d), "event_type", 16,
+      Seq(
+        ("n", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)),
+        ("sum_value",
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
+          (c: org.apache.spark.sql.Column) => sum(c).cast("double"))))
+      .orderBy("event_type")
+
+  /** #11 — bucket/load-factor statistics (hpmr
+    * src/bare_concurrent_container.h:30-32 `get_n_buckets` /
+    * `get_load_factor`) as an observable query: assign every orders key to
+    * one of 32 hash buckets (md5-based, so the oracle computes the same
+    * partitioning) and report occupancy stats — bucket count, min/max/total
+    * size. This is the two-level-hash observability surface: at 100 TB the
+    * same query over `spark_partition_id()` audits real partition balance;
+    * the md5 form keeps it engine-portable and oracle-exact. */
+  val bucketStats: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(pmod(md5Long(col("o_orderkey").cast("string")), lit(32)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_buckets"), min(col("sz")).as("min_size"),
+           max(col("sz")).as("max_size"), sum(col("sz")).as("total"))
+
   val queries: Map[String, Q] = Map(
+    "skew_salted_agg" -> skewSaltedAgg,
+    "bucket_stats" -> bucketStats,
     "mr_chain_remap" -> mrChainRemap,
     "reduce_custom_udaf" -> reduceCustomUdaf,
     "mr_sum_by_key" -> mrSumByKey,
@@ -170,6 +207,20 @@ object ParityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "bucket_stats" ->
+      """WITH b AS (
+        |  SELECT CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 32 AS bucket
+        |  FROM orders
+        |), sz AS (
+        |  SELECT bucket, COUNT(*) AS sz FROM b GROUP BY bucket
+        |)
+        |SELECT COUNT(*) AS n_buckets, MIN(sz) AS min_size,
+        |       MAX(sz) AS max_size, CAST(SUM(sz) AS BIGINT) AS total
+        |FROM sz""".stripMargin,
     "mr_chain_remap" ->
       """WITH per_order AS (
         |  SELECT l_orderkey,
