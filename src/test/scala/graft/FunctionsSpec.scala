@@ -22,6 +22,14 @@ class FunctionsSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("qdot registers as a SQL function via GraftExtensions") {
+    graft.functions.GraftExtensions.install(spark)
+    Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L))).toDF("a", "b")
+      .createOrReplaceTempView("qdot_vecs")
+    val out = spark.sql("SELECT qdot(a, b) AS d FROM qdot_vecs").head().getLong(0)
+    assert(out == 32L)
+  }
+
   test("qdot: null array propagates null") {
     val df = Seq((Some(Array(1L, 2L)), Option.empty[Array[Long]])).toDF("a", "b")
     assert(df.select(qdot(col("a"), col("b"))).head().isNullAt(0))
