@@ -138,6 +138,17 @@ class GraftCoreSpec extends SparkSpec {
     assert(back == Map("aa" -> 1L, "bb" -> 2L, "cc" -> 3L))
   }
 
+  test("json sink/source round-trip preserves a keyed store (incl. nested array)") {
+    val store = Seq(("aa", 1L, Seq(1L, 2L)), ("bb", 2L, Seq(3L)))
+      .toDF("key", "value", "tags")
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString + "/store"
+    store.write.mode("overwrite").json(dir)
+    val back = spark.read
+      .schema("key STRING, value LONG, tags ARRAY<LONG>").json(dir)
+      .as[(String, Long, Seq[Long])].collect().toSet
+    assert(back == Set(("aa", 1L, Seq(1L, 2L)), ("bb", 2L, Seq(3L))))
+  }
+
   test("partition-count invariance (reference runs -n 1 and -n 4, Makefile:53-58)") {
     val n = 10000L
     def run(parts: Int): Map[Long, Long] =
