@@ -66,6 +66,33 @@ object EventStreams {
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       events(eventKey) === dim(dimKey), "left_outer")
 
+  /** Stream-stream interval join — the streaming form of the batch
+    * `events_error_window_join` (RangeJoin): each error event pairs with
+    * the same user's non-error actions in the preceding `lookbackMinutes`.
+    * Both sides carry watermarks and the join condition bounds event time
+    * on both sides, so Spark derives a state-eviction bound for each side
+    * — the state store holds only the lookback window per key, the
+    * requirement for an unbounded run. Inner join: emitted once both
+    * watermarks pass the pair. */
+  def errorContext(events: DataFrame, lookbackMinutes: Int = 30,
+                   watermark: String = "1 hour"): DataFrame = {
+    val typed = withEventTime(events)
+    val errors = typed.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+              col("event_id").as("error_id"))
+      .withWatermark("e_ts", watermark)
+    val actions = typed.filter(col("event_type") =!= "error")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+              col("event_id").as("action_id"), col("event_type").as("action_type"))
+      .withWatermark("a_ts", watermark)
+    errors.join(actions,
+      col("e_user") === col("a_user") &&
+        col("a_ts") <= col("e_ts") &&
+        col("a_ts") >= col("e_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .select(col("error_id"), col("e_user").as("user_id"), col("e_ts"),
+              col("action_id"), col("action_type"), col("a_ts"))
+  }
+
   /** Stateful sessionization: per-user running session (count + value sum)
     * that closes after `gapMinutes` of event-time inactivity —
     * KeyValueGroupedDataset.flatMapGroupsWithState with explicit

@@ -91,6 +91,42 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted == sample.map(_.event_id).sorted, s"got $ids")
   }
 
+  test("stream-stream interval join pairs errors with prior same-user actions") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // user 3: click at 1:10, error at 1:30 (within 30 min lookback) and a
+    // click at 0:30 (outside); user 1's events must not pair with it.
+    val events = Seq(
+      Event(10, ts(0, 30), 3, "click", 1.0),
+      Event(11, ts(1, 10), 3, "click", 1.0),
+      Event(12, ts(1, 30), 3, "error", 0.0),
+      Event(13, ts(1, 20), 1, "click", 1.0))
+    val mem = MemoryStream[Event]
+    val joined = EventStreams.errorContext(
+      mem.toDF().withColumn("ts", $"ts".cast("long") * 1000000000L))
+    val q = joined.writeStream.format("memory").queryName("error_ctx")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      // advance both watermarks past the pairs so append emits them
+      mem.addData(Event(99, ts(20, 0), 9, "click", 0.0),
+                  Event(98, ts(20, 1), 9, "error", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("error_ctx")
+      .select(col("error_id"), col("action_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((12L, 11L)), s"expected (12,11) in $pairs") // in window
+    assert(!pairs.contains((12L, 10L)), "action outside lookback must not pair")
+    assert(!pairs.contains((12L, 13L)), "other user's action must not pair")
+    // streaming result matches the batch run of the same transformation
+    val batch = EventStreams.errorContext(asNanosFrame(events))
+      .select(col("error_id"), col("action_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.subsetOf(pairs + ((98L, 99L))), s"batch=$batch stream=$pairs")
+  }
+
   test("sessionize accumulates per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
