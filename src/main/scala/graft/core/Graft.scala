@@ -61,18 +61,26 @@ object Graft {
       implicit ekv: Encoder[(K, V)], ek: Encoder[K]): Dataset[(K, V)] =
     mapreduce[K, V, K, V](store.union(batch), (k, v) => Iterator.single((k, v)), reducer)
 
+  /** Key-equality filter for point ops. Fast path: a Column predicate
+    * (`col("_1") === lit(key)`), which Catalyst pushes into the source
+    * scan — on a parquet-backed store the lookup reads only row groups
+    * whose min/max straddle the key instead of deserializing every row.
+    * `lit` throws for non-primitive K at plan time, so product-typed keys
+    * (hpmr's template contract) fall back to the typed filter. */
+  private def keyFilter[K, V](store: Dataset[(K, V)], key: K): Dataset[(K, V)] =
+    try store.filter(col("_1") === lit(key))
+    catch { case _: RuntimeException => store.filter((p: (K, V)) => p._1 == key) }
+
   /** Point lookup with default (DistMap::get, src/dist_map.h:132-145).
     * Driver-side scalar — the reference's MPI_Bcast collective collapses
-    * to a filter + take(1) on the keyed store. Typed filter, not
-    * `col === lit(key)`: `lit` throws for non-primitive K, and the
-    * facade's contract (like hpmr's templates) is any encodable key. */
+    * to a filter + take(1) on the keyed store. */
   def get[K, V](store: Dataset[(K, V)], key: K, default: V): V =
-    store.filter((p: (K, V)) => p._1 == key).take(1)
+    keyFilter(store, key).take(1)
       .headOption.map(_._2).getOrElse(default)
 
   /** Membership (`has`, src/bare_hash_container.h:181-196) for a single key. */
   def has[K, V](store: Dataset[(K, V)], key: K): Boolean =
-    !store.filter((p: (K, V)) => p._1 == key).isEmpty
+    !keyFilter(store, key).isEmpty
 
   /** Set-membership as a relational op: keep pairs whose key appears in
     * `keys` (left-semi join — the distributed form of `has`). Keys wrap

@@ -82,6 +82,22 @@ class GraftCoreSpec extends SparkSpec {
     assert(back == store.collect().toMap)
   }
 
+  test("get/has push primitive-key lookups into the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv").toString + "/store"
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("_1", "_2")
+      .write.mode("overwrite").parquet(dir)
+    val store = spark.read.parquet(dir).as[(Long, Long)]
+    // behavior: both hit and miss
+    assert(Graft.get(store, 2L, -1L) == 20L)
+    assert(Graft.get(store, 9L, -1L) == -1L)
+    assert(Graft.has(store, 3L) && !Graft.has(store, 9L))
+    // plan: the fast-path predicate reaches the scan as a pushed filter
+    import org.apache.spark.sql.functions.{col, lit}
+    val plan = store.filter(col("_1") === lit(2L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(_1), EqualTo(_1,2)]"), plan)
+  }
+
   test("facade supports non-primitive (product) keys like hpmr's templates") {
     val store = Seq(((1, "a"), 10L), ((2, "b"), 20L)).toDS()
     assert(Graft.get(store, (2, "b"), -1L) == 20L)
