@@ -64,6 +64,27 @@ object ExtensionQueries {
   /** Tumbling-window aggregate over the event stream (batch form; the
     * streaming form with watermarks lives in graft.streaming). Pure integer
     * hour bucketing on the long-nanos ts — deterministic in both engines. */
+  /** Rolling window FRAME analytics (ROWS BETWEEN 4 PRECEDING AND CURRENT
+    * ROW): per-user rolling sum/count/max over the last 5 events in
+    * event-time order. Exercises bounded row frames — the one window shape
+    * the rest of the inventory doesn't (running totals use unbounded
+    * frames, ranks use no frame). The frame sum goes through DECIMAL so
+    * the result is order-exact; (sec, event_id) is a unique total order so
+    * both engines build identical frames. One shuffle on user_id; frames
+    * evaluate within partitions. */
+  val eventsRollingStats: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      nsToEpochSec(col("ts")).as("sec"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    e.select(col("user_id"), col("event_id"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast("double").as("roll_sum"),
+        count(lit(1)).over(w).as("roll_n"),
+        max(col("value")).over(w).as("roll_max"))
+      .orderBy("user_id", "event_id")
+  }
+
   val eventsTumblingAgg: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy(nsToHourEpoch(col("ts")).as("hour_epoch"), col("event_type"))
@@ -295,6 +316,7 @@ object ExtensionQueries {
     "text_wordcount_topk" -> textWordcountTopk,
     "sim_cosine_topk" -> simCosineTopk,
     "events_tumbling_agg" -> eventsTumblingAgg,
+    "events_rolling_stats" -> eventsRollingStats,
     "events_sessionless_stats" -> eventsSessionlessStats,
     "join_star_rollup" -> joinStarRollup,
   )
@@ -380,6 +402,17 @@ object ExtensionQueries {
         |)
         |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_rolling_stats" ->
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+        |       COUNT(*) OVER w AS roll_n,
+        |       MAX(value) OVER w AS roll_max
+        |FROM (SELECT event_id, user_id,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     // Exact columns checked exactly; approx_ok = the 5%-error contract of
     // the sketches, asserted as a literal — Spark emitting `false` (sketch
     // drift) hash-mismatches and turns the driver gate red.
