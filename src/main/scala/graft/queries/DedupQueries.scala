@@ -46,7 +46,13 @@ object DedupQueries {
     * explosion. Constants are small enough that a_j·h < 2^52 stays exact
     * in both engines (DuckDB errors on BIGINT overflow rather than
     * wrapping, so this bound is semantic, not just hygiene). */
-  val dedupMinhashLsh: Q = (s, d) => {
+  val dedupMinhashLsh: Q = (s, d) =>
+    minhashCandidates(s, d).orderBy("doc_a", "doc_b")
+
+  /** MinHash-LSH candidate pairs BEFORE the output ordering — shared by
+    * [[dedupMinhashLsh]] (which just orders it) and
+    * [[dedupJaccardOnLsh]] (which rescoring-joins it). */
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     val base = shingleSet(s, d)
       .select(col("doc_id"), md5Long(col("s")).as("h"))
     def mhCol(j: Int) =
@@ -62,6 +68,31 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** The full 100 TB dedup composition as ONE declared query: exact
+    * 3-gram Jaccard computed ONLY on MinHash-LSH candidate pairs. The
+    * shingle-key self-join of [[dedupNgramJaccard]] is the correctness
+    * baseline but its cost is bounded by shared-shingle pairs — hot
+    * boilerplate shingles blow that up at scale; here the expensive exact
+    * intersection runs on O(candidates) pairs instead: candidates (narrow
+    * id pairs) join their shingle sets back by doc_id (equi), intersect by
+    * (doc_id, shingle) equality, and the ≥ 0.5 filter keeps true
+    * near-dups. RecallSpec separately proves the candidates cover the
+    * exact truth. The oracle composes the identical two stages. */
+  val dedupJaccardOnLsh: Q = (s, d) => {
+    val sh = shingleSet(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = minhashCandidates(s, d)
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id"), col("nsh").as("na"))), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(broadcast(sizes.select(col("doc_id"), col("nsh").as("nb"))), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -209,6 +240,7 @@ object DedupQueries {
 
   val queries: Map[String, Q] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_jaccard_on_lsh" -> dedupJaccardOnLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_banded" -> dedupSimhashBanded,
@@ -237,6 +269,46 @@ object DedupQueries {
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // The two-stage composition: LSH banding for candidates (identical
+    // CTEs to dedup_minhash_lsh), exact Jaccard rescoring on candidates
+    // only (identical scoring to dedup_ngram_jaccard).
+    "dedup_jaccard_on_lsh" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), base AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, MIN((h * (j * 40503 + 10007) + (j * 69621 + 30011)) % 2147483647) AS mh
+        |  FROM base, UNNEST(generate_series(0, 15)) AS t(j)
+        |  GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |         CAST(MIN(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
+        |           CAST(MIN(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT doc_a, doc_b, COUNT(*) AS inter
+        |  FROM cand
+        |  JOIN sh a ON a.doc_id = doc_a
+        |  JOIN sh b ON b.doc_id = doc_b AND b.s = a.s
+        |  GROUP BY doc_a, doc_b
+        |)
+        |SELECT doc_a, doc_b,
+        |       round(inter / (na.nsh + nb.nsh - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = doc_a
+        |JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE inter / (na.nsh + nb.nsh - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
