@@ -1,0 +1,37 @@
+package graft
+
+import graft.queries.DedupQueries
+
+/** Cross-query identities the design claims, asserted on real data:
+  *
+  *  - dedup_simhash_banded is EXACTLY dedup_simhash (pigeonhole: a pair at
+  *    Hamming ≤ 4 over 60 bits differs in at most 4 of 5 disjoint 12-bit
+  *    bands, so at least one band matches exactly → the banded equi-join
+  *    generates a candidate superset, and the final Hamming filter makes
+  *    the sets equal);
+  *  - dedup_jaccard_on_lsh is a SUBSET of dedup_ngram_jaccard (same exact
+  *    scoring, candidates restricted to LSH pairs) — and on this corpus,
+  *    where RecallSpec measures MinHash candidate recall 1.0, the two are
+  *    equal.
+  */
+class EquivalenceSpec extends SparkSpec {
+
+  test("banded simhash equals the all-pairs simhash result exactly") {
+    val banded = DedupQueries.dedupSimhashBanded(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val brute = DedupQueries.dedupSimhash(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty)
+  }
+
+  test("jaccard-on-LSH is a subset of exact jaccard, equal at full recall") {
+    val onLsh = DedupQueries.dedupJaccardOnLsh(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val exact = DedupQueries.dedupNgramJaccard(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(onLsh.subsetOf(exact), "candidate-restricted result must be a subset")
+    assert(onLsh == exact, s"recall on this corpus is 1.0, sets should match " +
+      s"(onLsh=${onLsh.size} exact=${exact.size})")
+  }
+}
