@@ -102,4 +102,31 @@ object Graft {
   /** Global key count (get_n_keys, src/dist_map.h:90-96). Keys are unique
     * by construction in a keyed store, so this is a plain count. */
   def countKeys[K, V](store: Dataset[(K, V)]): Long = store.count()
+
+  /** Pin a store in executor memory — the engine analog of holding the
+    * hash table resident between queries (the reference's containers live
+    * in RAM for their whole lifetime; a Dataset is recomputed per action
+    * unless cached). */
+  def cache[K, V](store: Dataset[(K, V)]): Dataset[(K, V)] = store.persist()
+
+  /** `clear` (src/bare_hash_container.h:119-133): release the store's
+    * materialized state. Blocking, so the memory is actually free when
+    * this returns — matching the reference's immediate-deallocation
+    * semantics. The Dataset remains usable (recomputed from source). */
+  def clear[K, V](store: Dataset[(K, V)]): Dataset[(K, V)] =
+    store.unpersist(blocking = true)
+
+  /** `reserve` (src/bare_concurrent_container.h:22,94-97): pre-size the
+    * engine for an expected key cardinality. The reference pre-allocates
+    * hash buckets; the Spark analog is sizing the shuffle partition count
+    * so post-shuffle partitions land near the per-task memory budget.
+    * Heuristic: one partition per `keysPerPartition` expected keys,
+    * floored at the session default. */
+  def reserve(spark: SparkSession, expectedKeys: Long,
+              keysPerPartition: Long = 4_000_000L): Int = {
+    val current = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = math.max(current, ((expectedKeys + keysPerPartition - 1) / keysPerPartition).toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+    target
+  }
 }

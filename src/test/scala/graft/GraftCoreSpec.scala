@@ -154,6 +154,30 @@ class GraftCoreSpec extends SparkSpec {
     assert(back == Map("aa" -> 1L, "bb" -> 2L, "cc" -> 3L))
   }
 
+  test("cache pins a store and clear releases it (clear/reserve, #12/#14)") {
+    val store = Seq((1L, 1L), (2L, 2L)).toDS()
+    import org.apache.spark.storage.StorageLevel
+    assert(store.storageLevel == StorageLevel.NONE)
+    Graft.cache(store)
+    assert(store.storageLevel != StorageLevel.NONE)
+    assert(store.count() == 2L) // usable while cached
+    Graft.clear(store)
+    assert(store.storageLevel == StorageLevel.NONE)
+    assert(store.count() == 2L) // still usable, recomputed
+  }
+
+  test("reserve grows shuffle partitions with expected cardinality, never shrinks") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val small = Graft.reserve(spark, expectedKeys = 10L)
+      assert(small == before.toInt) // floored at session default
+      val big = Graft.reserve(spark, expectedKeys = 100_000_000L,
+        keysPerPartition = 1_000_000L)
+      assert(big == 100)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "100")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("json sink/source round-trip preserves a keyed store (incl. nested array)") {
     val store = Seq(("aa", 1L, Seq(1L, 2L)), ("bb", 2L, Seq(3L)))
       .toDF("key", "value", "tags")
