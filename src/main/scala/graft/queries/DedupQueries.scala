@@ -96,6 +96,47 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Dedup cluster assignment — connected components of the near-dup pair
+    * graph, each doc labeled with the min doc_id of its component (the
+    * canonical representative a dedup pipeline keeps). Pregel-style
+    * min-label propagation: labels start at self, each round takes the min
+    * over neighbors, until a fixpoint. The driver loop only CHECKS
+    * convergence (one count per round); labels and edges stay distributed
+    * — no collect. Rounds needed = component diameter, which for near-dup
+    * clusters is tiny (duplicates of a common source all pair with each
+    * other); the cap is a safety bound, and the fixpoint is unique so the
+    * result is deterministic however execution is partitioned. At 100 TB
+    * the pair graph is orders of magnitude smaller than the corpus (only
+    * docs with a near-dup appear). Oracle: DuckDB recursive transitive
+    * closure over the identical candidate edges. */
+  val dedupClusters: Q = (s, d) => {
+    val pairs = minhashCandidates(s, d)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("rep")).persist()
+    var round = 0
+    var converged = false
+    while (round < 20 && !converged) {
+      val nbrMin = edges.join(labels, col("dst") === col("v"))
+        .groupBy(col("src")).agg(min(col("rep")).as("nrep"))
+      val next = labels.as("l")
+        .join(nbrMin, col("v") === col("src"), "left")
+        .select(col("v"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .persist()
+      val changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.rep") =!= col("o.rep")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact 3-gram Jaccard similarity ≥ 0.5 via shingle-key self-join —
     * cost bounded by shared-shingle pairs, not all pairs. inter/union are
     * exact integers, so the similarity is bit-identical in both engines. */
@@ -241,6 +282,7 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_jaccard_on_lsh" -> dedupJaccardOnLsh,
+    "dedup_clusters" -> dedupClusters,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_banded" -> dedupSimhashBanded,
@@ -270,6 +312,41 @@ object DedupQueries {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Connected components over the minhash candidate edges: recursive
+    // transitive closure, then min reachable id per vertex. The Spark side
+    // computes the same fixpoint by label propagation.
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), base AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, MIN((h * (j * 40503 + 10007) + (j * 69621 + 30011)) % 2147483647) AS mh
+        |  FROM base, UNNEST(generate_series(0, 15)) AS t(j)
+        |  GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |         CAST(MIN(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
+        |           CAST(MIN(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION
+        |  SELECT doc_b, doc_a FROM cand
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     // The two-stage composition: LSH banding for candidates (identical
     // CTEs to dedup_minhash_lsh), exact Jaccard rescoring on candidates
     // only (identical scoring to dedup_ngram_jaccard).
