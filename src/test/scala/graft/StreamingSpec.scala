@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.EventStreams
+import graft.streaming.{DocStreams, EventStreams}
 import graft.streaming.EventStreams.Event
 
 /** Streaming specs: the same transformation runs over a MemoryStream
@@ -125,6 +125,39 @@ class StreamingSpec extends SparkSpec {
       .select(col("error_id"), col("action_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batch.subsetOf(pairs + ((98L, 99L))), s"batch=$batch stream=$pairs")
+  }
+
+  test("streaming ingestion pipeline gates, dedups, and counts documents") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog again and again today"
+    val dupe = good // exact duplicate, must be dropped
+    val short = "too short"
+    val repet = Seq.fill(20)("spam").mkString(" ") // fails distinct-ratio gate
+    case class Doc(doc_id: Long, lang: String, text: String, ingest_ts: Timestamp)
+    val docs = Seq(
+      Doc(1, "en", good, ts(0, 10)),
+      Doc(2, "en", dupe, ts(0, 20)),
+      Doc(3, "en", short, ts(0, 25)),
+      Doc(4, "de", repet, ts(0, 30)),
+      Doc(5, "de", good + " und noch ein paar mehr deutsche worte dazu", ts(0, 40)))
+    val mem = MemoryStream[(Long, String, String, Timestamp)]
+    val streamDf = mem.toDF().toDF("doc_id", "lang", "text", "ingest_ts")
+    val q = DocStreams.pipeline(streamDf).writeStream
+      .format("memory").queryName("doc_pipeline")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs.map(d => (d.doc_id, d.lang, d.text, d.ingest_ts)): _*)
+      q.processAllAvailable()
+      mem.addData((99L, "en", good + " closing marker document arrives much later now", ts(20, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("doc_pipeline")
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // en: doc 1 survives; dupe 2 dropped, short 3 gated
+    assert(rows("en")._1 == 1L, s"got $rows")
+    assert(rows("en")._2 == 13L) // token count of `good`
+    // de: doc 5 survives (distinct text); repetitive 4 gated
+    assert(rows("de")._1 == 1L)
   }
 
   test("sessionize accumulates per-user state across micro-batches") {
