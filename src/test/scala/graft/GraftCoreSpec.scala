@@ -144,6 +144,16 @@ class GraftCoreSpec extends SparkSpec {
     assert(out("nokey").isEmpty)           // key absent from quotes
   }
 
+  test("asof join fails fast when probes already contain the output column") {
+    import graft.operators.AsOf
+    val quotes = Seq((1L, 10L, 100.0)).toDF("k", "t", "v")
+    val probes = Seq((1L, 9L, 5.0)).toDF("k", "t", "v") // "v" collides
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(probes, quotes, "k", "t", "v")
+    }
+    assert(ex.getMessage.contains("v"))
+  }
+
   test("csv sink/source round-trip preserves a keyed store") {
     val store = Seq(("aa", 1L), ("bb", 2L), ("cc", 3L)).toDS().toDF("key", "value")
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/store"
