@@ -111,26 +111,76 @@ object DedupQueries {
     * closure over the identical candidate edges. */
   val dedupClusters: Q = (s, d) => {
     val pairs = minhashCandidates(s, d)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // The pair graph is orders of magnitude smaller than the corpus (only
+    // docs with a near-dup candidate appear), so the iterative stage runs
+    // on a handful of partitions: at 32 shuffle partitions each of the
+    // ~5 rounds was a 32-task multi-stage job over ~1k rows — pure task
+    // scheduling overhead (measured 10 s at sf0.1, 2 s with this).
+    val loopParts = 4
+    val undirected = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Self-loops make one propagation step a SINGLE join+groupBy in which
+    // the label frame appears exactly once: rep'(v) = min rep over
+    // N(v) ∪ {v}. That matters for lazy composition below — a step shaped
+    // "labels ⋈ f(labels)" duplicates the label subtree, and k lazy steps
+    // execute 2^k copies (measured: 72 s); this shape grows linearly.
+    val verts = undirected.select(col("src").as("v")).distinct()
+    val edges = undirected
+      .union(verts.select(col("v").as("src"), col("v").as("dst")))
+      .repartition(loopParts, col("dst"))
       .persist()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("rep")).persist()
-    var round = 0
+    var labels = verts.select(col("v"), col("v").as("rep"))
+      .repartition(loopParts, col("v"))
+    // Overhead lessons baked in:
+    //  - steps are composed LAZILY in blocks of 5 with ONE materializing
+    //    action per block — an action per step spent ~1 s of pure job
+    //    overhead on a 1k-row graph (measured 10 s total); a diameter
+    //    that fits in a block converges with a single action;
+    //  - the convergence compare uses name-unique columns (sv/old_rep vs
+    //    v/rep): alias-qualified resolution across a frame and its own
+    //    derivative is ambiguous and silently broke (every round reported
+    //    changes, running the loop to its cap).
+    val blockSteps = 5
+    var persisted: Option[DataFrame] = None
+    var block = 0
     var converged = false
-    while (round < 20 && !converged) {
-      val nbrMin = edges.join(labels, col("dst") === col("v"))
-        .groupBy(col("src")).agg(min(col("rep")).as("nrep"))
-      val next = labels.as("l")
-        .join(nbrMin, col("v") === col("src"), "left")
-        .select(col("v"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .persist()
-      val changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.rep") =!= col("o.rep")).count()
-      labels.unpersist()
+    // AQE materializes every Exchange as its own scheduled query stage —
+    // on this tiny in-memory graph that is ~0.5 s of pure scheduling per
+    // shuffle with nothing to adapt (the whole graph fits in one task).
+    // Scoped off for the loop's convergence actions only; the conf is
+    // restored before the returned plan (and everything else) runs.
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try while (block < 5 && !converged) {
+      // Fixpoint test compares the block's LAST TWO steps: cur = F(prev),
+      // so cur == prev proves prev is the fixpoint — a diameter that fits
+      // in one block converges with a single action (the standard
+      // "compare block output to block input" shape needs a second,
+      // confirming block). prev's lineage executes twice in the count
+      // (once standalone, once inside cur) — 2× linear, still no blowup.
+      var prev = labels
+      var cur = labels
+      for (_ <- 0 until blockSteps) {
+        prev = cur
+        cur = edges.join(cur, col("dst") === col("v"))
+          .groupBy(col("src")).agg(min(col("rep")).as("rep"))
+          .select(col("src").as("v"), col("rep"))
+      }
+      val next = cur.persist()
+      val changed = next.join(
+          prev.select(col("v").as("pv"), col("rep").as("prev_rep")),
+          col("v") === col("pv"))
+        .filter(col("rep") =!= col("prev_rep")).count()
+      persisted.foreach(_.unpersist())
+      persisted = Some(next)
       labels = next
       converged = changed == 0
-      round += 1
+      block += 1
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      s.conf.set("spark.sql.shuffle.partitions", partsWas)
     }
     edges.unpersist()
     labels.select(col("v").as("doc_id"), col("rep").as("cluster_rep"))
