@@ -85,6 +85,23 @@ object ExtensionQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Date arithmetic over a fact-fact join: distribution of days between
+    * order placement and line shipment. Exercises the DATE scalar family
+    * (to_date truncation + day difference) — the one scalar class the
+    * rest of the inventory doesn't — with an integer-days result so both
+    * engines agree exactly (UTC session; DuckDB DATE−DATE is BIGINT days,
+    * Spark datediff is INT, cast to match). The join shuffles on
+    * orderkey at scale (broadcast at test SF); the histogram output is
+    * tiny. */
+  val ordersShipDelay: Q = (s, d) =>
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+        .cast("long").as("delay_days"))
+      .groupBy("delay_days").agg(count(lit(1)).as("n"))
+      .orderBy("delay_days")
+
   val eventsTumblingAgg: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy(nsToHourEpoch(col("ts")).as("hour_epoch"), col("event_type"))
@@ -317,6 +334,7 @@ object ExtensionQueries {
     "sim_cosine_topk" -> simCosineTopk,
     "events_tumbling_agg" -> eventsTumblingAgg,
     "events_rolling_stats" -> eventsRollingStats,
+    "orders_ship_delay" -> ordersShipDelay,
     "events_sessionless_stats" -> eventsSessionlessStats,
     "join_star_rollup" -> joinStarRollup,
   )
@@ -402,6 +420,11 @@ object ExtensionQueries {
         |)
         |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "orders_ship_delay" ->
+      """SELECT CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS delay_days,
+        |       COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY delay_days ORDER BY delay_days""".stripMargin,
     "events_rolling_stats" ->
       """SELECT user_id, event_id,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
