@@ -102,6 +102,24 @@ object ExtensionQueries {
       .groupBy("delay_days").agg(count(lit(1)).as("n"))
       .orderBy("delay_days")
 
+  /** PIVOT: daily event counts reshaped to one column per event type —
+    * the relational reshaping op the rest of the inventory doesn't
+    * exercise. The pivot value list is EXPLICIT (Spark would otherwise
+    * collect distinct values in an extra job, and the column order would
+    * be data-dependent); counts coalesce to 0 so the result matches the
+    * oracle's conditional aggregates (Spark pivot yields null for empty
+    * cells). Plan is a plain two-phase hash aggregate on day — pivot is
+    * sugar over conditional aggregation, nothing new shuffles. */
+  val eventsPivotDaily: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val daily = Tables.events(s, d)
+      .select(call_function("div", col("ts"), lit(86400L * 1000000000L)).as("day"),
+              col("event_type"))
+      .groupBy("day").pivot("event_type", types).count()
+    daily.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  }
+
   val eventsTumblingAgg: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy(nsToHourEpoch(col("ts")).as("hour_epoch"), col("event_type"))
@@ -335,6 +353,7 @@ object ExtensionQueries {
     "events_tumbling_agg" -> eventsTumblingAgg,
     "events_rolling_stats" -> eventsRollingStats,
     "orders_ship_delay" -> ordersShipDelay,
+    "events_pivot_daily" -> eventsPivotDaily,
     "events_sessionless_stats" -> eventsSessionlessStats,
     "join_star_rollup" -> joinStarRollup,
   )
@@ -420,6 +439,14 @@ object ExtensionQueries {
         |)
         |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_pivot_daily" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
     "orders_ship_delay" ->
       """SELECT CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS delay_days,
         |       COUNT(*) AS n
