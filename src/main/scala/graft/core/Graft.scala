@@ -65,11 +65,19 @@ object Graft {
     * (`col("_1") === lit(key)`), which Catalyst pushes into the source
     * scan — on a parquet-backed store the lookup reads only row groups
     * whose min/max straddle the key instead of deserializing every row.
-    * `lit` throws for non-primitive K at plan time, so product-typed keys
-    * (hpmr's template contract) fall back to the typed filter. */
+    * The fast path is taken ONLY for key types where SQL equality matches
+    * Scala `==` (integral types, strings, booleans): floating-point keys
+    * stay on the typed filter because SQL treats NaN = NaN as true while
+    * `==` does not, and product-typed keys (hpmr's template contract)
+    * cannot be `lit`-encoded at all. An allowlist beats try/catch — a
+    * swallowed exception would silently degrade lookups to full scans. */
   private def keyFilter[K, V](store: Dataset[(K, V)], key: K): Dataset[(K, V)] =
-    try store.filter(col("_1") === lit(key))
-    catch { case _: RuntimeException => store.filter((p: (K, V)) => p._1 == key) }
+    key match {
+      case (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+            _: java.lang.Byte | _: String | _: java.lang.Boolean) =>
+        store.filter(col("_1") === lit(key))
+      case _ => store.filter((p: (K, V)) => p._1 == key)
+    }
 
   /** Point lookup with default (DistMap::get, src/dist_map.h:132-145).
     * Driver-side scalar — the reference's MPI_Bcast collective collapses

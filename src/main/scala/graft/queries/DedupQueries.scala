@@ -87,9 +87,13 @@ object DedupQueries {
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    // No broadcast hint on sizes: it has one row per CORPUS document, so
+    // forcing it into a broadcast relation would cap this "100 TB
+    // composition" at the broadcast limit. The joins are narrow equi-joins
+    // on doc_id; AQE still elects broadcast when sizes is actually small.
     inter
-      .join(broadcast(sizes.select(col("doc_id"), col("nsh").as("na"))), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(broadcast(sizes.select(col("doc_id"), col("nsh").as("nb"))), col("doc_b") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("nsh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("nsh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -111,12 +115,6 @@ object DedupQueries {
     * closure over the identical candidate edges. */
   val dedupClusters: Q = (s, d) => {
     val pairs = minhashCandidates(s, d)
-    // The pair graph is orders of magnitude smaller than the corpus (only
-    // docs with a near-dup candidate appear), so the iterative stage runs
-    // on a handful of partitions: at 32 shuffle partitions each of the
-    // ~5 rounds was a 32-task multi-stage job over ~1k rows — pure task
-    // scheduling overhead (measured 10 s at sf0.1, 2 s with this).
-    val loopParts = 4
     val undirected = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // Self-loops make one propagation step a SINGLE join+groupBy in which
@@ -125,6 +123,20 @@ object DedupQueries {
     // "labels ⋈ f(labels)" duplicates the label subtree, and k lazy steps
     // execute 2^k copies (measured: 72 s); this shape grows linearly.
     val verts = undirected.select(col("src").as("v")).distinct()
+    // The pair graph is orders of magnitude smaller than the corpus (only
+    // docs with a near-dup candidate appear), so the iterative stage runs
+    // on few partitions — at 32 shuffle partitions each round was a
+    // 32-task multi-stage job over ~1k rows, pure task scheduling
+    // overhead (measured 10 s at sf0.1, ~3 s with this). Sized
+    // adaptively, but from the CORPUS row count (a metadata-only parquet
+    // statistics read), not the edge count — counting edges would execute
+    // the whole minhash lineage as an extra job (measured +3 s). Corpus
+    // size upper-bounds the vertex count; ~1M docs per partition, floored
+    // at 4, capped at the session's configured width.
+    val nDocs = Tables.documents(s, d).count()
+    val loopParts = math.max(4L, math.min(
+      s.conf.get("spark.sql.shuffle.partitions").toLong,
+      nDocs / 1000000L + 1L)).toInt
     val edges = undirected
       .union(verts.select(col("v").as("src"), col("v").as("dst")))
       .repartition(loopParts, col("dst"))
@@ -153,7 +165,7 @@ object DedupQueries {
     val partsWas = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try while (block < 5 && !converged) {
+    try { while (block < 5 && !converged) {
       // Fixpoint test compares the block's LAST TWO steps: cur = F(prev),
       // so cur == prev proves prev is the fixpoint — a diameter that fits
       // in one block converges with a single action (the standard
@@ -178,11 +190,24 @@ object DedupQueries {
       labels = next
       converged = changed == 0
       block += 1
+    }
+    // Wrong labels must never ship silently: if the cap is hit before a
+    // fixpoint (a component with diameter > blocks×blockSteps), fail —
+    // the caller raises the cap, not the reader of the output.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedup_clusters did not converge within ${5 * blockSteps} propagation steps")
     } finally {
       s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      // Release caches on every exit path. The final labels frame stays
+      // persisted because the RETURNED plan reads it; once the caller
+      // drops that DataFrame, Spark's ContextCleaner unpersists it (cached
+      // RDDs are weakly referenced), so repeated invocations don't
+      // accumulate state beyond live results.
+      edges.unpersist()
+      if (!converged) persisted.foreach(_.unpersist())
     }
-    edges.unpersist()
     labels.select(col("v").as("doc_id"), col("rep").as("cluster_rep"))
       .orderBy("doc_id")
   }
@@ -273,7 +298,7 @@ object DedupQueries {
 
   /** Embedding-cosine near-dup: top-20 closest candidate pairs, where
     * candidates come from sign-LSH blocking — 2 independent hash tables of
-    * 4 hyperplanes each (same deterministic-LCG hyperplanes as
+    * 4 hyperplanes each (same deterministic md5-derived hyperplanes as
     * SimilarityQueries); a pair is a candidate iff it lands in the same
     * bucket of either table. Exact integer qdot rescoring within buckets,
     * then global top-20. The oracle computes the identical bucketing, so

@@ -73,7 +73,8 @@ object SimilarityQueries {
       .distinct()
     val scored = cand
       .join(q.select(col("vec_id"), col("qv"), col("n2")), col("cand_id") === col("vec_id"))
-      .join(broadcast(q.select(col("vec_id").as("pid"), col("qv").as("pv"), col("n2").as("pn2"))),
+      .join(broadcast(q.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("pid"), col("qv").as("pv"), col("n2").as("pn2"))),
         col("probe_id") === col("pid"))
       .select(col("probe_id"), col("cand_id"), cos.as("cos"))
     val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("cand_id"))

@@ -29,10 +29,9 @@ object DocStreams {
 
   /** Stage 1+2: quality gate then watermarked exact dedup. Exposed
     * separately so a sink can persist the clean corpus itself. */
-  def cleanDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
-    val w = filter(split(col("text"), " "), x => x =!= "")
+  def cleanDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("w", w)
+      .withColumn("w", graft.functions.ColFns.words(col("text")))
       .filter(size(col("w")) >= 10)
       .filter(size(array_distinct(col("w"))) / size(col("w")).cast("double") >= 0.3)
       .withColumn("norm", md5(lower(trim(col("text")))))
@@ -40,7 +39,6 @@ object DocStreams {
       .dropDuplicatesWithinWatermark("norm")
       .select(col("doc_id"), col("lang"), col("ingest_ts"),
               size(col("w")).as("n_tokens"))
-  }
 
   /** Full pipeline: gate → dedup → per-(window, lang) doc/token counts.
     * Append mode emits each window once the watermark passes it. */
