@@ -35,13 +35,19 @@ object Graft {
     * (DistMap::mapreduce, src/dist_map.h:255-279). Spark plans map-side
     * partial reduction (ReduceAggregator partials) before the exchange,
     * matching hpmr's staging-map combine. */
+  /** The shared shuffle-reduce tail of both mapreduce forms: hash-group
+    * emitted pairs by key and merge values with `reducer` (partial
+    * map-side combine comes from Spark's ReduceAggregator). */
+  private def reduceByKey[KR, VR](pairs: Dataset[(KR, VR)], reducer: Reducer[VR])(
+      implicit ekr: Encoder[(KR, VR)], ek: Encoder[KR]): Dataset[(KR, VR)] =
+    pairs.groupByKey(_._1)
+      .reduceGroups((a: (KR, VR), b: (KR, VR)) => (a._1, reducer(a._2, b._2)))
+      .map { case (_, (k, v)) => (k, v) }
+
   def mapreduce[K, V, KR, VR](in: Dataset[(K, V)], mapper: Mapper[K, V, KR, VR],
                               reducer: Reducer[VR])(
       implicit ekr: Encoder[(KR, VR)], ek: Encoder[KR]): Dataset[(KR, VR)] =
-    in.flatMap { case (k, v) => mapper(k, v) }
-      .groupByKey(_._1)
-      .reduceGroups((a: (KR, VR), b: (KR, VR)) => (a._1, reducer(a._2, b._2)))
-      .map { case (_, (k, v)) => (k, v) }
+    reduceByKey(in.flatMap { case (k, v) => mapper(k, v) }, reducer)
 
   /** Range::mapreduce (src/range.h:28-64): the same shape with the range
     * source fused in. */
@@ -49,10 +55,7 @@ object Graft {
                              mapper: Long => IterableOnce[(KR, VR)],
                              reducer: Reducer[VR])(
       implicit ekr: Encoder[(KR, VR)], ek: Encoder[KR]): Dataset[(KR, VR)] =
-    range.flatMap((i: java.lang.Long) => mapper(i))
-      .groupByKey(_._1)
-      .reduceGroups((a: (KR, VR), b: (KR, VR)) => (a._1, reducer(a._2, b._2)))
-      .map { case (_, (k, v)) => (k, v) }
+    reduceByKey(range.flatMap((i: java.lang.Long) => mapper(i)), reducer)
 
   /** Buffered write with combine (DistMap::async_set,
     * src/dist_map.h:118-130): merge a batch of new pairs into the store,
@@ -92,16 +95,20 @@ object Graft {
 
   /** Set-membership as a relational op: keep pairs whose key appears in
     * `keys` (left-semi join — the distributed form of `has`). Keys wrap
-    * in Tuple1 so product-typed keys stay a single struct column. */
+    * in Tuple1 so product-typed keys stay a single struct column.
+    * Null-safe equality (`<=>`): plain `===` evaluates to NULL for null
+    * keys (or struct keys with a null field), silently never matching —
+    * diverging from the typed `==` semantics of get/has. */
   def hasAll[K, V](store: Dataset[(K, V)], keys: Dataset[K])(
       implicit ekv: Encoder[(K, V)], ek1: Encoder[Tuple1[K]]): Dataset[(K, V)] =
-    store.join(keys.map(Tuple1(_)).select(col("_1").as("_k")), col("_1") === col("_k"), "left_semi").as[(K, V)]
+    store.join(keys.map(Tuple1(_)).select(col("_1").as("_k")), col("_1") <=> col("_k"), "left_semi").as[(K, V)]
 
   /** Delete keys (`unset`, src/bare_hash_container.h:150-179) as a
-    * left-anti join. */
+    * left-anti join. Null-safe equality for the same reason as hasAll —
+    * a null key must actually delete the null-keyed row. */
   def remove[K, V](store: Dataset[(K, V)], keys: Dataset[K])(
       implicit ekv: Encoder[(K, V)], ek1: Encoder[Tuple1[K]]): Dataset[(K, V)] =
-    store.join(keys.map(Tuple1(_)).select(col("_1").as("_k")), col("_1") === col("_k"), "left_anti").as[(K, V)]
+    store.join(keys.map(Tuple1(_)).select(col("_1").as("_k")), col("_1") <=> col("_k"), "left_anti").as[(K, V)]
 
   /** Set insert / dedup (HashSet::set, src/bare_set.h:34-52). */
   def distinctKeys[K, V](store: Dataset[(K, V)])(implicit ek: Encoder[K]): Dataset[K] =
@@ -128,8 +135,11 @@ object Graft {
     * engine for an expected key cardinality. The reference pre-allocates
     * hash buckets; the Spark analog is sizing the shuffle partition count
     * so post-shuffle partitions land near the per-task memory budget.
-    * Heuristic: one partition per `keysPerPartition` expected keys,
-    * floored at the session default. */
+    * Heuristic: one partition per `keysPerPartition` expected keys.
+    * NEVER SHRINKS the current setting — deliberately matching the
+    * reference's reserve (and std::unordered_map::reserve), which only
+    * grows capacity; callers wanting a lower width set the conf
+    * directly. */
   def reserve(spark: SparkSession, expectedKeys: Long,
               keysPerPartition: Long = 4_000_000L): Int = {
     val current = spark.conf.get("spark.sql.shuffle.partitions").toInt

@@ -50,8 +50,11 @@ object Multimodal {
     media.select(col("media_id"), col("kind"), col("payload"), col("n_chars"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        // per-partition decoder setup would happen here (stub: none)
-        rows.map { r =>
+        // per-partition decoder setup would happen here (stub: none).
+        // Null payloads (null source text) are skipped, matching
+        // frameSample's behavior where length(null) drops the row — the
+        // two operators must not diverge (one crashing, one skipping).
+        rows.filter(_.payload != null).map { r =>
           val n = r.payload.length.toLong
           // STUB decode: dimensions derived from payload size, not pixels.
           val w = (n % 640 + 64).toInt

@@ -36,11 +36,15 @@ object AsOf {
     */
   def asofJoin(probes: DataFrame, quotes: DataFrame, key: String, t: String,
                valueCol: String): DataFrame = {
-    // Enforce the documented contract: a probe column named valueCol would
-    // collide with the injected null-cast quote column and surface later
-    // as an ambiguous-column plan error — fail fast here instead.
+    // Enforce the documented contract: a probe column named valueCol (or
+    // either internal working column) would collide with an injected
+    // column and surface later as an ambiguous-column plan error — fail
+    // fast here instead.
     require(!probes.columns.contains(valueCol),
       s"probes already contains a column named '$valueCol' (the as-of output column)")
+    for (reserved <- Seq("__tag", "__asof"))
+      require(!probes.columns.contains(reserved),
+        s"probes must not contain the reserved as-of working column '$reserved'")
     val probeCols = probes.columns.filter(c => c != key && c != t)
     val q = quotes.filter(col(valueCol).isNotNull).select(
       Seq(col(key), col(t), lit(0).as("__tag"), col(valueCol)) ++

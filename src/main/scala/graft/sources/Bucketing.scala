@@ -24,9 +24,14 @@ object Bucketing {
 
   /** Write `df` as a managed parquet table bucketed AND sorted by `key`
     * into `n` buckets. Sorting inside buckets lets SortMergeJoin skip its
-    * per-task sort as well. */
+    * per-task sort as well. The repartition on the bucket key first is
+    * load-bearing at scale: without it every input task writes its own
+    * file for each bucket it happens to see (tasks × n small files — a
+    * 10k-partition write with 1k buckets would emit ~10M files); with it,
+    * one file per bucket. */
   def writeBucketed(df: DataFrame, key: String, n: Int, table: String): Unit =
-    df.write.mode("overwrite").format("parquet")
+    df.repartition(n, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(n, key).sortBy(key)
       .saveAsTable(table)
 }

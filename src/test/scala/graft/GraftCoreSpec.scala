@@ -180,7 +180,7 @@ class GraftCoreSpec extends SparkSpec {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val small = Graft.reserve(spark, expectedKeys = 10L)
-      assert(small == before.toInt) // floored at session default
+      assert(small == before.toInt) // never shrinks below the current width
       val big = Graft.reserve(spark, expectedKeys = 100_000_000L,
         keysPerPartition = 1_000_000L)
       assert(big == 100)
