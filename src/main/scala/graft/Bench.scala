@@ -65,9 +65,12 @@ object Bench {
     val failedJson = failed.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    // stdout FIRST: the file write is the redundant channel, and an
+    // invalid SPARK_GRAFT_BENCH_OUT path must not lose both.
     println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

@@ -46,14 +46,19 @@ object ExtensionQueries {
     * correctness baseline, with the probe side broadcast so candidates
     * never shuffle. */
   val simCosineTopk: Q = (s, d) => {
+    // Norms are computed ONCE per vector (corpus side) and per probe
+    // (broadcast side) — inlining qnorm2 in the scoring expression would
+    // re-evaluate a 64-wide dot product per joined PAIR, 2×5N redundant
+    // evaluations for N corpus rows.
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+      .withColumn("n2", qnorm2(col("qv")))
     val probes = q.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"), col("n2").as("pn2"))
     val scored = q.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
         (qdot(col("pv"), col("qv")) /
-          (sqrt(qnorm2(col("pv"))) * sqrt(qnorm2(col("qv"))))).as("cos"))
+          (sqrt(col("pn2")) * sqrt(col("n2")))).as("cos"))
     val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)

@@ -56,9 +56,12 @@ object ParityQueries {
   val pointGet: Q = (s, d) => {
     import s.implicits._
     val keys = Seq(1L, 42L, 99999999L).toDF("k")
+    // coalesce on the present branch too: a present key with a NULL
+    // acctbal must yield the default, matching the oracle's COALESCE
+    // (latent on generated data, which has no NULL balances).
     val present = Tables.customer(s, d)
       .join(broadcast(keys), col("c_custkey") === col("k"))
-      .select(col("k"), col("c_acctbal").as("acctbal"))
+      .select(col("k"), coalesce(col("c_acctbal"), lit(-1.0)).as("acctbal"))
     val absent = keys
       .join(broadcast(present.select("k")), Seq("k"), "left_anti")
       .withColumn("acctbal", lit(-1.0))

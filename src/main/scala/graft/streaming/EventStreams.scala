@@ -98,18 +98,29 @@ object EventStreams {
     * KeyValueGroupedDataset.flatMapGroupsWithState with explicit
     * GroupState, the Spark-native form of custom keyed streaming state.
     *
-    * Timeouts are event-time based (the transformation applies the
-    * watermark itself): deterministic under replay and testable without a
-    * wall clock — processing-time timeouts would make results depend on
-    * scheduler timing (and keep scheduling wake-up batches, which stalls
-    * processAllAvailable in tests). The timeout is set from the maximum
+    * Gap splitting happens on BOTH paths: the event-time timeout closes a
+    * session when no data arrives for the key (watermark passes the gap),
+    * AND the data path splits when an arriving event's time is more than
+    * the gap past the session's max — a timeout alone would silently merge
+    * sessions whose events arrive in the same micro-batch, making results
+    * depend on trigger boundaries instead of event time (the batch
+    * `events_sessionized` query splits purely on event-time gaps; this
+    * matches it). Events are sorted by event time within the batch so
+    * splitting is deterministic.
+    *
+    * Timeouts are event-time based: deterministic under replay and
+    * testable without a wall clock. The timeout is set from the maximum
     * event time the session has EVER seen (carried in state), not the
-    * current batch's max — an out-of-order batch must not shrink the
-    * session's lifetime. */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    * current batch's max — an out-of-order (but within-`lateness`) batch
+    * must not shrink the session's lifetime. `lateness` is the watermark
+    * delay: events older than the global max event time minus this are
+    * dropped by Spark before reaching the state function. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 lateness: String = "10 minutes"): Dataset[SessionUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.withWatermark("ts", "0 seconds")
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", lateness)
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
@@ -120,15 +131,22 @@ object EventStreams {
             state.remove()
             Iterator.single(SessionUpdate(userId, st.n, st.sum, closed = true))
           } else {
+            val out = Seq.newBuilder[SessionUpdate]
             var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
-            rows.foreach { e =>
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (st.maxTsMillis != Long.MinValue && t - st.maxTsMillis > gapMs) {
+                out += SessionUpdate(userId, st.n, st.sum, closed = true)
+                st = SessionState(0L, 0.0, Long.MinValue)
+              }
               st = SessionState(st.n + 1, st.sum + e.value,
-                math.max(st.maxTsMillis, e.ts.getTime))
+                math.max(st.maxTsMillis, t))
             }
             state.update(st)
             if (st.maxTsMillis != Long.MinValue)
-              state.setTimeoutTimestamp(st.maxTsMillis + gapMinutes * 60000L)
-            Iterator.single(SessionUpdate(userId, st.n, st.sum, closed = false))
+              state.setTimeoutTimestamp(st.maxTsMillis + gapMs)
+            out += SessionUpdate(userId, st.n, st.sum, closed = false)
+            out.result().iterator
           }
       }
   }

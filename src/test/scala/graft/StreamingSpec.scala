@@ -175,8 +175,15 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("sessions")
       .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(rows(1L) == 3L) // user 1: events 1,3 then 4
-    assert(rows(2L) == 2L) // user 2: events 2 then 6
+    assert(rows(1L) == 3L) // user 1: 0:10, 0:40, 1:05 — all gaps <= 30 min
+    // user 2: 0:20 then 2:15 — the 115-min gap SPLITS even though both
+    // events arrive before any timeout fires (data-path gap splitting,
+    // matching the batch events_sessionized semantics)
+    assert(rows(2L) == 1L)
     assert(rows(3L) == 1L)
+    val closed = spark.table("sessions")
+      .filter(org.apache.spark.sql.functions.col("closed"))
+      .collect().map(r => r.getLong(0))
+    assert(closed.contains(2L), "user 2's first session must emit as closed")
   }
 }
