@@ -102,114 +102,27 @@ object DedupQueries {
 
   /** Dedup cluster assignment — connected components of the near-dup pair
     * graph, each doc labeled with the min doc_id of its component (the
-    * canonical representative a dedup pipeline keeps). Pregel-style
-    * min-label propagation: labels start at self, each round takes the min
-    * over neighbors, until a fixpoint. The driver loop only CHECKS
-    * convergence (one count per round); labels and edges stay distributed
-    * — no collect. Rounds needed = component diameter, which for near-dup
-    * clusters is tiny (duplicates of a common source all pair with each
-    * other); the cap is a safety bound, and the fixpoint is unique so the
-    * result is deterministic however execution is partitioned. At 100 TB
-    * the pair graph is orders of magnitude smaller than the corpus (only
-    * docs with a near-dup appear). Oracle: DuckDB recursive transitive
-    * closure over the identical candidate edges. */
+    * canonical representative a dedup pipeline keeps). The component
+    * computation is graft.operators.Components (Pregel-style min-label
+    * propagation, property-tested against a union-find reference); the
+    * driver loop there only checks per-block convergence counts — labels
+    * and edges stay distributed, no collect. The fixpoint is unique, so
+    * the result is deterministic however execution is partitioned. At
+    * 100 TB the pair graph is orders of magnitude smaller than the corpus
+    * (only docs with a near-dup appear). Oracle: DuckDB recursive
+    * transitive closure over the identical candidate edges. */
   val dedupClusters: Q = (s, d) => {
     val pairs = minhashCandidates(s, d)
-    val undirected = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // Self-loops make one propagation step a SINGLE join+groupBy in which
-    // the label frame appears exactly once: rep'(v) = min rep over
-    // N(v) ∪ {v}. That matters for lazy composition below — a step shaped
-    // "labels ⋈ f(labels)" duplicates the label subtree, and k lazy steps
-    // execute 2^k copies (measured: 72 s); this shape grows linearly.
-    val verts = undirected.select(col("src").as("v")).distinct()
-    // The pair graph is orders of magnitude smaller than the corpus (only
-    // docs with a near-dup candidate appear), so the iterative stage runs
-    // on few partitions — at 32 shuffle partitions each round was a
-    // 32-task multi-stage job over ~1k rows, pure task scheduling
-    // overhead (measured 10 s at sf0.1, ~3 s with this). Sized
-    // adaptively, but from the CORPUS row count (a metadata-only parquet
-    // statistics read), not the edge count — counting edges would execute
-    // the whole minhash lineage as an extra job (measured +3 s). Corpus
-    // size upper-bounds the vertex count; ~1M docs per partition, floored
-    // at 4, capped at the session's configured width.
+    // The iterative stage runs on few partitions (the pair graph is tiny
+    // relative to the corpus). Sized adaptively from the CORPUS row count
+    // — a metadata-only parquet statistics read; counting edges would
+    // execute the whole minhash lineage as an extra job (measured +3 s).
+    // ~1M docs per partition, floored at 4, capped at the session width.
     val nDocs = Tables.documents(s, d).count()
     val loopParts = math.max(4L, math.min(
       s.conf.get("spark.sql.shuffle.partitions").toLong,
       nDocs / 1000000L + 1L)).toInt
-    val edges = undirected
-      .union(verts.select(col("v").as("src"), col("v").as("dst")))
-      .repartition(loopParts, col("dst"))
-      .persist()
-    var labels = verts.select(col("v"), col("v").as("rep"))
-      .repartition(loopParts, col("v"))
-    // Overhead lessons baked in:
-    //  - steps are composed LAZILY in blocks of 5 with ONE materializing
-    //    action per block — an action per step spent ~1 s of pure job
-    //    overhead on a 1k-row graph (measured 10 s total); a diameter
-    //    that fits in a block converges with a single action;
-    //  - the convergence compare uses name-unique columns (sv/old_rep vs
-    //    v/rep): alias-qualified resolution across a frame and its own
-    //    derivative is ambiguous and silently broke (every round reported
-    //    changes, running the loop to its cap).
-    val blockSteps = 5
-    var persisted: Option[DataFrame] = None
-    var block = 0
-    var converged = false
-    // AQE materializes every Exchange as its own scheduled query stage —
-    // on this tiny in-memory graph that is ~0.5 s of pure scheduling per
-    // shuffle with nothing to adapt (the whole graph fits in one task).
-    // Scoped off for the loop's convergence actions only; the conf is
-    // restored before the returned plan (and everything else) runs.
-    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try { while (block < 5 && !converged) {
-      // Fixpoint test compares the block's LAST TWO steps: cur = F(prev),
-      // so cur == prev proves prev is the fixpoint — a diameter that fits
-      // in one block converges with a single action (the standard
-      // "compare block output to block input" shape needs a second,
-      // confirming block). prev's lineage executes twice in the count
-      // (once standalone, once inside cur) — 2× linear, still no blowup.
-      var prev = labels
-      var cur = labels
-      for (_ <- 0 until blockSteps) {
-        prev = cur
-        cur = edges.join(cur, col("dst") === col("v"))
-          .groupBy(col("src")).agg(min(col("rep")).as("rep"))
-          .select(col("src").as("v"), col("rep"))
-      }
-      val next = cur.persist()
-      val changed = next.join(
-          prev.select(col("v").as("pv"), col("rep").as("prev_rep")),
-          col("v") === col("pv"))
-        .filter(col("rep") =!= col("prev_rep")).count()
-      persisted.foreach(_.unpersist())
-      persisted = Some(next)
-      labels = next
-      converged = changed == 0
-      block += 1
-    }
-    // Wrong labels must never ship silently: if the cap is hit before a
-    // fixpoint (a component with diameter > blocks×blockSteps), fail —
-    // the caller raises the cap, not the reader of the output.
-    if (!converged)
-      throw new IllegalStateException(
-        s"dedup_clusters did not converge within ${5 * blockSteps} propagation steps")
-    } finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      s.conf.set("spark.sql.shuffle.partitions", partsWas)
-      // Release caches on every exit path. The final labels frame stays
-      // persisted because the RETURNED plan reads it; once the caller
-      // drops that DataFrame, Spark's ContextCleaner unpersists it (cached
-      // RDDs are weakly referenced), so repeated invocations don't
-      // accumulate state beyond live results.
-      edges.unpersist()
-      if (!converged) persisted.foreach(_.unpersist())
-    }
-    labels.select(col("v").as("doc_id"), col("rep").as("cluster_rep"))
-      .orderBy("doc_id")
+    graft.operators.Components.connectedComponents(pairs, loopParts)
   }
 
   /** Exact 3-gram Jaccard similarity ≥ 0.5 via shingle-key self-join —

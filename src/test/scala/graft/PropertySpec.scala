@@ -95,4 +95,32 @@ object PropertySpec extends Properties("graft") {
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
       salted == plain
     }
+
+  property("connected components equal a union-find reference on random graphs") =
+    forAll(for {
+      n <- Gen.choose(2, 20)
+      edges <- Gen.nonEmptyListOf(
+        Gen.zip(Gen.choose(0L, n.toLong - 1), Gen.choose(0L, n.toLong - 1)))
+    } yield edges.filter(e => e._1 != e._2)) { edges =>
+      edges.isEmpty || {
+        val pairs = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+          .toDF("doc_a", "doc_b")
+        // long chains are legal inputs, so allow depth up to 100 steps
+        val got = graft.operators.Components
+          .connectedComponents(pairs, loopParts = 3, maxBlocks = 20)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(v => v -> find(v)).toMap
+        got == want
+      }
+    }
 }
