@@ -45,7 +45,12 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // Dev convenience: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset while
+    // iterating on one query; the driver never sets it (full list).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Time rep-by-rep across the whole query list (rep 1 of all queries,
     // then rep 2, ...) so per-query reps are spread over the JVM's life —
     // a GC pause or JIT recompile hits one rep, not all three.

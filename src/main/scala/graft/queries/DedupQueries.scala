@@ -113,15 +113,15 @@ object DedupQueries {
     * transitive closure over the identical candidate edges. */
   val dedupClusters: Q = (s, d) => {
     val pairs = minhashCandidates(s, d)
-    // The iterative stage runs on few partitions (the pair graph is tiny
-    // relative to the corpus). Sized adaptively from the CORPUS row count
-    // — a metadata-only parquet statistics read; counting edges would
-    // execute the whole minhash lineage as an extra job (measured +3 s).
-    // ~1M docs per partition, floored at 4, capped at the session width.
-    val nDocs = Tables.documents(s, d).count()
-    val loopParts = math.max(4L, math.min(
-      s.conf.get("spark.sql.shuffle.partitions").toLong,
-      nDocs / 1000000L + 1L)).toInt
+    // The iterative stage runs on few partitions: the pair graph is tiny
+    // relative to the corpus (only docs with a near-dup appear). Sized by
+    // a session-width heuristic — 1/8 of the configured shuffle width,
+    // floored at 4 — so a 2000-partition production session gets a 250-way
+    // loop while local[32] tests get 4. Deliberately NOT derived from a
+    // count: building this DataFrame must trigger no job (round-2 advice;
+    // the old documents.count() made plan construction an action).
+    val loopParts = math.max(4,
+      s.conf.get("spark.sql.shuffle.partitions").toInt / 8)
     graft.operators.Components.connectedComponents(pairs, loopParts)
   }
 
@@ -149,11 +149,13 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 60-bit SimHash near-dup pairs (Hamming ≤ 4). Signature: per-bit
-    * majority vote over token hashes (with multiplicity = tf weighting).
-    * The pair scan is an all-pairs Hamming check here (correctness
-    * baseline); the 100 TB path blocks on signature bytes first. */
-  val dedupSimhash: Q = (s, d) => {
+  /** 60-bit SimHash near-dup pairs (Hamming ≤ 4) via an ALL-PAIRS Hamming
+    * scan — spec-only ground truth, never declared as a query (mirrors
+    * [[dedupEmbeddingPairsBrute]]): the plan is a BroadcastNestedLoopJoin
+    * over every doc pair, O(n²) and dead at scale. The declared form is
+    * [[dedupSimhashBanded]], which EquivalenceSpec proves bit-identical on
+    * real data (and is provably so by pigeonhole). */
+  def dedupSimhash: Q = (s, d) => {
     val sig = simhashSignatures(s, d)
     sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming",
@@ -272,7 +274,6 @@ object DedupQueries {
     "dedup_jaccard_on_lsh" -> dedupJaccardOnLsh,
     "dedup_clusters" -> dedupClusters,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
-    "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_banded" -> dedupSimhashBanded,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
   )
@@ -395,28 +396,10 @@ object DedupQueries {
         |JOIN sizes nb ON nb.doc_id = doc_b
         |WHERE inter / (na.nsh + nb.nsh - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_simhash" ->
-      """WITH tok AS (
-        |  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
-        |  FROM documents
-        |), wh AS (
-        |  SELECT doc_id, CAST('0x' || substring(md5(wd), 1, 15) AS BIGINT) AS h FROM tok
-        |), votes AS (
-        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM wh, UNNEST(generate_series(0, 59)) AS t(b)
-        |  GROUP BY doc_id, b
-        |), sig AS (
-        |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
-        |  FROM votes GROUP BY doc_id
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
-        |ORDER BY doc_a, doc_b""".stripMargin,
-    // Same all-pairs computation as dedup_simhash: the banded form is
-    // provably the identical result set (pigeonhole over 5 bands for
-    // Hamming ≤ 4), so sharing the oracle IS the equivalence check.
+    // The oracle is the all-pairs computation: the banded form is provably
+    // the identical result set (pigeonhole over 5 bands for Hamming ≤ 4),
+    // so this oracle IS the equivalence check. The Spark-side all-pairs
+    // twin (dedupSimhash) is spec-only ground truth in EquivalenceSpec.
     "dedup_simhash_banded" ->
       """WITH tok AS (
         |  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS wd

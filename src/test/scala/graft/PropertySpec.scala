@@ -105,9 +105,8 @@ object PropertySpec extends Properties("graft") {
       edges.isEmpty || {
         val pairs = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
           .toDF("doc_a", "doc_b")
-        // long chains are legal inputs, so allow depth up to 100 steps
         val got = graft.operators.Components
-          .connectedComponents(pairs, loopParts = 3, maxBlocks = 20)
+          .connectedComponents(pairs, loopParts = 3)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // driver-side union-find reference
         val parent = scala.collection.mutable.Map[Long, Long]()
