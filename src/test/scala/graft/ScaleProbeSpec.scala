@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.DedupQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** Synthetic scale probe for the dedup/cluster family (round-2 verdict:
+  * every 100 TB claim was plan-shape-only; this makes sub-quadratic
+  * scaling an executable assertion, in the reference's own test style of
+  * large-input runs with closed-form checks —
+  * /root/reference/src/dist_map_test.cc:71-88).
+  *
+  * Builds a 10× `documents` corpus from sf0.1 (5 000 → 50 000 docs) by
+  * unioning 10 copies with offset doc_ids and PER-COPY WORD SALTING
+  * (every word gets a copy tag appended): intra-copy near-dup structure
+  * is preserved exactly, while cross-copy shingle/token collisions are
+  * impossible — so candidate pairs grow ~10×, not ~100× as naive
+  * duplication would force (each doc would match its 9 clones, making
+  * even a perfectly linear operator measure quadratic).
+  *
+  * The assertion: wall-time at 10× ≤ 3× wall-time at 1× plus fixed
+  * slack. A linear operator lands well inside (per-doc work ×10 over 10×
+  * the parallelizable input, constant job overhead amortized); an
+  * all-pairs regression (e.g. the retired BroadcastNestedLoopJoin
+  * simhash) does 100× the pair work — ~1.25 B pairs at 50 k docs — and
+  * blows the bound by an order of magnitude.
+  */
+class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val dir1 = Files.createTempDirectory("graft-scale1").toString
+  private val dir10 = Files.createTempDirectory("graft-scale10").toString
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    // 1× written through the same writer so file layout is comparable.
+    docs.write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    def salted(tag: Int): DataFrame = docs.select(
+      (col("doc_id") + tag * 100000000L).as("doc_id"),
+      concat_ws(" ",
+        transform(split(col("text"), " "), w => concat(w, lit(s"q$tag")))).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    (0 until 10).map(salted).reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir10/documents.parquet")
+  }
+
+  private val family = Seq(
+    "dedup_minhash_lsh" -> DedupQueries.dedupMinhashLsh,
+    "dedup_simhash_banded" -> DedupQueries.dedupSimhashBanded,
+    "dedup_jaccard_on_lsh" -> DedupQueries.dedupJaccardOnLsh,
+    "dedup_clusters" -> DedupQueries.dedupClusters)
+
+  private def time(q: DedupQueries.Q, dir: String): Double = {
+    val t0 = System.nanoTime()
+    q(spark, dir).write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  for ((name, q) <- family)
+    test(s"$name scales ~linearly from 5k to 50k docs") {
+      time(q, dir1) // warm-up: JIT, codegen, parquet reader
+      val t1 = time(q, dir1)
+      val t10 = time(q, dir10)
+      info(f"$name: 1x=$t1%.2f s, 10x=$t10%.2f s (ratio ${t10 / t1}%.1f)")
+      assert(t10 <= 3.0 * t1 + 5.0,
+        f"$name at 10x took $t10%.2f s vs $t1%.2f s at 1x — super-linear scaling")
+    }
+}
