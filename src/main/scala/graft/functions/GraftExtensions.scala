@@ -26,7 +26,14 @@ object GraftExtensions {
     * dot product of two quantized long arrays (QDotProduct). */
   val qdotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("qdot"),
-     new ExpressionInfo(classOf[QDotProduct].getName, "qdot"),
+     new ExpressionInfo(
+       classOf[QDotProduct].getName, null, "qdot",
+       """qdot(a, b) - Exact integer dot product of two ARRAY<BIGINT> values
+         |over the shorter length. Returns NULL if either array is NULL.
+         |NULL ELEMENTS inside an array contribute 0 to the sum (they are
+         |read as zeros, not rejected) — feed fully non-null arrays such as
+         |quantized embedding vectors.""".stripMargin,
+       "> SELECT qdot(array(1L, 2L), array(3L, 4L));\n 11"),
      (args: Seq[Expression]) => {
        require(args.length == 2, s"qdot expects 2 arguments, got ${args.length}")
        QDotProduct(args(0), args(1))

@@ -31,13 +31,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  private val nanosFlagNoted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def events(s: SparkSession, d: String): DataFrame = {
     // Defensive: a caller-supplied session without the flag would fail the
     // scan with PARQUET_TYPE_ILLEGAL; it is a runtime SQL conf, so set it
     // here rather than requiring every session builder to know. This is a
     // session-wide side effect by design — Spark 4 cannot read NANOS
     // parquet as TIMESTAMP at all, so no caller loses a capability; any
-    // nanos column in the session simply reads as long nanos.
+    // nanos column in the session simply reads as long nanos. When the
+    // override actually changes a foreign session's conf, say so once in
+    // the log so the surprise is at least visible (round-2 advice).
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
+        && nanosFlagNoted.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "graft Tables.events is setting spark.sql.legacy.parquet.nanosAsLong=true " +
+          "session-wide: events.ts is parquet TIMESTAMP(NANOS), unreadable in " +
+          "Spark 4 without it; nanos columns in this session now read as BIGINT nanos.")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
   }

@@ -91,11 +91,21 @@ class GraftCoreSpec extends SparkSpec {
     assert(Graft.get(store, 2L, -1L) == 20L)
     assert(Graft.get(store, 9L, -1L) == -1L)
     assert(Graft.has(store, 3L) && !Graft.has(store, 9L))
-    // plan: the fast-path predicate reaches the scan as a pushed filter
+    // plan: the fast-path predicate reaches the scan as a pushed filter.
+    // Structural check on the scan's dataFilters (not the rendered
+    // PushedFilters string, whose ordering/format shifts across Spark
+    // minors); sparkPlan, not executedPlan, so AQE can't hide the scan.
     import org.apache.spark.sql.functions.{col, lit}
-    val plan = store.filter(col("_1") === lit(2L))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(_1), EqualTo(_1,2)]"), plan)
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = store.filter(col("_1") === lit(2L))
+      .queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec under the filter")
+    assert(scans.flatMap(_.dataFilters).exists {
+      case EqualTo(a: AttributeReference, Literal(v, _)) => a.name == "_1" && v == 2L
+      case EqualTo(Literal(v, _), a: AttributeReference) => a.name == "_1" && v == 2L
+      case _ => false
+    }, scans.map(_.dataFilters).mkString("; "))
   }
 
   test("facade supports non-primitive (product) keys like hpmr's templates") {
