@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.queries.ExtensionQueries
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Batch/stream equivalence for sessionization — the only oracle-less
+  * surface (no DuckDB streaming), so the gate is differential instead:
+  * the SAME randomly generated event set runs through the batch
+  * `events_sessionized` query (event-time gap rule over a parquet table)
+  * and the stateful streaming sessionizer (flatMapGroupsWithState) with
+  * SHUFFLED arrival order spread across micro-batches, and the per-user
+  * (n_sessions, n_events) results must be identical. Arrival disorder is
+  * within watermark bounds by construction (generous lateness), which is
+  * exactly the contract: inside the watermark, results must not depend on
+  * arrival order or trigger boundaries, only on event time.
+  */
+class SessionEquivalenceSpec extends SparkSpec {
+
+  import TestSpark.spark.implicits._
+
+  /** Seeded session-structured generator: per user, sessions of 1–6
+    * events with intra-gaps of 1–25 min and inter-gaps of 35–120 min
+    * (gap rule is 30 min; the generator stays clear of the boundary).
+    * Timestamps are minute-granular and strictly increasing per user, so
+    * neither engine depends on tie-breaking. */
+  private def genEvents(seed: Long): Seq[Event] = {
+    val rnd = new scala.util.Random(seed)
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    var id = 0L
+    (1L to 4L).flatMap { user =>
+      var tMin = rnd.nextInt(120).toLong
+      (0 until 1 + rnd.nextInt(4)).flatMap { _ =>
+        tMin += 35 + rnd.nextInt(86) // inter-session gap > 30 min
+        (0 until 1 + rnd.nextInt(6)).map { _ =>
+          tMin += 1 + rnd.nextInt(25) // intra-session gap < 30 min
+          id += 1
+          Event(id, new Timestamp(base + tMin * 60000L), user,
+            "click", rnd.nextInt(100) / 10.0)
+        }
+      }
+    }
+  }
+
+  for (seed <- Seq(11L, 42L))
+    test(s"shuffled streaming sessionize matches batch events_sessionized (seed $seed)") {
+      implicit val sqlCtx = spark.sqlContext
+      val events = genEvents(seed)
+
+      // Batch truth: the declared query over a real parquet events table.
+      val dir = Files.createTempDirectory(s"graft-sess$seed").toString
+      events.toDF()
+        .select(col("event_id"), (col("ts").cast("long") * 1000000000L).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = ExtensionQueries.eventsSessionized(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+      // Stream: same events, order shuffled, fed across 4 micro-batches.
+      // Lateness far above the total disorder → nothing is dropped and the
+      // result may depend only on event time. A far-future flush event
+      // advances the watermark past every session's timeout.
+      val shuffled = new scala.util.Random(seed * 7).shuffle(events)
+      val mem = MemoryStream[Event]
+      val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30, lateness = "7 days")
+        .writeStream.format("memory").queryName(s"sess$seed")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        shuffled.grouped((shuffled.size + 3) / 4).foreach { chunk =>
+          mem.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        // Two flush batches: the first advances the watermark, the second
+        // gives the engine a batch in which the now-expired timeouts fire.
+        mem.addData(Event(9999, Timestamp.valueOf("2024-06-01 00:00:00"), 999L, "flush", 0.0))
+        q.processAllAvailable()
+        mem.addData(Event(10000, Timestamp.valueOf("2024-06-02 00:00:00"), 999L, "flush", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val streamed = spark.table(s"sess$seed")
+        .filter(col("closed") && col("user_id") =!= 999L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+      assert(streamed == batch,
+        s"stream=$streamed\nbatch=$batch\n(seed $seed, ${events.size} events)")
+    }
+}
