@@ -125,6 +125,22 @@ object DedupQueries {
     graft.operators.Components.connectedComponents(pairs, loopParts)
   }
 
+  /** The kept corpus after near-dup collapse — what a dedup pipeline
+    * actually ships downstream: every document EXCEPT non-canonical
+    * cluster members (docs whose component rep is a smaller doc_id).
+    * Composition: MinHash-LSH candidates → connected components → anti
+    * join back to the corpus on the narrow (doc_id) dup list. At 100 TB
+    * the dup list is far smaller than the corpus and the anti join is an
+    * equi-join on doc_id; document text never shuffles (only ids move). */
+  val dedupKeepCanonical: Q = (s, d) => {
+    val labels = dedupClusters(s, d)
+    val dupes = labels.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+    Tables.documents(s, d)
+      .join(dupes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Exact 3-gram Jaccard similarity ≥ 0.5 via shingle-key self-join —
     * cost bounded by shared-shingle pairs, not all pairs. inter/union are
     * exact integers, so the similarity is bit-identical in both engines. */
@@ -273,6 +289,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_jaccard_on_lsh" -> dedupJaccardOnLsh,
     "dedup_clusters" -> dedupClusters,
+    "dedup_keep_canonical" -> dedupKeepCanonical,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash_banded" -> dedupSimhashBanded,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
@@ -336,6 +353,45 @@ object DedupQueries {
         |)
         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // Same recursive-closure CTEs as dedup_clusters, then the kept corpus
+    // = documents minus non-canonical members.
+    "dedup_keep_canonical" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), base AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, MIN((h * (j * 40503 + 10007) + (j * 69621 + 30011)) % 2147483647) AS mh
+        |  FROM base, UNNEST(generate_series(0, 15)) AS t(j)
+        |  GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |         CAST(MIN(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
+        |           CAST(MIN(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION
+        |  SELECT doc_b, doc_a FROM cand
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), labels AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+        |  FROM reach GROUP BY src
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_rep)
+        |ORDER BY d.doc_id""".stripMargin,
     // The two-stage composition: LSH banding for candidates (identical
     // CTEs to dedup_minhash_lsh), exact Jaccard rescoring on candidates
     // only (identical scoring to dedup_ngram_jaccard).

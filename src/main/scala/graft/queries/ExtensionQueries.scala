@@ -341,7 +341,42 @@ object ExtensionQueries {
               col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** Approximate membership: a bloom filter of the BUILDING-segment
+    * customer keys probes every order, map-side — the 100 TB form of
+    * hpmr's `has()` (graft.functions.Bloom): at scale you bloom-filter
+    * the fact scan instead of shuffling it into a semi join, the same
+    * plan shape Spark's InjectRuntimeFilter builds internally. The bloom
+    * bits aren't portable to an oracle, so (approx_stats precedent) the
+    * query emits the exactly-checkable member count plus two contract
+    * booleans: `no_false_negatives` (a bloom MUST hit every true member
+    * — a single miss is a correctness bug, not noise) and `fp_ok`
+    * (false-positive rate over non-members within 5%; capacity 1M keys
+    * is sized for ~3% FPP at full load, far lower here). The left join
+    * against the key set exists only to compute the exact truth the
+    * booleans are judged against. */
+  val bloomMembership: Q = (s, d) => {
+    import graft.functions.Bloom
+    val bld = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloomDf = bld.agg(Bloom.bloomAgg(col("c_custkey"), 1000000L).as("bf"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .withColumn("bloom_hit", Bloom.mightContain(bloomDf, col("o_custkey")))
+      .join(bld.select(col("c_custkey").as("m_key")),
+        col("o_custkey") === col("m_key"), "left_outer")
+      .withColumn("is_member", col("m_key").isNotNull)
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("is_member"), 1L).otherwise(0L)).as("n_member_orders"),
+        (sum(when(col("is_member") && !col("bloom_hit"), 1L).otherwise(0L)) === 0L)
+          .as("no_false_negatives"),
+        (sum(when(!col("is_member") && col("bloom_hit"), 1L).otherwise(0L)) <=
+          sum(when(!col("is_member"), 1L).otherwise(0L)) * 0.05).as("fp_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "bloom_membership" -> bloomMembership,
     "events_session_windows" -> eventsSessionWindows,
     "events_error_window_join" -> eventsErrorWindowJoin,
     "asof_last_order" -> asofLastOrder,
@@ -364,6 +399,17 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Bloom bits are engine-internal; the oracle checks the exact member
+    // count and asserts both contract booleans TRUE (approx_stats
+    // precedent — a false negative or excess FP rate turns the gate red).
+    "bloom_membership" ->
+      """SELECT COUNT(*) AS n_orders,
+        |       CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_member_orders,
+        |       TRUE AS no_false_negatives,
+        |       TRUE AS fp_ok
+        |FROM orders o
+        |LEFT JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |  ON o.o_custkey = c.c_custkey""".stripMargin,
     "events_session_windows" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,

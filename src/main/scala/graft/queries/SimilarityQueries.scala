@@ -131,12 +131,38 @@ object SimilarityQueries {
       .orderBy("probe_id", "cand_id")
   }
 
+  /** Per-label centroid accumulators over the quantized embeddings —
+    * the training step of an IVF index (and the shape of any distributed
+    * k-means iteration) as a declared, oracle-exact operator. Output is
+    * flat (label, dim, sum_q, n): exact integer sums, so the centroid
+    * mean sum_q/n is reproducible to the bit in any engine; arrays are
+    * kept out of the result to keep the driver's hash compare portable.
+    * At 100 TB: posexplode fans each vector into 64 tiny rows, but
+    * partial aggregation combines them map-side — the shuffle carries
+    * only labels × 64 × partitions accumulator rows, never the raw
+    * explosion (the same async_set/combine discipline as every other
+    * aggregate here). */
+  val embCentroids: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(quantizeVec(col("embedding"))).as(Seq("dim", "q")))
+      .groupBy("label", "dim")
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+
   val queries: Map[String, Q] = Map(
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
+    "emb_centroids" -> embCentroids,
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_centroids" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+        |       CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |       COUNT(*) AS n
+        |FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+        |GROUP BY label, i
+        |ORDER BY label, dim""".stripMargin,
     "sim_ann_ivf" ->
       """WITH q AS (
         |  SELECT vec_id, label,

@@ -182,7 +182,30 @@ object TextQueries {
       .orderBy("source", "rk")
   }
 
+  /** Weighted deterministic sample: 5 docs per lang, priority ∝ weight
+    * (n_chars) — the reproducible analog of weighted reservoir sampling
+    * (Efraimidis–Spirakis keys, with the uniform draw replaced by a
+    * content hash so every run, engine, and partitioning picks the same
+    * rows). Key = u / w with u = md5(doc_id) as an exact int and
+    * w = n_chars: smallest keys win, so heavy docs are proportionally
+    * favored; the division of two exact ints is one correctly-rounded
+    * IEEE op, bit-identical in both engines (ln/pow variants would not
+    * be — libm rounding differs across engines). One window shuffle on
+    * the stratum key, same shape as sample_fixed_per_source. */
+  val sampleWeighted: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("score"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("score", md5Long(col("doc_id").cast("string")) / col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"),
+              round(col("score"), 6).as("score"))
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sample_weighted" -> sampleWeighted,
     "sample_fixed_per_source" -> sampleFixedPerSource,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_tfidf_top_terms" -> textTfidfTopTerms,
@@ -198,6 +221,14 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "sample_weighted" ->
+      """SELECT lang, rk, doc_id, round(score, 6) AS score FROM (
+        |  SELECT lang, doc_id,
+        |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / n_chars AS score,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / n_chars, doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "sample_fixed_per_source" ->
       """SELECT source, rk, doc_id FROM (
         |  SELECT source, doc_id,
