@@ -100,11 +100,27 @@ object Multimodal {
       .agg(count(lit(1)).as("n_frames"))
       .orderBy("media_id")
 
+  /** Oracle-checkable DECODE+RESIZE query: the full stub pipeline —
+    * mapPartitions decode → resize-geometry projection → per-kind exact
+    * stats. This puts the mapPartitions decode seam itself under the
+    * driver's DuckDB gate (the stub's dimensions are deterministic
+    * arithmetic on payload length, so the oracle reproduces them
+    * exactly); a real decoder swaps in without changing this plan. */
+  def resizeGeometry(s: SparkSession, d: String): DataFrame =
+    resizeStub(decodeFeatures(mediaTable(s, d)), 256, 256)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+           sum(col("out_w").cast("long")).as("sum_out_w"),
+           sum(col("out_h").cast("long")).as("sum_out_h"),
+           sum(when(col("scale") < 1.0, 1L).otherwise(0L)).as("n_downscaled"))
+      .orderBy("kind")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "mm_meta_stats" -> metaStats,
     "mm_frame_counts" -> frameCounts,
+    "mm_resize_geometry" -> resizeGeometry,
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,5 +139,24 @@ object Multimodal {
         |      FROM documents
         |      WHERE CAST(doc_id % 3 AS INT) = 2)
         |GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // The stub decode derives (w, h) from payload length; the resize
+    // scale is one IEEE min-of-divisions, identical in both engines.
+    "mm_resize_geometry" ->
+      """WITH feat AS (
+        |  SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |         octet_length(encode(text)) % 640 + 64 AS w,
+        |         octet_length(encode(text)) % 480 + 48 AS h
+        |  FROM documents WHERE text IS NOT NULL
+        |), geo AS (
+        |  SELECT kind, least(256 / w, 256 / h, 1.0) AS scale,
+        |         CAST(floor(w * least(256 / w, 256 / h, 1.0)) AS INT) AS out_w,
+        |         CAST(floor(h * least(256 / w, 256 / h, 1.0)) AS INT) AS out_h
+        |  FROM feat
+        |)
+        |SELECT kind, COUNT(*) AS n,
+        |       CAST(SUM(out_w) AS BIGINT) AS sum_out_w,
+        |       CAST(SUM(out_h) AS BIGINT) AS sum_out_h,
+        |       CAST(SUM(CASE WHEN scale < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_downscaled
+        |FROM geo GROUP BY kind ORDER BY kind""".stripMargin,
   )
 }
