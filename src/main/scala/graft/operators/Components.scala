@@ -59,10 +59,21 @@ object Components {
                           maxRounds: Int = 50): DataFrame = {
     val parent = pairs.sparkSession
     val s = parent.newSession()
+    // The clone inherits builder-time options only; carry over the
+    // parent's runtime-set SQL confs (a lineage reading the events table
+    // needs its nanosAsLong flag, etc.) BEFORE narrowing the loop conf.
+    Sessions.copyRuntimeConf(parent, s)
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val debug = sys.props.get("graft.cc.debug").contains("true")
-    val (pRdd, p) = Sessions.snapshot(Sessions.rebind(pairs, s))
+    // The candidate-pair lineage can be the heaviest stage of the whole
+    // query (for dedup_clusters it is the corpus-wide MinHash-LSH join),
+    // so it is snapshotted under the PARENT session — full shuffle width,
+    // AQE skew handling intact; loopParts sizes the tiny label loop, not
+    // the corpus scan. Only the flat LogicalRDD result is rebound into
+    // the narrow clone.
+    val (pRdd, p0) = Sessions.snapshot(pairs)
+    val p = Sessions.rebind(p0, s)
     val undirected = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val verts = undirected.select(col("src").as("v")).distinct()

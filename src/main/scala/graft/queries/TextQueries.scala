@@ -190,8 +190,11 @@ object TextQueries {
     * w = n_chars: smallest keys win, so heavy docs are proportionally
     * favored; the division of two exact ints is one correctly-rounded
     * IEEE op, bit-identical in both engines (ln/pow variants would not
-    * be — libm rounding differs across engines). One window shuffle on
-    * the stratum key, same shape as sample_fixed_per_source. */
+    * be — libm rounding differs across engines). The score itself stays
+    * OUT of the output: emitted columns are exact ints/strings only, so
+    * the driver's hash gate never depends on engine round() behavior at
+    * a decimal boundary. One window shuffle on the stratum key, same
+    * shape as sample_fixed_per_source. */
   val sampleWeighted: Q = (s, d) => {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("score"), col("doc_id"))
@@ -199,8 +202,7 @@ object TextQueries {
       .withColumn("score", md5Long(col("doc_id").cast("string")) / col("n_chars"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"),
-              round(col("score"), 6).as("score"))
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
       .orderBy("lang", "rk")
   }
 
@@ -222,9 +224,8 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "sample_weighted" ->
-      """SELECT lang, rk, doc_id, round(score, 6) AS score FROM (
+      """SELECT lang, rk, doc_id FROM (
         |  SELECT lang, doc_id,
-        |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / n_chars AS score,
         |         ROW_NUMBER() OVER (PARTITION BY lang
         |           ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / n_chars, doc_id) AS rk
         |  FROM documents

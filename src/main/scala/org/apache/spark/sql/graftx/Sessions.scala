@@ -17,10 +17,24 @@ import org.apache.spark.storage.StorageLevel
   * namespace purely for private[sql] access; no logic of its own.
   */
 object Sessions {
+  /** Rebinds the ANALYZED plan, not the raw logical plan: temp views are
+    * session-scoped, so an UnresolvedRelation would re-resolve (or fail)
+    * in the target session, while the analyzed plan carries its resolved
+    * relations with it. */
   def rebind(df: DataFrame, target: SparkSession): DataFrame =
     classic.Dataset.ofRows(
       target.asInstanceOf[classic.SparkSession],
-      df.queryExecution.logical)
+      df.queryExecution.analyzed)
+
+  /** `newSession()` starts from builder-time options only; copy the
+    * source session's explicitly-set, modifiable SQL confs (e.g. a
+    * runtime-set parquet nanosAsLong) so rebound plans keep their
+    * semantics. Static/non-modifiable entries are skipped. */
+  def copyRuntimeConf(from: SparkSession, to: SparkSession): Unit =
+    from.conf.getAll.foreach { case (k, v) =>
+      if (to.conf.isModifiable(k) && to.conf.getOption(k) != Some(v))
+        to.conf.set(k, v)
+    }
 
   /** Iteration snapshot: the Dataset re-rooted on its own (lazily)
     * computed internal RDD — a flat LogicalRDD plan — so iterative

@@ -33,6 +33,17 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
   private val dir1 = Files.createTempDirectory("graft-scale1").toString
   private val dir10 = Files.createTempDirectory("graft-scale10").toString
 
+  override def afterAll(): Unit = {
+    for (d <- Seq(dir1, dir10)) {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    super.afterAll()
+  }
+
   override def beforeAll(): Unit = {
     super.beforeAll()
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -65,7 +76,11 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       val t1 = time(q, dir1)
       val t10 = time(q, dir10)
       info(f"$name: 1x=$t1%.2f s, 10x=$t10%.2f s (ratio ${t10 / t1}%.1f)")
-      assert(t10 <= 3.0 * t1 + 5.0,
+      // t1 floored: on a fast warm run t1 is mostly fixed overhead that
+      // 10x work amortizes away, and a genuinely linear t10 can exceed
+      // 3x a tiny t1 — the bound targets the ~100x of an all-pairs
+      // regression, not scheduler noise.
+      assert(t10 <= 3.0 * math.max(t1, 2.0) + 5.0,
         f"$name at 10x took $t10%.2f s vs $t1%.2f s at 1x — super-linear scaling")
     }
 }

@@ -25,6 +25,19 @@ class SessionEquivalenceSpec extends SparkSpec {
 
   import TestSpark.spark.implicits._
 
+  private val tempDirs = scala.collection.mutable.Buffer[String]()
+
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    for (d <- tempDirs) {
+      val path = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(path))
+        java.nio.file.Files.walk(path).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    super.afterAll()
+  }
+
   /** Seeded session-structured generator: per user, sessions of 1–6
     * events with intra-gaps of 1–25 min and inter-gaps of 35–120 min
     * (gap rule is 30 min; the generator stays clear of the boundary).
@@ -54,7 +67,9 @@ class SessionEquivalenceSpec extends SparkSpec {
       val events = genEvents(seed)
 
       // Batch truth: the declared query over a real parquet events table.
+      // (Temp dir registered for cleanup below.)
       val dir = Files.createTempDirectory(s"graft-sess$seed").toString
+      tempDirs += dir
       events.toDF()
         .select(col("event_id"), (col("ts").cast("long") * 1000000000L).as("ts"),
           col("user_id"), col("event_type"), col("value"))
