@@ -375,7 +375,19 @@ object ExtensionQueries {
           sum(when(!col("is_member"), 1L).otherwise(0L)) * 0.05).as("fp_ok"))
   }
 
+  /** Fixed-width numeric binning — the OLAP histogram primitive as one
+    * map-side bucket expression + grouped aggregate (no shuffle beyond
+    * the bucket key; ~30 buckets regardless of scale). floor of one IEEE
+    * division is bit-identical in both engines; the price sum goes
+    * through exact DECIMAL accumulation per the determinism doctrine. */
+  val ordersPriceHistogram: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 25000d).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), decSum2(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+
   val queries: Map[String, Q] = Map(
+    "orders_price_histogram" -> ordersPriceHistogram,
     "bloom_membership" -> bloomMembership,
     "events_session_windows" -> eventsSessionWindows,
     "events_error_window_join" -> eventsErrorWindowJoin,
@@ -399,6 +411,11 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "orders_price_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     // Bloom bits are engine-internal; the oracle checks the exact member
     // count and asserts both contract booleans TRUE (approx_stats
     // precedent — a false negative or excess FP rate turns the gate red).

@@ -142,6 +142,34 @@ object ParityQueries {
            count(lit(1)).as("n_orders"))
       .orderBy("bucket")
 
+  /** #2/#17 — typed COGROUP: hpmr merges two keyed stores by feeding both
+    * sides' entries for a key through an arbitrary combine fn
+    * (src/dist_map.h:31-39 reducer over `async_set` streams from any
+    * producer); Spark's typed analog is KeyValueGroupedDataset.cogroup,
+    * the one first-class typed-merge API the inventory hadn't declared.
+    * Here: each order cogrouped with its lineitems → (order, total_price,
+    * exact summed quantity). The user fn only computes order-insensitive
+    * sums, so the result is deterministic under any partitioning; at
+    * scale cogroup plans one hash exchange per side on the key (same
+    * shuffle bill as the equivalent join+agg, but with arbitrary
+    * user-code merge semantics the declarative form can't express). */
+  val cogroupFillRatio: Q = (s, d) => {
+    import s.implicits._
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey").as("_1"), col("o_totalprice").as("_2"))
+      .as[(Long, Double)]
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("_1"), col("l_quantity").as("_2"))
+      .as[(Long, Double)]
+    ord.groupByKey(_._1).cogroup(li.groupByKey(_._1)) { (k, os, ls) =>
+      val orders = os.toSeq
+      // quantities are integer-valued; summing as Long keeps it exact
+      val qty = ls.foldLeft(0L)((acc, l) => acc + l._2.toLong)
+      orders.iterator.map(o => (k, o._2, qty))
+    }.toDF("o_orderkey", "total_price", "sum_qty")
+      .orderBy("o_orderkey")
+  }
+
   /** #17 arbitrary user reducer as a declared query: the Aggregator from
     * Reducers.reduceWith registered as a UDAF — hpmr's `std::function`
     * combine surface (src/dist_map.h:31-39) on the DataFrame path.
@@ -197,6 +225,7 @@ object ParityQueries {
     "bucket_stats" -> bucketStats,
     "mr_chain_remap" -> mrChainRemap,
     "reduce_custom_udaf" -> reduceCustomUdaf,
+    "cogroup_fill_ratio" -> cogroupFillRatio,
     "mr_sum_by_key" -> mrSumByKey,
     "mr_fanout_remap" -> mrFanoutRemap,
     "mr_range_source" -> mrRangeSource,
@@ -210,6 +239,14 @@ object ParityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // CAST on the double quantity matches the fn's .toLong exactly
+    // because quantities are integer-valued.
+    "cogroup_fill_ratio" ->
+      """SELECT o.o_orderkey, o.o_totalprice AS total_price,
+        |       CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty
+        |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_orderkey""".stripMargin,
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
