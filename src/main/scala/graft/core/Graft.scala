@@ -103,6 +103,23 @@ object Graft {
       implicit ekv: Encoder[(K, V)], ek1: Encoder[Tuple1[K]]): Dataset[(K, V)] =
     store.join(keys.map(Tuple1(_)).select(col("_1").as("_k")), col("_1") <=> col("_k"), "left_semi").as[(K, V)]
 
+  /** Approximate distributed membership — [[hasAll]] at 100 TB: the key
+    * set ships as a bloom-filter broadcast (graft.functions.Bloom, the
+    * runtime-filter shape) and the STORE side is filtered map-side,
+    * never shuffled. No false negatives ever; false positives at the
+    * filter's capacity-contract rate, so compose `hasAll` on the
+    * (already small) survivors when exactness matters — bloom pre-filter
+    * + exact semi join is precisely what Spark's InjectRuntimeFilter
+    * builds for selective joins. `expectedKeys` sizes the filter (~3%
+    * FPP at capacity; overprovision for less). */
+  def hasAllApprox[K, V](store: Dataset[(K, V)], keys: Dataset[K],
+                         expectedKeys: Long = 1000000L)(
+      implicit ek1: Encoder[Tuple1[K]]): Dataset[(K, V)] = {
+    val keyDf = keys.map(Tuple1(_)).select(col("_1").as("_k"))
+    val bloom = keyDf.agg(graft.functions.Bloom.bloomAgg(col("_k"), expectedKeys).as("bf"))
+    store.filter(graft.functions.Bloom.mightContain(bloom, col("_1")))
+  }
+
   /** Delete keys (`unset`, src/bare_hash_container.h:150-179) as a
     * left-anti join. Null-safe equality for the same reason as hasAll —
     * a null key must actually delete the null-keyed row. */

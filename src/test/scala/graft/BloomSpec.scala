@@ -35,6 +35,18 @@ class BloomSpec extends SparkSpec {
     assert(fp <= 200L, s"$fp false positives out of 20000 probes")
   }
 
+  test("facade hasAllApprox is a superset of exact hasAll; composition is exact") {
+    import graft.core.Graft
+    val store = (0L until 4000L).map(k => (k, k * 2)).toDS()
+    val keys = (0L until 4000L by 9L).toDS()
+    val exact = Graft.hasAll(store, keys).collect().toSet
+    val approx = Graft.hasAllApprox(store, keys, expectedKeys = 100000L)
+    val approxSet = approx.collect().toSet
+    assert(exact.subsetOf(approxSet), "bloom must never drop a true member")
+    // bloom pre-filter composed with the exact semi join = exact result
+    assert(Graft.hasAll(approx, keys).collect().toSet == exact)
+  }
+
   test("bloom bits are identical across partitionings (deterministic build)") {
     val keys = (0L until 3000L).map(_ * 13L)
     def bits(parts: Int): Seq[Byte] =
