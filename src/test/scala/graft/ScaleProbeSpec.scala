@@ -62,7 +62,8 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
     "dedup_minhash_lsh" -> DedupQueries.dedupMinhashLsh,
     "dedup_simhash_banded" -> DedupQueries.dedupSimhashBanded,
     "dedup_jaccard_on_lsh" -> DedupQueries.dedupJaccardOnLsh,
-    "dedup_clusters" -> DedupQueries.dedupClusters)
+    "dedup_clusters" -> DedupQueries.dedupClusters,
+    "dedup_keep_canonical" -> DedupQueries.dedupKeepCanonical)
 
   private def time(q: DedupQueries.Q, dir: String): Double = {
     val t0 = System.nanoTime()
