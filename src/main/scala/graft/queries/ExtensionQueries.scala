@@ -386,7 +386,49 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"), decSum2(col("o_totalprice")).as("sum_price"))
       .orderBy("bucket")
 
+  /** Sequence analytics: per-user event-type TRANSITION counts (the
+    * Markov matrix behind funnel/behavior models) — lag over the
+    * per-user event-time order, then a global (prev, next) aggregate.
+    * One shuffle on user_id for the window (same partitioning every
+    * per-user operator here reuses), then a tiny 25-cell aggregate.
+    * Ordering ties broken by event_id so both engines see one sequence. */
+  val eventsTypeTransitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), nsToEpochSec(col("ts")).as("sec"),
+              col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** Cohort retention: per UTC day, how many distinct active users were
+    * also active the following day — the training-data freshness /
+    * engagement primitive. Shape: distinct (user, day) pairs (map-side
+    * partial distinct), one self equi-join on (user, day+1), then a
+    * per-day count; at 100 TB the distinct pair set is orders of
+    * magnitude smaller than the event log and the join is narrow. */
+  val eventsRetention: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+              call_function("div", nsToEpochSec(col("ts")), lit(86400L)).as("day"))
+      .distinct()
+    val active = days.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val retained = days.as("a")
+      .join(days.as("b"),
+        col("a.user_id") === col("b.user_id") && col("b.day") === col("a.day") + 1L)
+      .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("n_retained"))
+    active.join(retained, Seq("day"), "left_outer")
+      .select(col("day"), col("n_active"),
+              coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_type_transitions" -> eventsTypeTransitions,
+    "events_retention" -> eventsRetention,
     "orders_price_histogram" -> ordersPriceHistogram,
     "bloom_membership" -> bloomMembership,
     "events_session_windows" -> eventsSessionWindows,
@@ -411,6 +453,36 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_type_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), seq AS (
+        |  SELECT event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_type
+        |  FROM e
+        |)
+        |SELECT prev_type, event_type, COUNT(*) AS n
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
+    "events_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+        |  FROM events
+        |), active AS (
+        |  SELECT day, COUNT(*) AS n_active FROM days GROUP BY day
+        |), retained AS (
+        |  SELECT a.day, COUNT(*) AS n_retained
+        |  FROM days a JOIN days b ON b.user_id = a.user_id AND b.day = a.day + 1
+        |  GROUP BY a.day
+        |)
+        |SELECT day, n_active,
+        |       CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained
+        |FROM active LEFT JOIN retained USING (day)
+        |ORDER BY day""".stripMargin,
     "orders_price_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
         |       COUNT(*) AS n,
