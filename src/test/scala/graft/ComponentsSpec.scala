@@ -35,6 +35,28 @@ class ComponentsSpec extends SparkSpec {
     assert(got(900L) == 900L && got(901L) == 900L)
   }
 
+  test("2000-edge random graph matches union-find (seeded, multi-component)") {
+    val rnd = new scala.util.Random(7L)
+    val edges = Seq.fill(2000) {
+      // 3 islands of 400 vertices — several mid-size components plus noise
+      val island = rnd.nextInt(3) * 1000L
+      (island + rnd.nextInt(400), island + rnd.nextInt(400))
+    }.filter(e => e._1 != e._2)
+    val got = Components.connectedComponents(
+        edges.toDF("doc_a", "doc_b"), loopParts = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert(got == parent.keys.map(v => v -> find(v)).toMap)
+  }
+
   test("loop leaves the caller session's conf untouched") {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val parts = spark.conf.get("spark.sql.shuffle.partitions")
