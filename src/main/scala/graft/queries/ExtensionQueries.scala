@@ -29,6 +29,20 @@ object ExtensionQueries {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
+  /** Duplicate-group size histogram over exact (normalized-text) dedup
+    * groups: how many groups have 1 copy, 2 copies, … — the first chart
+    * of any corpus-dedup report. Two cascaded aggregates, each with
+    * map-side partials; the second groups on an already-tiny domain
+    * (distinct sizes), so the heavy shuffle is the same 32-byte digest
+    * rows as dedup_exact and the rest is noise. */
+  val dedupExactGroupSizes: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(lower(trim(col("text")))).as("norm"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy("sz")
+
   /** The canonical MapReduce demo on real data: tokenize → explode →
     * count → top-k. Top-k is orderBy+limit — Spark plans TakeOrderedAndProject
     * (partial per-partition top-k, no global sort materialization). */
@@ -442,6 +456,7 @@ object ExtensionQueries {
     "events_percentiles" -> eventsPercentiles,
     "set_ops_counts" -> setOpsCounts,
     "dedup_exact" -> dedupExact,
+    "dedup_exact_group_sizes" -> dedupExactGroupSizes,
     "text_wordcount_topk" -> textWordcountTopk,
     "sim_cosine_topk" -> simCosineTopk,
     "events_tumbling_agg" -> eventsTumblingAgg,
@@ -632,6 +647,12 @@ object ExtensionQueries {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, LOWER(TRIM(text)) AS norm FROM documents)
         |GROUP BY norm ORDER BY doc_id""".stripMargin,
+    "dedup_exact_group_sizes" ->
+      """SELECT sz, COUNT(*) AS n_groups FROM (
+        |  SELECT COUNT(*) AS sz
+        |  FROM (SELECT LOWER(TRIM(text)) AS norm FROM documents)
+        |  GROUP BY norm
+        |) GROUP BY sz ORDER BY sz""".stripMargin,
     "text_wordcount_topk" ->
       """SELECT word, COUNT(*) AS n
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)

@@ -206,7 +206,54 @@ object TextQueries {
       .orderBy("lang", "rk")
   }
 
+  /** Intra-document repetition: total vs distinct word 3-grams per doc,
+    * plus the duplicate fraction as an exact integer permille (the
+    * Gopher-style "fraction of duplicated n-grams" quality rule). Pure
+    * map-side compute — each doc's shingle set never leaves its row, so
+    * this scales linearly and shuffles nothing but the final sort. The
+    * permille uses integer `div`, never float division, so the oracle
+    * hash cannot drift on a rounding boundary. */
+  val textRepetitionRatio: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), shingles3(col("w")).as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        call_function("div",
+          (col("n_shingles") - col("n_distinct")) * 1000L,
+          col("n_shingles")).as("dup_pml"))
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination: flag training docs sharing any word
+    * 3-gram with a held-out eval slice (here a deterministic 5% hash
+    * slice of doc_ids; in production, the fixed benchmark suite).
+    * Reports the number of distinct contaminating shingles per flagged
+    * doc. The eval shingle set is broadcast — at 100 TB the eval side is
+    * a fixed-size benchmark corpus, so the corpus-side shingles stream
+    * map-side through the broadcast hash join and only (doc_id, count)
+    * rows ever shuffle; an equi-shuffle join on shingle strings would
+    * move the whole corpus. */
+  val textDecontaminate: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        (md5Long(col("doc_id").cast("string")) % 20L === 0L).as("is_eval"),
+        explode(array_distinct(shingles3(col("w")))).as("s"))
+    val evalSh = sh.filter(col("is_eval")).select("s").distinct()
+    sh.filter(!col("is_eval"))
+      .join(broadcast(evalSh), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_repetition_ratio" -> textRepetitionRatio,
+    "text_decontaminate" -> textDecontaminate,
     "sample_weighted" -> sampleWeighted,
     "sample_fixed_per_source" -> sampleFixedPerSource,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
@@ -223,6 +270,32 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_repetition_ratio" ->
+      s"""SELECT doc_id,
+        |       CAST(len(sh) AS BIGINT) AS n_shingles,
+        |       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+        |       CAST(((len(sh) - len(list_distinct(sh))) * 1000) // len(sh) AS BIGINT) AS dup_pml
+        |FROM (
+        |  SELECT doc_id, list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+        |  FROM (SELECT doc_id, ${wordsSql.format("text")} AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |) ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      s"""WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 20 = 0 AS is_eval,
+        |         UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, ${wordsSql.format("text")} AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), ev AS (
+        |  SELECT DISTINCT s FROM sh WHERE is_eval
+        |)
+        |SELECT doc_id, COUNT(*) AS n_shared
+        |FROM sh JOIN ev USING (s)
+        |WHERE NOT is_eval
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sample_weighted" ->
       """SELECT lang, rk, doc_id FROM (
         |  SELECT lang, doc_id,
