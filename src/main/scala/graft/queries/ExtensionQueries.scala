@@ -418,6 +418,34 @@ object ExtensionQueries {
       .orderBy("prev_type", "event_type")
   }
 
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * earliest view, the earliest click at-or-after it, the earliest
+    * purchase at-or-after that (second granularity, >= so same-second
+    * steps count — ordering inside one second is not meaningful at event
+    * scale). Three stacked unbounded windows over the SAME user_id
+    * partitioning — Catalyst plans one exchange and evaluates the
+    * cascade in one pass per user, the per-user-sequence shape every
+    * funnel/attribution job needs; the per-user collapse that follows
+    * reuses that partitioning, so the whole funnel costs a single
+    * shuffle of (user_id, sec, type) triples. */
+  val eventsFunnel: Q = (s, d) => {
+    val wU = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .select(col("user_id"), nsToEpochSec(col("ts")).as("sec"), col("event_type"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("sec"))).over(wU))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("sec") >= col("t1"), col("sec"))).over(wU))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("sec") >= col("t2"), col("sec"))).over(wU))
+      .groupBy("user_id")
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+           sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+           sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_purchased"))
+  }
+
   /** Cohort retention: per UTC day, how many distinct active users were
     * also active the following day — the training-data freshness /
     * engagement primitive. Shape: distinct (user, day) pairs (map-side
@@ -457,6 +485,7 @@ object ExtensionQueries {
     "set_ops_counts" -> setOpsCounts,
     "dedup_exact" -> dedupExact,
     "dedup_exact_group_sizes" -> dedupExactGroupSizes,
+    "events_funnel" -> eventsFunnel,
     "text_wordcount_topk" -> textWordcountTopk,
     "sim_cosine_topk" -> simCosineTopk,
     "events_tumbling_agg" -> eventsTumblingAgg,
@@ -647,6 +676,28 @@ object ExtensionQueries {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, LOWER(TRIM(text)) AS norm FROM documents)
         |GROUP BY norm ORDER BY doc_id""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type
+        |  FROM events
+        |), w1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN sec END)
+        |              OVER (PARTITION BY user_id) AS t1 FROM e
+        |), w2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND sec >= t1 THEN sec END)
+        |              OVER (PARTITION BY user_id) AS t2 FROM w1
+        |), w3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND sec >= t2 THEN sec END)
+        |              OVER (PARTITION BY user_id) AS t3 FROM w2
+        |), u AS (
+        |  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        |  FROM w3 GROUP BY user_id
+        |)
+        |SELECT COUNT(*) AS n_users,
+        |       CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        |       CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+        |       CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        |FROM u""".stripMargin,
     "dedup_exact_group_sizes" ->
       """SELECT sz, COUNT(*) AS n_groups FROM (
         |  SELECT COUNT(*) AS sz
