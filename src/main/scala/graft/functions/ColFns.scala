@@ -55,6 +55,13 @@ object ColFns {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Normalized-text digest shared by the whole exact-dedup family
+    * (dedup_exact, dedup_exact_group_sizes, pipeline_clean_corpus, the
+    * streaming doc pipeline): md5(lower(trim(text))). One definition so
+    * a future normalization change cannot silently diverge between
+    * sites. DuckDB: md5(LOWER(TRIM(text))). */
+  def normDigest(c: Column): Column = md5(lower(trim(c)))
+
   /** Whitespace tokenization shared with the oracle: split on single
     * spaces, drop empties. DuckDB: string_split(text, ' ') + filter. */
   def words(c: Column): Column =

@@ -24,7 +24,7 @@ object ExtensionQueries {
     * standard for content-addressed dedup). */
   val dedupExact: Q = (s, d) =>
     Tables.documents(s, d)
-      .groupBy(md5(lower(trim(col("text")))).as("norm"))
+      .groupBy(normDigest(col("text")).as("norm"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
@@ -36,8 +36,15 @@ object ExtensionQueries {
     * (distinct sizes), so the heavy shuffle is the same 32-byte digest
     * rows as dedup_exact and the rest is noise. */
   val dedupExactGroupSizes: Q = (s, d) =>
-    Tables.documents(s, d)
-      .groupBy(md5(lower(trim(col("text")))).as("norm"))
+    groupSizesOf(Tables.documents(s, d))
+
+  /** Core of dedup_exact_group_sizes over any frame with a `text`
+    * column. The fixtures contain no exact duplicates (every group has
+    * size 1 there), so the multi-copy branch is pinned by a synthetic
+    * duplicated frame in FunnelSpec rather than by the oracle gate. */
+  def groupSizesOf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(normDigest(col("text")).as("norm"))
       .agg(count(lit(1)).as("sz"))
       .groupBy("sz")
       .agg(count(lit(1)).as("n_groups"))
@@ -418,26 +425,40 @@ object ExtensionQueries {
       .orderBy("prev_type", "event_type")
   }
 
-  /** Ordered conversion funnel view → click → purchase: per user, the
-    * earliest view, the earliest click at-or-after it, the earliest
-    * purchase at-or-after that (second granularity, >= so same-second
-    * steps count — ordering inside one second is not meaningful at event
-    * scale). Three stacked unbounded windows over the SAME user_id
-    * partitioning — Catalyst plans one exchange and evaluates the
-    * cascade in one pass per user, the per-user-sequence shape every
-    * funnel/attribution job needs; the per-user collapse that follows
-    * reuses that partitioning, so the whole funnel costs a single
-    * shuffle of (user_id, sec, type) triples. */
-  val eventsFunnel: Q = (s, d) => {
+  /** Ordered conversion funnel view → click → purchase with a 24 h
+    * conversion window per step: per user, the earliest view, the
+    * earliest click within [t1, t1+24h], the earliest purchase within
+    * [t2, t2+24h] (second granularity, >= so same-second steps count —
+    * ordering inside one second is not meaningful at event scale; the
+    * window keeps the stages selective, which also means the oracle gate
+    * actually exercises the cascade anchoring — without it every fixture
+    * user saturates all stages and a mis-anchored condition would pass).
+    * Three stacked unbounded windows over the SAME user_id partitioning
+    * — Catalyst plans one exchange and evaluates the cascade in one pass
+    * per user, the per-user-sequence shape every funnel/attribution job
+    * needs; the per-user collapse that follows reuses that partitioning,
+    * so the whole funnel costs a single shuffle of (user_id, sec, type)
+    * triples. */
+  val eventsFunnel: Q = (s, d) =>
+    funnelOf(Tables.events(s, d)
+      .select(col("user_id"), nsToEpochSec(col("ts")).as("sec"), col("event_type")))
+
+  /** Core of events_funnel over any (user_id, sec, event_type) frame;
+    * FunnelSpec drives the stage-anchoring edge cases (purchase before
+    * click, click outside the window, …) through this directly. */
+  def funnelOf(events: DataFrame, windowSec: Long = 86400L): DataFrame = {
     val wU = Window.partitionBy("user_id")
-    Tables.events(s, d)
-      .select(col("user_id"), nsToEpochSec(col("ts")).as("sec"), col("event_type"))
+    events
       .withColumn("t1",
         min(when(col("event_type") === "view", col("sec"))).over(wU))
       .withColumn("t2",
-        min(when(col("event_type") === "click" && col("sec") >= col("t1"), col("sec"))).over(wU))
+        min(when(col("event_type") === "click"
+          && col("sec") >= col("t1") && col("sec") <= col("t1") + windowSec,
+          col("sec"))).over(wU))
       .withColumn("t3",
-        min(when(col("event_type") === "purchase" && col("sec") >= col("t2"), col("sec"))).over(wU))
+        min(when(col("event_type") === "purchase"
+          && col("sec") >= col("t2") && col("sec") <= col("t2") + windowSec,
+          col("sec"))).over(wU))
       .groupBy("user_id")
       .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
       .agg(count(lit(1)).as("n_users"),
@@ -448,25 +469,31 @@ object ExtensionQueries {
 
   /** Cohort retention: per UTC day, how many distinct active users were
     * also active the following day — the training-data freshness /
-    * engagement primitive. Shape: distinct (user, day) pairs (map-side
-    * partial distinct), one self equi-join on (user, day+1), then a
-    * per-day count; at 100 TB the distinct pair set is orders of
-    * magnitude smaller than the event log and the join is narrow. */
-  val eventsRetention: Q = (s, d) => {
-    val days = Tables.events(s, d)
+    * engagement primitive. See [[retentionOf]] for the single-scan
+    * shape. */
+  val eventsRetention: Q = (s, d) =>
+    retentionOf(Tables.events(s, d)
       .select(col("user_id"),
-              call_function("div", nsToEpochSec(col("ts")), lit(86400L)).as("day"))
-      .distinct()
-    val active = days.groupBy("day").agg(count(lit(1)).as("n_active"))
-    val retained = days.as("a")
-      .join(days.as("b"),
-        col("a.user_id") === col("b.user_id") && col("b.day") === col("a.day") + 1L)
-      .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("n_retained"))
-    active.join(retained, Seq("day"), "left_outer")
-      .select(col("day"), col("n_active"),
-              coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+              call_function("div", nsToEpochSec(col("ts")), lit(86400L)).as("day")))
+
+  /** Core of events_retention over any (user_id, day) frame. Single scan
+    * of the log: distinct pairs, then each user's day set is collected
+    * once (bounded — at most one element per calendar day, a few hundred
+    * longs even over years) and every day looks up day+1 in its own
+    * user's array. The earlier self-join formulation planned THREE
+    * full-log scan+distinct pipelines (the distinct subplan is
+    * instantiated per branch and exchange reuse cannot merge the
+    * differently-filtered copies); this shape scans once and shuffles
+    * only the already-collapsed pairs. */
+  def retentionOf(userDays: DataFrame): DataFrame =
+    userDays.distinct()
+      .groupBy("user_id").agg(collect_set(col("day")).as("ds"))
+      .select(explode(col("ds")).as("day"),
+              array_contains(col("ds"), col("day") + 1L).as("ret"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+           sum(when(col("ret"), 1L).otherwise(0L)).as("n_retained"))
       .orderBy("day")
-  }
 
   val queries: Map[String, Q] = Map(
     "events_type_transitions" -> eventsTypeTransitions,
@@ -684,10 +711,12 @@ object ExtensionQueries {
         |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN sec END)
         |              OVER (PARTITION BY user_id) AS t1 FROM e
         |), w2 AS (
-        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND sec >= t1 THEN sec END)
+        |  SELECT *, MIN(CASE WHEN event_type = 'click'
+        |                      AND sec >= t1 AND sec <= t1 + 86400 THEN sec END)
         |              OVER (PARTITION BY user_id) AS t2 FROM w1
         |), w3 AS (
-        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND sec >= t2 THEN sec END)
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase'
+        |                      AND sec >= t2 AND sec <= t2 + 86400 THEN sec END)
         |              OVER (PARTITION BY user_id) AS t3 FROM w2
         |), u AS (
         |  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3

@@ -154,7 +154,7 @@ object TextQueries {
         size(array_distinct(col("w"))) / size(col("w")).cast("double"))
       .filter(col("uniq_ratio") >= 0.3)
     val deduped = scored
-      .groupBy(md5(lower(trim(col("text")))).as("norm"))
+      .groupBy(normDigest(col("text")).as("norm"))
       .agg(min(col("doc_id")).as("doc_id"),
            // min, not first: identical text may still carry different lang
            // labels, and first() is order-dependent under parallelism

@@ -34,7 +34,7 @@ object DocStreams {
       .withColumn("w", graft.functions.ColFns.words(col("text")))
       .filter(size(col("w")) >= 10)
       .filter(size(array_distinct(col("w"))) / size(col("w")).cast("double") >= 0.3)
-      .withColumn("norm", md5(lower(trim(col("text")))))
+      .withColumn("norm", graft.functions.ColFns.normDigest(col("text")))
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("norm")
       .select(col("doc_id"), col("lang"), col("ingest_ts"),
