@@ -48,4 +48,25 @@ object Skew {
       .agg(aggs.head._3(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
            aggs.tail.map { case (n, _, f) => f(col(s"__p_$n")).as(n) }: _*)
   }
+
+  /** Salted equi-join for hot-key skew when the other side is too big to
+    * broadcast but small enough to replicate S× (the classic middle
+    * ground AQE's skew splitting can miss when one key dominates a
+    * partition beyond the split factor): the big side gets a positional
+    * salt in [0, S), the small side is exploded to every salt value, and
+    * the join runs on (key, salt) — the hot key's probe rows spread over
+    * S tasks. Each (big, small) row pair matches at exactly one salt, so
+    * the result multiset is identical to the plain inner equi-join
+    * (SkewSpec asserts this with broadcasting disabled, plus the
+    * two-key join shape). Cost: S copies of the small side through the
+    * shuffle — pick S ≈ a few × parallelism. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    require(salts > 0, "saltedJoin needs at least one salt bucket")
+    val saltedBig = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

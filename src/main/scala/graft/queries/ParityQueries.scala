@@ -205,6 +205,27 @@ object ParityQueries {
           (c: org.apache.spark.sql.Column) => sum(c).cast("double"))))
       .orderBy("event_type")
 
+  /** The join-side skew remedy as a DECLARED query: enrich every event
+    * with its type's global mean via Skew.saltedJoin — the 5-key
+    * event_type distribution is exactly the hot-key shape where a plain
+    * shuffle join lands each whole key on one task. The salted form
+    * spreads each key over 8 salt tasks and replicates the 5-row stats
+    * side 8×; the result is identical to the plain join, which is what
+    * the oracle computes. Above-mean counting keeps the output exact:
+    * the mean is an exact DECIMAL sum over one IEEE division, and the
+    * comparison is on raw doubles — no rounded value is emitted. */
+  val skewSaltedJoin: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_type"), col("value"))
+    val stats = e.groupBy("event_type")
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double") / count(lit(1))).as("avg_value"))
+    graft.operators.Skew.saltedJoin(e, stats, "event_type", 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("value") > col("avg_value"), 1L).otherwise(0L)).as("n_above_avg"))
+      .orderBy("event_type")
+  }
+
   /** #11 — bucket/load-factor statistics (hpmr
     * src/bare_concurrent_container.h:30-32 `get_n_buckets` /
     * `get_load_factor`) as an observable query: assign every orders key to
@@ -222,6 +243,7 @@ object ParityQueries {
 
   val queries: Map[String, Q] = Map(
     "skew_salted_agg" -> skewSaltedAgg,
+    "skew_salted_join" -> skewSaltedJoin,
     "bucket_stats" -> bucketStats,
     "mr_chain_remap" -> mrChainRemap,
     "reduce_custom_udaf" -> reduceCustomUdaf,
@@ -251,6 +273,18 @@ object ParityQueries {
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The oracle is the PLAIN join+agg: the salted form must be
+    // result-identical, that identity is the contract under test.
+    "skew_salted_join" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN e.value > s.avg_value THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+        |FROM events e JOIN stats s USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "bucket_stats" ->
       """WITH b AS (
         |  SELECT CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 32 AS bucket
