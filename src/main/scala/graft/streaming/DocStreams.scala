@@ -40,6 +40,30 @@ object DocStreams {
       .select(col("doc_id"), col("lang"), col("ingest_ts"),
               size(col("w")).as("n_tokens"))
 
+  /** Streaming benchmark decontamination — the incremental form of the
+    * batch `text_decontaminate` query: each arriving doc's distinct word
+    * 3-grams are checked against a STATIC eval-benchmark shingle set
+    * (column `s`), and docs sharing any shingle are emitted with their
+    * overlap count once the watermark passes their ingest time. Shapes:
+    * the shingle explode is stateless map-side work; the stream-static
+    * inner join broadcasts the fixed-size eval set so nothing shuffles;
+    * the only state is the per-(doc_id, ingest_ts) count aggregate,
+    * which the watermark bounds and append mode finalizes — grouping by
+    * the event-time column itself is what lets append emit exactly one
+    * row per contaminated doc. */
+  def decontaminate(docs: DataFrame, evalShingles: DataFrame,
+                    watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("w", graft.functions.ColFns.words(col("text")))
+      .filter(size(col("w")) >= 3)
+      .withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(array_distinct(graft.functions.ColFns.shingles3(col("w")))).as("s"))
+      .join(broadcast(evalShingles), Seq("s"))
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"))
+
   /** Full pipeline: gate → dedup → per-(window, lang) doc/token counts.
     * Append mode emits each window once the watermark passes it. */
   def pipeline(docs: DataFrame, watermark: String = "1 hour",

@@ -160,6 +160,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows("de")._1 == 1L)
   }
 
+  test("streaming decontamination flags only docs overlapping the eval set") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // eval set = shingles of one benchmark sentence
+    val evalShingles = Seq("the quick brown", "quick brown fox", "brown fox jumps")
+      .toDF("s")
+    val contaminated = "today the quick brown fox appeared" // shares 2 shingles
+    val clean = "completely unrelated words about distributed query engines"
+    val tooShort = "the quick" // < 3 words, gated before shingling
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val streamDf = mem.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = DocStreams.decontaminate(streamDf, evalShingles).writeStream
+      .format("memory").queryName("decontam")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, contaminated, ts(0, 10)), (2L, clean, ts(0, 20)),
+                  (3L, tooShort, ts(0, 25)))
+      q.processAllAvailable()
+      // advance the watermark past the sample so append finalizes
+      mem.addData((99L, clean, ts(20, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("decontam")
+      .select(col("doc_id"), col("n_shared"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 2L), s"got $rows")
+  }
+
   test("sessionize accumulates per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
