@@ -81,4 +81,41 @@ class FunnelSpec extends SparkSpec {
     // day 103: active {1}, nobody on 104 -> 0
     assert(out == Seq((100L, 2L, 1L), (101L, 2L, 1L), (102L, 2L, 0L), (103L, 1L, 0L)))
   }
+
+  test("events_retention plans a SINGLE scan of the event log") {
+    // The round-3 review found the self-join form instantiated the
+    // distinct subplan three times (three full-log scans); the day-set
+    // rewrite must keep it at one. sparkPlan, not executedPlan: AQE
+    // wraps scans (DESIGN.md plan-assert note).
+    val plan = queries.ExtensionQueries.eventsRetention(spark, sfDir)
+      .queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"expected 1 events scan, got ${scans.length}")
+  }
+
+  test("events_funnel plans ONE data shuffle (user_id) before the 1-row agg") {
+    // Exchanges are inserted by EnsureRequirements, so they only exist in
+    // executedPlan; AQE off so that plan is the traversable static one
+    // (same pattern as BucketedJoinSpec).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = queries.ExtensionQueries.eventsFunnel(spark, sfDir)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.outputPartitioning
+      }
+      // one hash exchange on user_id + the SinglePartition collapse for
+      // the global 1-row aggregate; anything more means the window
+      // cascade or the per-user collapse stopped reusing the partitioning
+      val hashExchanges = exchanges.count {
+        case _: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => true
+        case _ => false
+      }
+      assert(hashExchanges == 1, s"expected 1 hash exchange, got $exchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
