@@ -251,7 +251,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing — the step that turns a cleaned corpus into
+    * fixed-size training contexts: per source, concatenate the token
+    * stream in deterministic (doc_id) order and cut every C=512 tokens.
+    * Reports chunks produced and docs split across a chunk boundary
+    * (the packing-efficiency signal; too many splits → shuffle doc
+    * order or pad). The running total is a window sum over the SAME
+    * per-source partitioning any per-group op uses — one shuffle on
+    * source, integer-only math, so the oracle hash is exact. At 100 TB
+    * the stream is packed per source shard exactly like this, with C
+    * the model context length. */
+  val textPackChunks: Q = (s, d) => {
+    val C = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+              size(words(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"),
+           call_function("div", sum(col("n_tokens")) + (C - 1L), lit(C)).as("n_chunks"),
+           sum(when(
+             call_function("div", col("cum_before"), lit(C)) =!=
+               call_function("div", col("cum_before") + col("n_tokens") - 1L, lit(C)),
+             1L).otherwise(0L)).as("n_split_docs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_pack_chunks" -> textPackChunks,
     "text_repetition_ratio" -> textRepetitionRatio,
     "text_decontaminate" -> textDecontaminate,
     "sample_weighted" -> sampleWeighted,
@@ -270,6 +302,24 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_pack_chunks" ->
+      s"""WITH toks AS (
+        |  SELECT source, doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+        |  FROM (SELECT source, doc_id, ${wordsSql.format("text")} AS w FROM documents)
+        |  WHERE len(w) > 0
+        |), cum AS (
+        |  SELECT source, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM toks
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_chunks,
+        |       CAST(SUM(CASE WHEN cum_before // 512 <>
+        |                       (cum_before + n_tokens - 1) // 512
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     "text_repetition_ratio" ->
       s"""SELECT doc_id,
         |       CAST(len(sh) AS BIGINT) AS n_shingles,
