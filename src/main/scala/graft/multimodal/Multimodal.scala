@@ -115,12 +115,32 @@ object Multimodal {
            sum(when(col("scale") < 1.0, 1L).otherwise(0L)).as("n_downscaled"))
       .orderBy("kind")
 
+  /** Exact media dedup by payload digest — the storage-savings estimator
+    * a multimodal ingest runs first (identical images/clips re-posted
+    * across sources are the dominant redundancy). Two-phase: group on
+    * (kind, md5(payload)) so only 32-byte digests shuffle — payload bytes
+    * stay in their scan partitions — then collapse per kind into row and
+    * byte savings. dup_bytes = Σ (copies−1)·size: the bytes a
+    * content-addressed store would not write. */
+  def dedupPayload(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .filter(col("payload").isNotNull)
+      .groupBy(col("kind"), md5(col("payload")).as("dg"))
+      .agg(count(lit(1)).as("n"),
+           max(length(col("payload"))).cast("long").as("bytes"))
+      .groupBy("kind")
+      .agg(sum(col("n")).as("n_payloads"),
+           count(lit(1)).as("n_distinct"),
+           sum((col("n") - 1L) * col("bytes")).as("dup_bytes"))
+      .orderBy("kind")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "mm_meta_stats" -> metaStats,
     "mm_frame_counts" -> frameCounts,
     "mm_resize_geometry" -> resizeGeometry,
+    "mm_dedup_payload" -> dedupPayload,
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,6 +159,22 @@ object Multimodal {
         |      FROM documents
         |      WHERE CAST(doc_id % 3 AS INT) = 2)
         |GROUP BY media_id ORDER BY media_id""".stripMargin,
+    "mm_dedup_payload" ->
+      """WITH grp AS (
+        |  -- md5 over the VARCHAR: this DuckDB build's md5() rejects BLOB,
+        |  -- and the payload IS the text's UTF-8 bytes, so the digests agree.
+        |  SELECT kind, md5(text) AS dg, COUNT(*) AS n,
+        |         MAX(octet_length(encode(text))) AS bytes
+        |  FROM (SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |               text
+        |        FROM documents)
+        |  WHERE text IS NOT NULL
+        |  GROUP BY kind, dg
+        |)
+        |SELECT kind, CAST(SUM(n) AS BIGINT) AS n_payloads,
+        |       COUNT(*) AS n_distinct,
+        |       CAST(SUM((n - 1) * bytes) AS BIGINT) AS dup_bytes
+        |FROM grp GROUP BY kind ORDER BY kind""".stripMargin,
     // The stub decode derives (w, h) from payload length; the resize
     // scale is one IEEE min-of-divisions, identical in both engines.
     "mm_resize_geometry" ->

@@ -285,7 +285,25 @@ object DedupQueries {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("score"))
   }
 
+  /** Degree histogram of the near-dup candidate graph — the shape
+    * diagnostic run BEFORE committing to a clustering pass: a heavy tail
+    * here (one doc paired with thousands — boilerplate, licence
+    * headers) predicts hot keys in the component loop and is the signal
+    * to cap or pre-filter buckets. Edges are the same MinHash-LSH
+    * candidates the cluster family consumes; each undirected edge
+    * contributes to both endpoints. Everything past the candidate join
+    * shuffles only (doc_id) then (degree) — trivially scale-safe. */
+  val graphDegreeStats: Q = (s, d) => {
+    val pairs = minhashCandidates(s, d)
+    pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_degree_stats" -> graphDegreeStats,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_jaccard_on_lsh" -> dedupJaccardOnLsh,
     "dedup_clusters" -> dedupClusters,
@@ -296,6 +314,35 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_degree_stats" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), base AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, MIN((h * (j * 40503 + 10007) + (j * 69621 + 30011)) % 2147483647) AS mh
+        |  FROM base, UNNEST(generate_series(0, 15)) AS t(j)
+        |  GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |         CAST(MIN(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
+        |           CAST(MIN(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |), deg AS (
+        |  SELECT doc_id, COUNT(*) AS degree FROM (
+        |    SELECT doc_a AS doc_id FROM pairs
+        |    UNION ALL SELECT doc_b AS doc_id FROM pairs
+        |  ) GROUP BY doc_id
+        |)
+        |SELECT degree, COUNT(*) AS n_docs
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),

@@ -495,7 +495,29 @@ object ExtensionQueries {
            sum(when(col("ret"), 1L).otherwise(0L)).as("n_retained"))
       .orderBy("day")
 
+  /** Daily active users with the new-vs-returning split — the growth
+    * dashboard primitive next to [[eventsRetention]]. Single scan like
+    * retention (the naive form joins the log against a min-day subquery,
+    * scanning it twice): distinct (user, day) pairs once, then each
+    * user's first day comes from a min window over the SAME user_id
+    * partitioning, and the final aggregate shuffles only the collapsed
+    * pairs on day. At 100 TB the distinct is the big shuffle; everything
+    * after moves one row per user-day. */
+  val eventsDailyActive: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .select(col("user_id"),
+              call_function("div", nsToEpochSec(col("ts")), lit(86400L)).as("day"))
+      .distinct()
+      .withColumn("first_day", min(col("day")).over(w))
+      .groupBy("day")
+      .agg(count(lit(1)).as("dau"),
+           sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_daily_active" -> eventsDailyActive,
     "events_type_transitions" -> eventsTypeTransitions,
     "events_retention" -> eventsRetention,
     "orders_price_histogram" -> ordersPriceHistogram,
@@ -538,6 +560,17 @@ object ExtensionQueries {
         |FROM seq WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type
         |ORDER BY prev_type, event_type""".stripMargin,
+    "events_daily_active" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+        |  FROM events
+        |), f AS (
+        |  SELECT day, MIN(day) OVER (PARTITION BY user_id) AS first_day FROM days
+        |)
+        |SELECT day, COUNT(*) AS dau,
+        |       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |FROM f GROUP BY day ORDER BY day""".stripMargin,
     "events_retention" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

@@ -149,13 +149,51 @@ object SimilarityQueries {
       .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
       .orderBy("label", "dim")
 
+  /** LSH bucket-occupancy histogram — the index-balance diagnostic an ANN
+    * deployment watches: per hash table, how many buckets hold 1, 2, …
+    * vectors. Max bucket size bounds the candidate join's fan-in (a
+    * degenerate hyperplane set shows up here as one giant bucket long
+    * before a recall metric moves). Pure map-side bucketing (the same
+    * codegen'd qdot expression the search path uses) + two collapsing
+    * aggregates; nothing wider than (tbl, bucket) ever shuffles. */
+  val embBucketHistogram: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    q.select(
+        posexplode(array((0 until NTables).map(t => lshBucket(t, col("qv"))): _*))
+          .as(Seq("tbl", "bucket")))
+      .groupBy(col("tbl").cast("long").as("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy("tbl", "bucket_size")
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy("tbl", "bucket_size")
+  }
+
   val queries: Map[String, Q] = Map(
+    "emb_bucket_histogram" -> embBucketHistogram,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "emb_centroids" -> embCentroids,
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_bucket_histogram" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), keyed AS (
+        |  SELECT vec_id, tbl,
+        |         CAST(list_sum(list_transform(generate_series(0, 5), p ->
+        |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
+        |                  qv[dd] * (CAST('0x' || substring(md5(CAST(tbl * 6 + p AS VARCHAR) || ':' || CAST(dd - 1 AS VARCHAR)), 1, 4) AS INTEGER) - 32768))) > 0
+        |                THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+        |  FROM q, UNNEST(generate_series(0, 2)) AS t(tbl)
+        |), occ AS (
+        |  SELECT tbl, bucket, COUNT(*) AS bucket_size FROM keyed GROUP BY tbl, bucket
+        |)
+        |SELECT tbl, bucket_size, COUNT(*) AS n_buckets
+        |FROM occ GROUP BY tbl, bucket_size ORDER BY tbl, bucket_size""".stripMargin,
     "emb_centroids" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
         |       CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,

@@ -282,7 +282,53 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Per-language length quartiles — the corpus-profiling step that sizes
+    * length-based quality cuts (Gopher/C4 both gate on doc length per
+    * language, not globally). ntile(4) over a deterministic
+    * (n_chars, doc_id) order is exact and engine-portable: both engines
+    * give the first (n mod 4) tiles the extra row. One window shuffle on
+    * lang, then a collapsed 16-row aggregate — at 100 TB the window
+    * carries only (lang, doc_id, n_chars), never text. */
+  val textLengthQuartiles: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("n_chars", "doc_id")
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("lang", "quartile")
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"),
+           sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "quartile")
+  }
+
+  /** Top-10 bigrams per language — the n-gram LM count-table build (the
+    * KenLM/cc-net shape: adjacent-pair counts, then per-group top-k).
+    * Same two-stage plan as the unigram top-k: the explode fans out
+    * map-side, the (lang, bigram) aggregate collapses cardinality BEFORE
+    * the rank window shuffles on lang — the window never sees raw pairs.
+    * Bigram keys are unambiguous single strings ("w1 w2"): words are
+    * split on space so no word contains one. */
+  val textBigramTopk: Q = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .select(col("lang"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
+          concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)))).as("bigram"))
+    val counts = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("n"), asc("bigram"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("bigram"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_length_quartiles" -> textLengthQuartiles,
+    "text_bigram_topk" -> textBigramTopk,
     "text_pack_chunks" -> textPackChunks,
     "text_repetition_ratio" -> textRepetitionRatio,
     "text_decontaminate" -> textDecontaminate,
@@ -302,6 +348,29 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_length_quartiles" ->
+      """SELECT lang, quartile, COUNT(*) AS n_docs,
+        |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT lang, n_chars,
+        |             NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+        |      FROM documents)
+        |GROUP BY lang, quartile ORDER BY lang, quartile""".stripMargin,
+    "text_bigram_topk" ->
+      s"""WITH bg AS (
+        |  SELECT lang, UNNEST(list_transform(generate_series(1, len(w)-1),
+        |           i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM (SELECT lang, ${wordsSql.format("text")} AS w FROM documents)
+        |  WHERE len(w) >= 2
+        |), counts AS (
+        |  SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram
+        |), ranked AS (
+        |  SELECT lang, bigram, n,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+        |  FROM counts
+        |)
+        |SELECT lang, rank, bigram, n FROM ranked WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
     "text_pack_chunks" ->
       s"""WITH toks AS (
         |  SELECT source, doc_id, CAST(len(w) AS BIGINT) AS n_tokens
