@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the corpus-diagnostic queries added in round 3
+  * (length quartiles, bigram LM top-k, DAU split, LSH occupancy, payload
+  * dedup, candidate-graph degrees). The DuckDB gate already checks exact
+  * values; these pin the *semantic* invariants that would silently survive
+  * a wrong-but-consistent oracle (e.g. a degree histogram that double- or
+  * half-counts edges identically on both sides).
+  */
+class DiagnosticsSpec extends SparkSpec {
+
+  test("text_length_quartiles: tiles partition each language in order") {
+    val rows = SparkEntry.queries("text_length_quartiles")(spark, sfDir).collect()
+    val perLang = rows.groupBy(_.getString(0))
+    val docsPerLang = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, qs) =>
+      assert(qs.map(_.getLong(1)).toSeq.sorted == Seq(1L, 2L, 3L, 4L))
+      // tiles cover the language exactly, sizes differ by at most 1
+      assert(qs.map(_.getLong(2)).sum == docsPerLang(lang))
+      val sizes = qs.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$lang tile sizes $sizes")
+      // ordered by n_chars: tile i's max <= tile i+1's min
+      val sorted = qs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(4) <= b.getLong(3),
+          s"$lang quartile ranges overlap: ${a.getLong(4)} > ${b.getLong(3)}")
+      }
+    }
+  }
+
+  test("text_bigram_topk: ten ranked rows per language, counts non-increasing") {
+    val rows = SparkEntry.queries("text_bigram_topk")(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(1)).toSeq.sorted == (1L to 10L), s"ranks for $lang")
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"$lang counts not non-increasing: ${byRank.toSeq}")
+      // every bigram is two space-joined words
+      rs.foreach(r => assert(r.getString(2).split(" ").length == 2))
+    }
+  }
+
+  test("events_daily_active: new-user column decomposes the user base") {
+    val rows = SparkEntry.queries("events_daily_active")(spark, sfDir).collect()
+    val totalUsers = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    // each user is new on exactly one day
+    assert(rows.map(_.getLong(2)).sum == totalUsers)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1), s"n_new > dau on day ${r.getLong(0)}"))
+    // on the first day of the log everyone is new
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(2) == first.getLong(1))
+  }
+
+  test("emb_bucket_histogram: occupancy sums back to the corpus per table") {
+    val rows = SparkEntry.queries("emb_bucket_histogram")(spark, sfDir).collect()
+    val nVecs = graft.sources.Tables.embeddings(spark, sfDir).count()
+    val perTbl = rows.groupBy(_.getLong(0))
+    assert(perTbl.keySet == Set(0L, 1L, 2L))
+    perTbl.foreach { case (tbl, rs) =>
+      val covered = rs.map(r => r.getLong(1) * r.getLong(2)).sum
+      assert(covered == nVecs, s"table $tbl covers $covered of $nVecs vectors")
+    }
+  }
+
+  test("mm_dedup_payload: savings accounting is consistent") {
+    val rows = SparkEntry.queries("mm_dedup_payload")(spark, sfDir).collect()
+    val nPayloads = graft.multimodal.Multimodal.mediaTable(spark, sfDir)
+      .filter(col("payload").isNotNull).count()
+    assert(rows.map(_.getLong(1)).sum == nPayloads)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_distinct > n_payloads")
+      assert(r.getLong(3) >= 0L)
+      // no duplicates <=> no saved bytes
+      if (r.getLong(2) == r.getLong(1)) assert(r.getLong(3) == 0L)
+    }
+  }
+
+  test("graph_degree_stats: handshake lemma against the declared pair list") {
+    val hist = SparkEntry.queries("graph_degree_stats")(spark, sfDir).collect()
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+    val nEdges = pairs.count()
+    val nVertices = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d"))).distinct().count()
+    assert(hist.map(r => r.getLong(0) * r.getLong(1)).sum == 2 * nEdges)
+    assert(hist.map(_.getLong(1)).sum == nVertices)
+    hist.foreach(r => assert(r.getLong(0) >= 1L))
+  }
+}
