@@ -207,7 +207,11 @@ object ExtensionQueries {
 
   /** Exact per-type percentiles (p50/p90/p99) of the value column —
     * interpolated rank statistics over identical sorted doubles are
-    * bit-identical across engines. */
+    * bit-identical across engines. Scale note: exact `percentile` buffers
+    * every group value, so per-group state is unbounded — at 100 TB the
+    * mergeable bounded-state sketch (`percentile_approx`, contract-gated
+    * in [[approxStats]]) is the production path; this exact form is the
+    * oracle-able baseline. */
   val eventsPercentiles: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy("event_type")
@@ -304,6 +308,40 @@ object ExtensionQueries {
          abs(col("approx_median") - col("exact_median")) <= abs(col("exact_median")) * 0.05)
           .as("approx_ok"))
       .orderBy("l_returnflag")
+  }
+
+  /** Heavy hitters with a Count-Min Sketch contract — the frequency
+    * member of the sketch family (HLL distinct in [[approxStats]], Bloom
+    * membership in [[bloomMembership]], quantile sketch in
+    * [[approxStats]]). The driver-checkable part is the exact top-10
+    * word list (two-phase agg + TakeOrdered); the sketch part asserts
+    * the CMS point-estimate contract per hitter: est ≥ true (certain —
+    * CMS never undercounts) and est ≤ true + ⌈ε·N⌉ (the accuracy bound).
+    * CMS is a LINEAR sketch — per-partition sketches add elementwise —
+    * so the merged estimate is identical under any partitioning and the
+    * booleans are deterministic. The probe UDF deserializes the sketch
+    * only over the 10 result rows (never per input row); at 100 TB the
+    * sketch replaces the exact aggregate when only the hitters are
+    * needed, e.g. hot-key detection feeding [[graft.operators.Skew]]. */
+  val heavyHittersCms: Q = (s, d) => {
+    val wordsAll = Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("word"))
+    val top = wordsAll.groupBy("word").agg(count(lit(1)).as("n_true"))
+      .orderBy(desc("n_true"), asc("word")).limit(10)
+    val sk = wordsAll.agg(
+      count_min_sketch(col("word"), lit(0.001d), lit(0.99d), lit(42)).as("sk"),
+      count(lit(1)).as("n_total"))
+    val est = udf { (bytes: Array[Byte], w: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(w)
+    }
+    top.crossJoin(broadcast(sk))
+      .withColumn("cms_est", est(col("sk"), col("word")))
+      .select(col("word"), col("n_true"),
+        (col("cms_est") >= col("n_true") &&
+          col("cms_est") <= col("n_true") + ceil(col("n_total") * 0.001d))
+          .as("cms_ok"))
+      .orderBy("word")
   }
 
   /** As-of join: each event picks up the most recent prior order total of
@@ -526,6 +564,7 @@ object ExtensionQueries {
     "events_error_window_join" -> eventsErrorWindowJoin,
     "asof_last_order" -> asofLastOrder,
     "approx_stats" -> approxStats,
+    "heavy_hitters_cms" -> heavyHittersCms,
     "events_type_day_cube" -> eventsTypeDayCube,
     "events_props_json" -> eventsPropsJson,
     "orders_monthly" -> ordersMonthly,
@@ -715,6 +754,13 @@ object ExtensionQueries {
         |       COUNT(DISTINCT l_partkey) AS exact_parts,
         |       TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "heavy_hitters_cms" ->
+      """SELECT word, n_true, TRUE AS cms_ok FROM (
+        |  SELECT word, COUNT(*) AS n_true
+        |  FROM (SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |        FROM documents)
+        |  GROUP BY word ORDER BY n_true DESC, word LIMIT 10
+        |) ORDER BY word""".stripMargin,
     "events_percentiles" ->
       """SELECT event_type,
         |       quantile_cont(value, 0.5) AS p50,

@@ -80,6 +80,28 @@ class DiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("heavy_hitters_cms: contract holds for the hitters AND a broad word sample") {
+    val rows = SparkEntry.queries("heavy_hitters_cms")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getBoolean(2)), "cms contract violated for a top-10 word")
+    // stronger than the declared contract: the one-sided guarantee
+    // (never undercount) must hold for EVERY word, not just hitters
+    val wordsAll = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.ColFns.words(col("text"))).as("word"))
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(
+        wordsAll.agg(count_min_sketch(col("word"), lit(0.001d), lit(0.99d), lit(42)))
+          .head().getAs[Array[Byte]](0)))
+    val truth = wordsAll.groupBy("word").count().collect()
+    val nTotal = truth.map(_.getLong(1)).sum
+    truth.foreach { r =>
+      val est = sketch.estimateCount(r.getString(0))
+      assert(est >= r.getLong(1), s"CMS undercounts '${r.getString(0)}'")
+      assert(est <= r.getLong(1) + math.ceil(nTotal * 0.001).toLong,
+        s"CMS overcount for '${r.getString(0)}': $est vs ${r.getLong(1)}")
+    }
+  }
+
   test("graph_degree_stats: handshake lemma against the declared pair list") {
     val hist = SparkEntry.queries("graph_degree_stats")(spark, sfDir).collect()
     val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
