@@ -293,14 +293,16 @@ object DedupQueries {
     * candidates the cluster family consumes; each undirected edge
     * contributes to both endpoints. Everything past the candidate join
     * shuffles only (doc_id) then (degree) — trivially scale-safe. */
-  val graphDegreeStats: Q = (s, d) => {
-    val pairs = minhashCandidates(s, d)
-    pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id")))
+  val graphDegreeStats: Q = (s, d) =>
+    // explode, not union-of-projections: each Union branch would
+    // instantiate the whole candidate pipeline again (the same
+    // per-branch-instantiation trap retentionOf documents), doubling the
+    // dominant minhash cost; the explode emits both endpoints in one pass.
+    minhashCandidates(s, d)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_docs"))
       .orderBy("degree")
-  }
 
   val queries: Map[String, Q] = Map(
     "graph_degree_stats" -> graphDegreeStats,

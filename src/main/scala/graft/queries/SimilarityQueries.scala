@@ -158,7 +158,7 @@ object SimilarityQueries {
     * aggregates; nothing wider than (tbl, bucket) ever shuffles. */
   val embBucketHistogram: Q = (s, d) => {
     val q = Tables.embeddings(s, d)
-      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+      .select(quantizeVec(col("embedding")).as("qv"))
     q.select(
         posexplode(array((0 until NTables).map(t => lshBucket(t, col("qv"))): _*))
           .as(Seq("tbl", "bucket")))

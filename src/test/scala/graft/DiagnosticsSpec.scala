@@ -94,12 +94,18 @@ class DiagnosticsSpec extends SparkSpec {
           .head().getAs[Array[Byte]](0)))
     val truth = wordsAll.groupBy("word").count().collect()
     val nTotal = truth.map(_.getLong(1)).sum
+    val slack = math.ceil(nTotal * 0.001).toLong
     truth.foreach { r =>
-      val est = sketch.estimateCount(r.getString(0))
-      assert(est >= r.getLong(1), s"CMS undercounts '${r.getString(0)}'")
-      assert(est <= r.getLong(1) + math.ceil(nTotal * 0.001).toLong,
-        s"CMS overcount for '${r.getString(0)}': $est vs ${r.getLong(1)}")
+      assert(sketch.estimateCount(r.getString(0)) >= r.getLong(1),
+        s"CMS undercounts '${r.getString(0)}'")
     }
+    // the eps overcount bound is a 99%-confidence guarantee, not a
+    // certainty — assert it in aggregate (violating words must be rarer
+    // than the sketch's 1% failure budget), not per word
+    val nOver = truth.count(r =>
+      sketch.estimateCount(r.getString(0)) > r.getLong(1) + slack)
+    assert(nOver <= math.max(1, truth.length / 100),
+      s"$nOver of ${truth.length} words exceed the eps*N overcount bound")
   }
 
   test("graph_degree_stats: handshake lemma against the declared pair list") {
