@@ -304,8 +304,31 @@ object DedupQueries {
       .groupBy("degree").agg(count(lit(1)).as("n_docs"))
       .orderBy("degree")
 
+  /** Inter-source duplication matrix — for each unordered source pair,
+    * how many MinHash-LSH near-dup candidate pairs cross them (diagonal =
+    * within-source dups). The curation diagnostic behind "which feeds are
+    * mirroring each other": a spike in one cell means two ingestion
+    * sources overlap and one should be dropped before training. At 100 TB
+    * the candidates are narrow (doc_a, doc_b) id pairs; the two source
+    * lookups are equi-joins against a 2-column (doc_id, source) projection
+    * of the corpus (text never moves), and the output is bounded by
+    * |sources|², so the final aggregate is tiny however large the corpus. */
+  val dedupSourceOverlap: Q = (s, d) => {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    minhashCandidates(s, d)
+      .join(src.select(col("doc_id"), col("source").as("source_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(src.select(col("doc_id"), col("source").as("source_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(least(col("source_a"), col("source_b")).as("src_lo"),
+              greatest(col("source_a"), col("source_b")).as("src_hi"))
+      .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_degree_stats" -> graphDegreeStats,
+    "dedup_source_overlap" -> dedupSourceOverlap,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_jaccard_on_lsh" -> dedupJaccardOnLsh,
     "dedup_clusters" -> dedupClusters,
@@ -316,6 +339,35 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), base AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, MIN((h * (j * 40503 + 10007) + (j * 69621 + 30011)) % 2147483647) AS mh
+        |  FROM base, UNNEST(generate_series(0, 15)) AS t(j)
+        |  GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |         CAST(MIN(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
+        |           CAST(MIN(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |)
+        |SELECT LEAST(da.source, db.source) AS src_lo,
+        |       GREATEST(da.source, db.source) AS src_hi,
+        |       COUNT(*) AS n_pairs
+        |FROM cand
+        |JOIN documents da ON cand.doc_a = da.doc_id
+        |JOIN documents db ON cand.doc_b = db.doc_id
+        |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
     "graph_degree_stats" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),

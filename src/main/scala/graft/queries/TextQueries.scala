@@ -326,7 +326,70 @@ object TextQueries {
       .orderBy("lang", "rank")
   }
 
+  /** Blocklist scrubbing — the bad-word / boilerplate-removal stage of a
+    * training-data pipeline, with the transform itself verified, not just
+    * counted: `scrub_checksum` is an order-free SUM of a 32-bit digest of
+    * each scrubbed document, so a single wrong rebuild anywhere in the
+    * corpus flips the hash. All work is map-side array ops over the scan
+    * (filter + rejoin, no regex backtracking); the only shuffle is the
+    * tiny per-source aggregate — linear at any corpus size. */
+  val textScrubTerms: Q = (s, d) => {
+    val block = Seq("the", "a", "of", "and", "to", "table", "row")
+    Tables.documents(s, d)
+      .select(col("source"), length(col("text")).cast("long").as("n_chars"),
+        words(col("text")).as("w"))
+      .select(col("source"), col("n_chars"), size(col("w")).cast("long").as("n_words"),
+        concat_ws(" ", filter(col("w"),
+          x => !x.isin(block.map(t => t: Any): _*))).as("scrubbed"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_words") - size(words(col("scrubbed"))).cast("long")).as("removed_terms"),
+           sum(length(col("scrubbed")).cast("long")).as("scrubbed_chars"),
+           sum(md5Long(col("scrubbed"))).as("scrub_checksum"))
+      .orderBy("source")
+  }
+
+  /** Source-weighted corpus mixing to a token budget — the data-mixing
+    * stage of LLM training: each source gets alloc = ⌊B · w_s / Σw⌋ tokens
+    * of a global budget B (here 50% of corpus tokens; weights derived from
+    * the source id so they are deterministic), filled greedily in
+    * content-hash order until the next document would overflow the
+    * allocation. Everything stays exact integers (floor division), so the
+    * allocation is bit-identical in any engine. Scale shape: two 1-row
+    * global aggregates broadcast into a per-source allocation table; the
+    * greedy fill is a running sum windowed PER SOURCE (sort is distributed
+    * across sources — a pathologically huge single source would sub-bucket
+    * the order key, same recipe as the skew salting operator). */
+  val mixSourcesBudget: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("ord"),
+        size(words(col("text"))).cast("long").as("nt"))
+    val srcw = toks.select(col("source")).distinct()
+      .select(col("source"),
+        (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long").as("weight"))
+    val tot = toks.agg(sum(col("nt")).as("t"))
+    val wsum = srcw.agg(sum(col("weight")).as("ws"))
+    val alloc = srcw.crossJoin(broadcast(tot)).crossJoin(broadcast(wsum))
+      .select(col("source"), col("weight"),
+        call_function("div", col("t") * col("weight"), lit(2L) * col("ws")).as("alloc_tokens"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("ord", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val kept = toks.withColumn("cum", sum(col("nt")).over(win))
+      .join(alloc.select("source", "alloc_tokens"), "source")
+      .filter(col("cum") <= col("alloc_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("nt")).as("tokens_kept"))
+    alloc.join(kept, Seq("source"), "left")
+      .select(col("source"), col("weight"), col("alloc_tokens"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_scrub_terms" -> textScrubTerms,
+    "mix_sources_budget" -> mixSourcesBudget,
     "text_length_quartiles" -> textLengthQuartiles,
     "text_bigram_topk" -> textBigramTopk,
     "text_pack_chunks" -> textPackChunks,
@@ -348,6 +411,48 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_scrub_terms" ->
+      s"""WITH scrub AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(len(w) AS BIGINT) AS n_words,
+        |         COALESCE(list_aggregate(list_filter(w,
+        |           x -> x NOT IN ('the','a','of','and','to','table','row')),
+        |           'string_agg', ' '), '') AS scrubbed
+        |  FROM (SELECT source, text, ${wordsSql.format("text")} AS w FROM documents)
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_words - len(${wordsSql.format("scrubbed")})) AS BIGINT) AS removed_terms,
+        |       CAST(SUM(length(scrubbed)) AS BIGINT) AS scrubbed_chars,
+        |       CAST(SUM(CAST('0x' || substring(md5(scrubbed), 1, 8) AS BIGINT)) AS BIGINT) AS scrub_checksum
+        |FROM scrub GROUP BY source ORDER BY source""".stripMargin,
+    "mix_sources_budget" ->
+      s"""WITH toks AS (
+        |  SELECT source, doc_id, md5(text) AS ord, CAST(len(w) AS BIGINT) AS nt
+        |  FROM (SELECT source, doc_id, text, ${wordsSql.format("text")} AS w FROM documents)
+        |), srcw AS (
+        |  SELECT DISTINCT source,
+        |         CAST(CAST(substring(source, 4) AS INTEGER) % 3 + 1 AS BIGINT) AS weight
+        |  FROM documents
+        |), tot AS (SELECT SUM(nt) AS t FROM toks),
+        |wsum AS (SELECT SUM(weight) AS ws FROM srcw),
+        |alloc AS (
+        |  SELECT source, weight, CAST((t * weight) // (2 * ws) AS BIGINT) AS alloc_tokens
+        |  FROM srcw CROSS JOIN tot CROSS JOIN wsum
+        |), cum AS (
+        |  SELECT source, nt,
+        |         SUM(nt) OVER (PARTITION BY source ORDER BY ord, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks
+        |), kept AS (
+        |  SELECT source, COUNT(*) AS n_docs_kept, SUM(nt) AS tokens_kept
+        |  FROM cum JOIN alloc USING (source)
+        |  WHERE cum <= alloc_tokens GROUP BY source
+        |)
+        |SELECT a.source, a.weight, a.alloc_tokens,
+        |       COALESCE(n_docs_kept, 0) AS n_docs_kept,
+        |       CAST(COALESCE(tokens_kept, 0) AS BIGINT) AS tokens_kept
+        |FROM alloc a LEFT JOIN kept ON a.source = kept.source
+        |ORDER BY a.source""".stripMargin,
     "text_length_quartiles" ->
       """SELECT lang, quartile, COUNT(*) AS n_docs,
         |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,

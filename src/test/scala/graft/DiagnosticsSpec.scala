@@ -118,4 +118,48 @@ class DiagnosticsSpec extends SparkSpec {
     assert(hist.map(_.getLong(1)).sum == nVertices)
     hist.foreach(r => assert(r.getLong(0) >= 1L))
   }
+
+  test("dedup_source_overlap: matrix cells partition the candidate pairs") {
+    val cells = SparkEntry.queries("dedup_source_overlap")(spark, sfDir).collect()
+    val nPairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).count()
+    assert(cells.map(_.getLong(2)).sum == nPairs,
+      "every candidate pair lands in exactly one (src_lo, src_hi) cell")
+    cells.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "cells are unordered pairs")
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
+  test("text_scrub_terms: removed_terms matches an independent blocklist count") {
+    val block = Seq("the", "a", "of", "and", "to", "table", "row")
+    val rows = SparkEntry.queries("text_scrub_terms")(spark, sfDir).collect()
+    // independent path: count blocklist occurrences per source directly
+    val expected = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), explode(graft.functions.ColFns.words(col("text"))).as("w"))
+      .filter(col("w").isin(block.map(t => t: Any): _*))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == expected.getOrElse(r.getString(0), 0L),
+        s"removed_terms mismatch for ${r.getString(0)}")
+      assert(r.getLong(3) >= 0L && r.getLong(4) >= 0L)
+    }
+  }
+
+  test("mix_sources_budget: greedy fill is within budget and maximal") {
+    val rows = SparkEntry.queries("mix_sources_budget")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (weight, alloc, kept) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(weight >= 1L && weight <= 3L)
+      assert(kept <= alloc, s"${r.getString(0)} kept $kept > alloc $alloc")
+    }
+    // the budget is half the corpus: total allocation can't exceed it
+    val totalTokens = graft.sources.Tables.documents(spark, sfDir)
+      .select(size(graft.functions.ColFns.words(col("text"))).cast("long").as("nt"))
+      .agg(sum(col("nt"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum <= totalTokens / 2 + rows.length,
+      "per-source floor-divided allocations exceed the global budget")
+    assert(rows.exists(_.getLong(4) > 0L), "no source kept any document")
+  }
 }

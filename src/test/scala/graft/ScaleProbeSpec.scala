@@ -65,15 +65,22 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
     "dedup_clusters" -> DedupQueries.dedupClusters,
     "dedup_keep_canonical" -> DedupQueries.dedupKeepCanonical)
 
-  private def time(q: DedupQueries.Q, dir: String): Double = {
+  private def timeOnce(q: DedupQueries.Q, dir: String): Double = {
     val t0 = System.nanoTime()
     q(spark, dir).write.mode("overwrite").format("noop").save()
     (System.nanoTime() - t0) / 1e9
   }
 
+  // Best of two timed runs: a single run is exposed to one-off JVM events
+  // (GC pause, ContextCleaner draining a previous test's RDDs) that once
+  // pushed a linear 10× run ~10% past the bound. The probe targets ~100×
+  // all-pairs regressions — the minimum is the honest signal for that.
+  private def time(q: DedupQueries.Q, dir: String): Double =
+    math.min(timeOnce(q, dir), timeOnce(q, dir))
+
   for ((name, q) <- family)
     test(s"$name scales ~linearly from 5k to 50k docs") {
-      time(q, dir1) // warm-up: JIT, codegen, parquet reader
+      timeOnce(q, dir1) // warm-up: JIT, codegen, parquet reader
       val t1 = time(q, dir1)
       val t10 = time(q, dir10)
       info(f"$name: 1x=$t1%.2f s, 10x=$t10%.2f s (ratio ${t10 / t1}%.1f)")
