@@ -336,14 +336,15 @@ object TextQueries {
   val textScrubTerms: Q = (s, d) => {
     val block = Seq("the", "a", "of", "and", "to", "table", "row")
     Tables.documents(s, d)
-      .select(col("source"), length(col("text")).cast("long").as("n_chars"),
-        words(col("text")).as("w"))
-      .select(col("source"), col("n_chars"), size(col("w")).cast("long").as("n_words"),
-        concat_ws(" ", filter(col("w"),
-          x => !x.isin(block.map(t => t: Any): _*))).as("scrubbed"))
+      .select(col("source"), words(col("text")).as("w"))
+      .select(col("source"), size(col("w")).cast("long").as("n_words"),
+        filter(col("w"), x => !x.isin(block.map(t => t: Any): _*)).as("kept"))
+      .select(col("source"), col("n_words"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("scrubbed"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-           sum(col("n_words") - size(words(col("scrubbed"))).cast("long")).as("removed_terms"),
+           sum(col("n_words") - col("n_kept")).as("removed_terms"),
            sum(length(col("scrubbed")).cast("long")).as("scrubbed_chars"),
            sum(md5Long(col("scrubbed"))).as("scrub_checksum"))
       .orderBy("source")
@@ -364,6 +365,9 @@ object TextQueries {
     val toks = Tables.documents(s, d)
       .select(col("source"), col("doc_id"), md5(col("text")).as("ord"),
         size(words(col("text"))).cast("long").as("nt"))
+    // Bounded 10-char slice + NULL-on-failure cast, mirrored by the
+    // oracle's substring(source, 4, 10) + TRY_CAST so the two engines stay
+    // formula-identical beyond the srcNN fixture domain (ColFns doctrine).
     val srcw = toks.select(col("source")).distinct()
       .select(col("source"),
         (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long").as("weight"))
@@ -413,15 +417,15 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "text_scrub_terms" ->
       s"""WITH scrub AS (
-        |  SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
-        |         CAST(len(w) AS BIGINT) AS n_words,
-        |         COALESCE(list_aggregate(list_filter(w,
-        |           x -> x NOT IN ('the','a','of','and','to','table','row')),
-        |           'string_agg', ' '), '') AS scrubbed
-        |  FROM (SELECT source, text, ${wordsSql.format("text")} AS w FROM documents)
+        |  SELECT source, CAST(len(w) AS BIGINT) AS n_words,
+        |         CAST(len(kept) AS BIGINT) AS n_kept,
+        |         COALESCE(list_aggregate(kept, 'string_agg', ' '), '') AS scrubbed
+        |  FROM (SELECT source, w,
+        |          list_filter(w, x -> x NOT IN ('the','a','of','and','to','table','row')) AS kept
+        |        FROM (SELECT source, ${wordsSql.format("text")} AS w FROM documents))
         |)
         |SELECT source, COUNT(*) AS n_docs,
-        |       CAST(SUM(n_words - len(${wordsSql.format("scrubbed")})) AS BIGINT) AS removed_terms,
+        |       CAST(SUM(n_words - n_kept) AS BIGINT) AS removed_terms,
         |       CAST(SUM(length(scrubbed)) AS BIGINT) AS scrubbed_chars,
         |       CAST(SUM(CAST('0x' || substring(md5(scrubbed), 1, 8) AS BIGINT)) AS BIGINT) AS scrub_checksum
         |FROM scrub GROUP BY source ORDER BY source""".stripMargin,
@@ -431,7 +435,7 @@ object TextQueries {
         |  FROM (SELECT source, doc_id, text, ${wordsSql.format("text")} AS w FROM documents)
         |), srcw AS (
         |  SELECT DISTINCT source,
-        |         CAST(CAST(substring(source, 4) AS INTEGER) % 3 + 1 AS BIGINT) AS weight
+        |         CAST(TRY_CAST(substring(source, 4, 10) AS INTEGER) % 3 + 1 AS BIGINT) AS weight
         |  FROM documents
         |), tot AS (SELECT SUM(nt) AS t FROM toks),
         |wsum AS (SELECT SUM(weight) AS ws FROM srcw),
