@@ -209,6 +209,16 @@ class GraftCoreSpec extends SparkSpec {
     assert(back == Set(("aa", 1L, Seq(1L, 2L)), ("bb", 2L, Seq(3L))))
   }
 
+  test("orc sink/source round-trip preserves a keyed store (incl. nested array)") {
+    val store = Seq(("aa", 1L, Seq(1L, 2L)), ("bb", 2L, Seq(3L)))
+      .toDF("key", "value", "tags")
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/store"
+    store.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+      .as[(String, Long, Seq[Long])].collect().toSet
+    assert(back == Set(("aa", 1L, Seq(1L, 2L)), ("bb", 2L, Seq(3L))))
+  }
+
   test("partition-count invariance (reference runs -n 1 and -n 4, Makefile:53-58)") {
     val n = 10000L
     def run(parts: Int): Map[Long, Long] =
