@@ -326,9 +326,39 @@ object DedupQueries {
       .orderBy("src_lo", "src_hi")
   }
 
+  /** Incremental dedup — the production shape of a daily ingest: a batch
+    * of incoming documents (doc_id % 10 == 0 stands in for "today's
+    * crawl") is admitted only if it near-duplicates neither the
+    * historical corpus (the other 90%) nor an earlier document of the
+    * same increment (pairwise min-id rule; full transitive
+    * canonicalization is [[dedupKeepCanonical]]'s job — an increment is
+    * small enough that the pairwise rule is the one real pipelines use).
+    * This is hpmr's `has()`-gated insert (src/concurrent_map.h:52) at
+    * corpus scale: membership against the index decides the write. Plan
+    * shape at 100 TB: candidates are the narrow LSH id pairs, the
+    * increment filter prunes the corpus scan, and the final anti join is
+    * an equi-join on doc_id against a dropped-ids list bounded by the
+    * increment size — historical text is touched only by the signature
+    * scan it already gets as the standing index. */
+  val dedupIncremental: Q = (s, d) => {
+    val isInc = (c: Column) => c % 10 === 0
+    val adj = minhashCandidates(s, d)
+    val both = adj.select(col("doc_a").as("x"), col("doc_b").as("p"))
+      .union(adj.select(col("doc_b").as("x"), col("doc_a").as("p")))
+    val dropped = both
+      .filter(isInc(col("x")) &&
+        (!isInc(col("p")) || (isInc(col("p")) && col("p") < col("x"))))
+      .select(col("x").as("doc_id")).distinct()
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .filter(isInc(col("doc_id")))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_degree_stats" -> graphDegreeStats,
     "dedup_source_overlap" -> dedupSourceOverlap,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_jaccard_on_lsh" -> dedupJaccardOnLsh,
     "dedup_clusters" -> dedupClusters,
@@ -339,6 +369,38 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), base AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, MIN((h * (j * 40503 + 10007) + (j * 69621 + 30011)) % 2147483647) AS mh
+        |  FROM base, UNNEST(generate_series(0, 15)) AS t(j)
+        |  GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |         CAST(MIN(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
+        |           CAST(MIN(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |), adj AS (
+        |  SELECT doc_a AS x, doc_b AS p FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand
+        |), dropped AS (
+        |  SELECT DISTINCT x AS doc_id FROM adj
+        |  WHERE x % 10 = 0 AND (p % 10 <> 0 OR (p % 10 = 0 AND p < x))
+        |)
+        |SELECT d.doc_id, d.source FROM documents d
+        |LEFT JOIN dropped USING (doc_id)
+        |WHERE d.doc_id % 10 = 0 AND dropped.doc_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_source_overlap" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),

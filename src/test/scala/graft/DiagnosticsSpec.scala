@@ -146,6 +146,24 @@ class DiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental: admits exactly the unmatched incoming docs") {
+    val kept = SparkEntry.queries("dedup_incremental")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    // independent path: replay the admission rule over the declared pairs
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val incoming = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .collect().map(_.getLong(0)).toSet
+    val dropped = incoming.filter { i =>
+      pairs.exists { case (a, b) =>
+        (b == i && (a % 10 != 0 || a < i)) || (a == i && b % 10 != 0)
+      }
+    }
+    assert(kept == incoming -- dropped)
+    assert(kept.forall(_ % 10 == 0))
+  }
+
   test("mix_sources_budget: greedy fill is within budget and maximal") {
     val rows = SparkEntry.queries("mix_sources_budget")(spark, sfDir).collect()
     assert(rows.nonEmpty)
