@@ -222,6 +222,32 @@ object ExtensionQueries {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Watermark-lateness histogram — the diagnostic that sizes a streaming
+    * job's watermark delay: for each event, lateness = how far its event
+    * time lags the user's event-time high-water mark at arrival; the
+    * histogram's tail quantile IS the watermark you need (everything past
+    * it would be dropped). The fixture's event_id order is perfectly
+    * time-sorted, so arrival order is simulated with deterministic
+    * md5-derived jitter (≤1 h, same device as the hash-based sampling
+    * queries); with a real arrival column the jitter term disappears.
+    * Scale shape: per-user windows (one shuffle on user_id, in-partition
+    * sort), then a tiny bucket aggregate — never a global order. */
+  val eventsLatenessHistogram: Q = (s, d) => {
+    val arr = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), nsToEpochSec(col("ts")).as("sec"))
+      .withColumn("arr",
+        col("sec") + md5Long(col("event_id").cast("string")) % 3600L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("arr", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    arr.withColumn("hwm", max(col("sec")).over(w))
+      .filter(col("hwm").isNotNull)
+      .select(call_function("div",
+        greatest(col("hwm") - col("sec"), lit(0L)), lit(300L)).as("late_bucket"))
+      .groupBy("late_bucket").agg(count(lit(1)).as("n_events"))
+      .orderBy("late_bucket")
+  }
+
   /** Relational set algebra (union/intersect/except counts) over two
     * customer key sets, as one full-outer join + conditional aggregate —
     * the set-container semantics of the reference (SURVEY §2.2 set ops)
@@ -570,6 +596,7 @@ object ExtensionQueries {
     "orders_monthly" -> ordersMonthly,
     "events_sessionized" -> eventsSessionized,
     "events_percentiles" -> eventsPercentiles,
+    "events_lateness_histogram" -> eventsLatenessHistogram,
     "set_ops_counts" -> setOpsCounts,
     "dedup_exact" -> dedupExact,
     "dedup_exact_group_sizes" -> dedupExactGroupSizes,
@@ -768,6 +795,24 @@ object ExtensionQueries {
         |       quantile_cont(value, 0.99) AS p99,
         |       COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_lateness_histogram" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id,
+        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), a AS (
+        |  SELECT user_id, event_id, sec,
+        |         sec + CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 3600 AS arr
+        |  FROM t
+        |), l AS (
+        |  SELECT sec,
+        |         MAX(sec) OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM a
+        |)
+        |SELECT GREATEST(hwm - sec, 0) // 300 AS late_bucket, COUNT(*) AS n_events
+        |FROM l WHERE hwm IS NOT NULL
+        |GROUP BY 1 ORDER BY late_bucket""".stripMargin,
     "set_ops_counts" ->
       """WITH a AS (
         |  SELECT DISTINCT c_custkey AS k, 1 AS in_a FROM customer WHERE c_mktsegment = 'AUTOMOBILE'

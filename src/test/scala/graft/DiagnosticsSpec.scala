@@ -164,6 +164,17 @@ class DiagnosticsSpec extends SparkSpec {
     assert(kept.forall(_ % 10 == 0))
   }
 
+  test("events_lateness_histogram: covers every event except each user's first arrival") {
+    val rows = SparkEntry.queries("events_lateness_histogram")(spark, sfDir).collect()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nEvents - nUsers)
+    assert(rows.forall(_.getLong(0) >= 0L))
+    // the zero bucket dominates: jitter is bounded by 1h, events are sparse
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) > rows.map(_.getLong(1)).sum / 2)
+  }
+
   test("mix_sources_budget: greedy fill is within budget and maximal") {
     val rows = SparkEntry.queries("mix_sources_budget")(spark, sfDir).collect()
     assert(rows.nonEmpty)
