@@ -38,11 +38,15 @@ object EventStreams {
   def withEventTime(events: DataFrame): DataFrame =
     events.withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
 
-  /** Tumbling 1-hour window counts/sums per event type, 2-hour watermark
-    * for late data. Append mode emits each window once it is final. */
-  def tumblingAgg(events: DataFrame): DataFrame =
+  /** Tumbling 1-hour window counts/sums per event type, watermark-bounded
+    * late data (default 2 h — size it from the batch
+    * `events_lateness_histogram` diagnostic: the histogram's tail bucket
+    * is the lateness the watermark must cover, and StreamingSpec
+    * cross-validates that prediction against actual drop behavior).
+    * Append mode emits each window once it is final. */
+  def tumblingAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     withEventTime(events)
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),

@@ -214,4 +214,48 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0))
     assert(closed.contains(2L), "user 2's first session must emit as closed")
   }
+
+  test("lateness-histogram rule predicts exactly what the watermark drops") {
+    // The batch events_lateness_histogram diagnostic claims: an event's
+    // lateness vs the event-time high-water mark at ARRIVAL decides its
+    // fate under a watermark. Cross-validate: feed events one micro-batch
+    // at a time (so the watermark advances between arrivals), and assert
+    // the streaming result equals the batch aggregate over exactly the
+    // events the batch-side rule predicts are kept.
+    implicit val sqlCtx = spark.sqlContext
+    val wmMin = 30L // watermark "30 minutes"
+    val arrivalOrder = Seq( // (event, predicted fate under 1h windows)
+      Event(1, ts(0, 5), 1, "click", 1.0),   // hwm=-        kept
+      Event(2, ts(3, 0), 1, "click", 2.0),   // hwm 00:05    kept; wm → 02:30
+      Event(3, ts(1, 10), 1, "click", 4.0),  // windowEnd 02:00 <= 02:30 → DROPPED
+      Event(4, ts(2, 50), 1, "click", 8.0))  // windowEnd 03:00 >  02:30 → kept
+    // batch-side replay of the rule (same hwm device as the declared query)
+    var hwmMs = Long.MinValue
+    val predictedKept = arrivalOrder.filter { e =>
+      val keep = hwmMs == Long.MinValue ||
+        { val windowEndMs = (e.ts.getTime / 3600000L + 1) * 3600000L
+          windowEndMs > hwmMs - wmMin * 60000L }
+      hwmMs = math.max(hwmMs, e.ts.getTime)
+      keep
+    }
+    assert(predictedKept.map(_.event_id) == Seq(1L, 2L, 4L)) // scenario sanity
+    val mem = MemoryStream[Event]
+    val streamed = EventStreams.tumblingAgg(
+      mem.toDF().withColumn("ts", $"ts".cast("long") * 1000000000L),
+      watermark = s"$wmMin minutes")
+    val q = streamed.writeStream.format("memory").queryName("late_check")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      arrivalOrder.foreach { e => mem.addData(e); q.processAllAvailable() }
+      mem.addData(Event(99, ts(20, 0), 9, "click", 0.0)) // close all windows
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamRows = spark.table("late_check")
+      .filter($"window_start" < ts(19, 0))
+      .select("window_start", "n", "sum_value").collect().map(_.toSeq).toSet
+    val batchRows = EventStreams.tumblingAgg(asNanosFrame(predictedKept))
+      .select("window_start", "n", "sum_value").collect().map(_.toSeq).toSet
+    assert(streamRows == batchRows,
+      s"histogram rule mispredicts the watermark: stream=$streamRows predicted=$batchRows")
+  }
 }
