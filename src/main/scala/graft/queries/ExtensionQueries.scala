@@ -224,26 +224,35 @@ object ExtensionQueries {
 
   /** Watermark-lateness histogram — the diagnostic that sizes a streaming
     * job's watermark delay: for each event, lateness = how far its event
-    * time lags the user's event-time high-water mark at arrival; the
-    * histogram's tail quantile IS the watermark you need (everything past
-    * it would be dropped). The fixture's event_id order is perfectly
-    * time-sorted, so arrival order is simulated with deterministic
-    * md5-derived jitter (≤1 h, same device as the hash-based sampling
-    * queries); with a real arrival column the jitter term disappears.
-    * Scale shape: per-user windows (one shuffle on user_id, in-partition
-    * sort), then a tiny bucket aggregate — never a global order. */
+    * time lags the GLOBAL event-time high-water mark at arrival — global
+    * because Spark's streaming watermark is global (a per-user lateness
+    * would under-size the watermark whenever one user's stream trails
+    * another's; StreamingSpec cross-validates the rule against actual
+    * watermark drops). The histogram's tail quantile is the watermark
+    * delay to configure. Scale shape: the global running max is NEVER a
+    * raw-event window — arrivals aggregate to per-minute maxima first and
+    * the prefix max runs over that tiny frame (a year of ingest is ~525k
+    * minute rows), then equi-joins back; the aggregate-then-window
+    * pattern. The fixture's event_id order is perfectly time-sorted, so
+    * arrival is simulated as sec + md5-derived jitter (same device as the
+    * hash-based sampling queries); the 1 h jitter bound caps observable
+    * lateness at 12 buckets — a simulation artifact, gone with a real
+    * arrival column. */
   val eventsLatenessHistogram: Q = (s, d) => {
     val arr = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), nsToEpochSec(col("ts")).as("sec"))
+      .select(col("event_id"), nsToEpochSec(col("ts")).as("sec"))
       .withColumn("arr",
         col("sec") + md5Long(col("event_id").cast("string")) % 3600L)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("arr", "event_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    arr.withColumn("hwm", max(col("sec")).over(w))
-      .filter(col("hwm").isNotNull)
+      .withColumn("arr_min", call_function("div", col("arr"), lit(60L)))
+    val buckets = arr.groupBy("arr_min").agg(max(col("sec")).as("max_sec"))
+    val w = Window.orderBy("arr_min").rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = buckets
+      .withColumn("hwm_before", max(col("max_sec")).over(w))
+      .select(col("arr_min"), col("hwm_before"))
+    arr.join(prefix, "arr_min")
+      .filter(col("hwm_before").isNotNull)
       .select(call_function("div",
-        greatest(col("hwm") - col("sec"), lit(0L)), lit(300L)).as("late_bucket"))
+        greatest(col("hwm_before") - col("sec"), lit(0L)), lit(300L)).as("late_bucket"))
       .groupBy("late_bucket").agg(count(lit(1)).as("n_events"))
       .orderBy("late_bucket")
   }
@@ -797,21 +806,25 @@ object ExtensionQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_lateness_histogram" ->
       """WITH t AS (
-        |  SELECT user_id, event_id,
+        |  SELECT event_id,
         |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
         |  FROM events
         |), a AS (
-        |  SELECT user_id, event_id, sec,
-        |         sec + CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 3600 AS arr
+        |  SELECT event_id, sec,
+        |         (sec + CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 3600) // 60 AS arr_min
         |  FROM t
-        |), l AS (
-        |  SELECT sec,
-        |         MAX(sec) OVER (PARTITION BY user_id ORDER BY arr, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
-        |  FROM a
+        |), b AS (
+        |  SELECT arr_min, MAX(sec) AS max_sec FROM a GROUP BY arr_min
+        |), p AS (
+        |  SELECT arr_min,
+        |         MAX(max_sec) OVER (ORDER BY arr_min
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_before
+        |  FROM b
         |)
-        |SELECT GREATEST(hwm - sec, 0) // 300 AS late_bucket, COUNT(*) AS n_events
-        |FROM l WHERE hwm IS NOT NULL
+        |SELECT GREATEST(p.hwm_before - a.sec, 0) // 300 AS late_bucket,
+        |       COUNT(*) AS n_events
+        |FROM a JOIN p USING (arr_min)
+        |WHERE p.hwm_before IS NOT NULL
         |GROUP BY 1 ORDER BY late_bucket""".stripMargin,
     "set_ops_counts" ->
       """WITH a AS (

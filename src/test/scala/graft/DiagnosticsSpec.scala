@@ -164,15 +164,23 @@ class DiagnosticsSpec extends SparkSpec {
     assert(kept.forall(_ % 10 == 0))
   }
 
-  test("events_lateness_histogram: covers every event except each user's first arrival") {
+  test("events_lateness_histogram: covers all but the first arrival minute, capped by the jitter bound") {
+    import graft.functions.ColFns.{md5Long, nsToEpochSec}
     val rows = SparkEntry.queries("events_lateness_histogram")(spark, sfDir).collect()
-    val ev = graft.sources.Tables.events(spark, sfDir)
-    val nEvents = ev.count()
-    val nUsers = ev.select("user_id").distinct().count()
-    assert(rows.map(_.getLong(1)).sum == nEvents - nUsers)
-    assert(rows.forall(_.getLong(0) >= 0L))
-    // the zero bucket dominates: jitter is bounded by 1h, events are sparse
-    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) > rows.map(_.getLong(1)).sum / 2)
+    // independent arrival recomputation: events in the globally-first
+    // arrival minute have no prior high-water mark and are excluded
+    val arrMin = graft.sources.Tables.events(spark, sfDir)
+      .select((call_function("div",
+        nsToEpochSec(col("ts")) + md5Long(col("event_id").cast("string")) % 3600L,
+        lit(60L))).as("m"))
+    val firstMin = arrMin.agg(min(col("m"))).collect().head.getLong(0)
+    val nExcluded = arrMin.filter(col("m") === firstMin).count()
+    val nEvents = arrMin.count()
+    assert(rows.map(_.getLong(1)).sum == nEvents - nExcluded)
+    // jitter ≤ 3600 s bounds lateness below 3600 s → bucket ≤ 11 (see
+    // the query's scaladoc: a simulation artifact, asserted closed-form)
+    assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 11L))
+    assert(rows.map(_.getLong(1)).forall(_ >= 1L))
   }
 
   test("mix_sources_budget: greedy fill is within budget and maximal") {
