@@ -32,3 +32,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+
+// ScaleProbeSpec asserts on WALL TIME (10x corpus must stay ~linear); in
+// the shared test JVM it runs after ~19 suites whose accumulated heap and
+// cached-RDD cleanup debt inflated a measured-linear 10x run by an order
+// of magnitude (ratios 19-40x vs 2-4x in a clean JVM — same commit, same
+// machine). Forked test groups run one-at-a-time (sbt's default
+// Tags.ForkedTestGroup limit), so giving the probe its own JVM restores
+// honest timing without letting two test JVMs contend.
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (timed, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.ScaleProbeSpec")
+  Seq(
+    Tests.Group("main", rest, Tests.SubProcess(opts)),
+    Tests.Group("timed-probes", timed, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Sessions
 import graft.sources.Tables
 import graft.functions.ColFns._
 
@@ -25,12 +26,32 @@ object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** (doc_id, shingle) with set semantics — the shared scan for the
-    * shingle-based dedup family. */
+    * shingle-based dedup family. Raw (un-snapshotted) lineage; most
+    * callers want [[shingleSnapshot]]. */
   private def shingleSet(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(shingles3(col("w")))).as("s"))
+
+  /** The shingle set as ONE shared, lazily-materialized snapshot
+    * ([[org.apache.spark.sql.graftx.Sessions.snapshot]] — flat LogicalRDD
+    * over a persisted internal RDD; nothing runs until the query's own
+    * first action). Why: a dedup query references the shingle set from
+    * several subtrees (candidate self-join, exact rescoring sides, the
+    * per-doc size table), and Catalyst instantiates the FULL scan +
+    * tokenize + shingle lineage per reference — dedup_jaccard_on_lsh
+    * executed the corpus scan and the (interpreted — see the HofProbe
+    * measurement) higher-order shingle pipeline SIX times per run, the
+    * dominant cost at the 10× scale probe. The snapshot computes it once
+    * and every subtree reads the cached narrow (doc_id, s) rows — the
+    * "materialize the signature/shingle table once" shape every
+    * production dedup pipeline uses at 100 TB (MEMORY_AND_DISK, so big
+    * corpora spill rather than OOM; cleanup is ContextCleaner-driven once
+    * the query's DataFrame is dropped — one bounded snapshot per query,
+    * unlike the per-round frames Components unpersists eagerly). */
+  private def shingleSnapshot(s: SparkSession, d: String): DataFrame =
+    Sessions.snapshot(shingleSet(s, d))._2
 
   /** MinHash (k=16) + LSH banding (8 bands × 2 rows): docs sharing any
     * band key become candidate pairs. At 100 TB this is the dedup
@@ -51,17 +72,30 @@ object DedupQueries {
 
   /** MinHash-LSH candidate pairs BEFORE the output ordering — shared by
     * [[dedupMinhashLsh]] (which just orders it) and
-    * [[dedupJaccardOnLsh]] (which rescoring-joins it). */
-  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val base = shingleSet(s, d)
-      .select(col("doc_id"), md5Long(col("s")).as("h"))
+    * [[dedupJaccardOnLsh]] (which rescoring-joins it). Feeds the RAW
+    * shingle lineage, not [[shingleSnapshot]]: candidate generation reads
+    * the shingle set exactly once (the signature aggregate), so caching it
+    * would pay a 2.6M-row memory-store write to save nothing — measured
+    * 10× wall-time regression on dedup_clusters when this was snapshotted.
+    * Snapshot only what is read more than once (the band table below;
+    * the whole shingle set in dedup_jaccard_on_lsh). */
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    minhashCandidatesFrom(shingleSet(s, d))
+
+  /** Candidate pairs from a caller-provided shingle frame, so a composed
+    * query (jaccard rescoring) shares ONE shingle snapshot across the
+    * candidate and rescoring subtrees. The band table is itself
+    * snapshotted: the self-join would otherwise run the 16-min signature
+    * aggregate once per side. */
+  private def minhashCandidatesFrom(sh: DataFrame): DataFrame = {
+    val base = sh.select(col("doc_id"), md5Long(col("s")).as("h"))
     def mhCol(j: Int) =
       min((col("h") * (j * 40503L + 10007L) + (j * 69621L + 30011L)) % 2147483647L).as(s"mh$j")
     val sig = base.groupBy("doc_id").agg(mhCol(0), (1 until 16).map(mhCol): _*)
     val bandKeys = (0 until 8).map(b =>
       concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as(s"bk$b"))
-    val bands = sig
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    val bands = Sessions.snapshot(sig
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key"))))._2
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -81,10 +115,20 @@ object DedupQueries {
     * near-dups. RecallSpec separately proves the candidates cover the
     * exact truth. The oracle composes the identical two stages. */
   val dedupJaccardOnLsh: Q = (s, d) => {
-    val sh = shingleSet(s, d)
+    val sh = shingleSnapshot(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val inter = minhashCandidates(s, d)
+    // The candidate side carries a SHUFFLE_HASH hint: Catalyst's logical
+    // stats overestimate the LSH self-join output (quadratic upper bound)
+    // and underestimate the exploded shingle set, so without the hint the
+    // planner broadcasts the CORPUS-SIZED shingle relation and streams the
+    // narrow candidates — backwards, and not AQE-recoverable (a planned
+    // broadcast join is never demoted at runtime; the 10× ScaleProbeSpec
+    // measured it at 29× growth). The hint pins a shuffled hash join that
+    // BUILDS the hinted candidate side and streams the shingles — at
+    // 100 TB the shingle set could never broadcast anyway.
+    val inter = minhashCandidatesFrom(sh).hint("shuffle_hash")
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .hint("shuffle_hash")
       .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     // No broadcast hint on sizes: it has one row per CORPUS document, so
@@ -150,7 +194,7 @@ object DedupQueries {
     // small per-doc size table joins in afterwards via broadcast. Carrying
     // set sizes through the big join/aggregate instead measured ~3× slower
     // (wider grouping keys on millions of matched-shingle rows).
-    val sh = shingleSet(s, d)
+    val sh = shingleSnapshot(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -172,7 +216,7 @@ object DedupQueries {
     * [[dedupSimhashBanded]], which EquivalenceSpec proves bit-identical on
     * real data (and is provably so by pigeonhole). */
   def dedupSimhash: Q = (s, d) => {
-    val sig = simhashSignatures(s, d)
+    val sig = Sessions.snapshot(simhashSignatures(s, d))._2
     sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming",
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
@@ -197,8 +241,10 @@ object DedupQueries {
     val sig = simhashSignatures(s, d)
     val bandCols = (0 until 5).map(b =>
       shiftright(col("simhash"), 12 * b).bitwiseAND(lit(0xFFFL)).as(s"band$b"))
-    val bands = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bits")))
+    // Snapshot the band table: the self-join below would otherwise run
+    // the 60-vote signature aggregate (and its corpus scan) once per side.
+    val bands = Sessions.snapshot(sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bits"))))._2
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&

@@ -1,0 +1,35 @@
+package org.apache.spark.sql.graftx
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** private[spark] bridge for reading aggregate task metrics around a
+  * block of Spark actions. Used by the scale-probe tests: wall-clock on a
+  * shared VM includes multi-second host stalls that have nothing to do
+  * with the plan under test, while `executorCpuTime` measures the WORK —
+  * a quadratic regression burns ~100× CPU at 10× input however noisy the
+  * host is. Lives in the org.apache.spark namespace only for
+  * `listenerBus.waitUntilEmpty` access (listener events are async; without
+  * the flush the last stages of the measured block would be missed). */
+object Metrics {
+
+  /** Runs `body`, returning (result, total executor CPU seconds of all
+    * stages completed during it). */
+  def withCpuTime[T](sc: SparkContext)(body: => T): (T, Double) = {
+    val cpuNs = new AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val result = body
+      sc.listenerBus.waitUntilEmpty(30000)
+      (result, cpuNs.get / 1e9)
+    } finally sc.removeSparkListener(listener)
+  }
+}

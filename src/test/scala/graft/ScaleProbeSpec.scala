@@ -21,12 +21,15 @@ import org.scalatest.BeforeAndAfterAll
   * duplication would force (each doc would match its 9 clones, making
   * even a perfectly linear operator measure quadratic).
   *
-  * The assertion: wall-time at 10× ≤ 3× wall-time at 1× plus fixed
-  * slack. A linear operator lands well inside (per-doc work ×10 over 10×
-  * the parallelizable input, constant job overhead amortized); an
-  * all-pairs regression (e.g. the retired BroadcastNestedLoopJoin
-  * simhash) does 100× the pair work — ~1.25 B pairs at 50 k docs — and
-  * blows the bound by an order of magnitude.
+  * The assertion is a dual gate — wall-time (10× ≤ 3× the 1× wall plus
+  * slack) OR executor-CPU (10× ≤ 25× the 1× CPU): a linear operator
+  * passes at least one on any host (≈10× CPU at 10× input; tight wall
+  * when the host is quiet), while an all-pairs regression (e.g. the
+  * retired BroadcastNestedLoopJoin simhash — ~1.25 B pairs at 50 k docs)
+  * burns ≈100× CPU and blows both. The CPU gate exists because this VM
+  * intermittently stalls runnable tasks for tens of seconds (the same
+  * job measured 4 s and 147 s minutes apart), which no wall bound can
+  * distinguish from a plan regression.
   */
 class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
 
@@ -65,30 +68,50 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
     "dedup_clusters" -> DedupQueries.dedupClusters,
     "dedup_keep_canonical" -> DedupQueries.dedupKeepCanonical)
 
-  private def timeOnce(q: DedupQueries.Q, dir: String): Double = {
+  /** One measured run: (wall seconds, executor CPU seconds). The query is
+    * CONSTRUCTED inside the metered block — the iterative operators
+    * (dedup_clusters) do their work eagerly at construction. */
+  private def measureOnce(q: DedupQueries.Q, dir: String): (Double, Double) = {
     val t0 = System.nanoTime()
-    q(spark, dir).write.mode("overwrite").format("noop").save()
-    (System.nanoTime() - t0) / 1e9
+    val (_, cpuSec) = org.apache.spark.sql.graftx.Metrics.withCpuTime(
+      spark.sparkContext) {
+      q(spark, dir).write.mode("overwrite").format("noop").save()
+    }
+    ((System.nanoTime() - t0) / 1e9, cpuSec)
   }
 
-  // Best of two timed runs: a single run is exposed to one-off JVM events
-  // (GC pause, ContextCleaner draining a previous test's RDDs) that once
-  // pushed a linear 10× run ~10% past the bound. The probe targets ~100×
-  // all-pairs regressions — the minimum is the honest signal for that.
-  private def time(q: DedupQueries.Q, dir: String): Double =
-    math.min(timeOnce(q, dir), timeOnce(q, dir))
+  // Best of two runs per metric: a single run is exposed to one-off JVM
+  // events (GC pause, ContextCleaner draining a previous test's RDDs).
+  // The probe targets ~100× all-pairs regressions — minima are the
+  // honest signal for that.
+  private def measure(q: DedupQueries.Q, dir: String): (Double, Double) = {
+    val runs = Seq(measureOnce(q, dir), measureOnce(q, dir))
+    (runs.map(_._1).min, runs.map(_._2).min)
+  }
 
   for ((name, q) <- family)
     test(s"$name scales ~linearly from 5k to 50k docs") {
-      timeOnce(q, dir1) // warm-up: JIT, codegen, parquet reader
-      val t1 = time(q, dir1)
-      val t10 = time(q, dir10)
-      info(f"$name: 1x=$t1%.2f s, 10x=$t10%.2f s (ratio ${t10 / t1}%.1f)")
-      // t1 floored: on a fast warm run t1 is mostly fixed overhead that
-      // 10x work amortizes away, and a genuinely linear t10 can exceed
-      // 3x a tiny t1 — the bound targets the ~100x of an all-pairs
-      // regression, not scheduler noise.
-      assert(t10 <= 3.0 * math.max(t1, 2.0) + 5.0,
-        f"$name at 10x took $t10%.2f s vs $t1%.2f s at 1x — super-linear scaling")
+      measureOnce(q, dir1) // warm-up: JIT, codegen, parquet reader
+      val (w1, c1) = measure(q, dir1)
+      val (w10, c10) = measure(q, dir10)
+      info(f"$name: 1x wall=$w1%.2f s cpu=$c1%.2f s; " +
+        f"10x wall=$w10%.2f s cpu=$c10%.2f s " +
+        f"(ratios wall ${w10 / w1}%.1f, cpu ${c10 / c1}%.1f)")
+      // Two gates; EITHER passing accepts the run, a real all-pairs
+      // regression fails both:
+      //  - wall: 3× the (floored) 1× wall + fixed slack — tight, but only
+      //    meaningful on a quiet host. t1 floored: a fast warm 1× run is
+      //    mostly fixed overhead that 10× work amortizes away.
+      //  - CPU: executor CPU measures the WORK and ignores off-CPU host
+      //    stalls (this VM intermittently freezes runnable tasks for
+      //    tens of seconds — measured 4 s and 147 s for the IDENTICAL
+      //    job minutes apart). A linear operator lands ≈10× CPU at 10×
+      //    input; an all-pairs regression burns ≈100×. The bound sits
+      //    between, with a floor so a tiny 1× baseline can't flake it.
+      val wallOk = w10 <= 3.0 * math.max(w1, 2.0) + 5.0
+      val cpuOk = c10 <= 25.0 * math.max(c1, 2.0)
+      assert(wallOk || cpuOk,
+        f"$name at 10x: wall $w10%.2f s (1x $w1%.2f s), " +
+          f"cpu $c10%.2f s (1x $c1%.2f s) — super-linear on both gates")
     }
 }
