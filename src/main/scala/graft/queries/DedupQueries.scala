@@ -226,25 +226,36 @@ object DedupQueries {
   }
 
   /** Banded SimHash near-dup pairs — the scale-safe form of
-    * [[dedupSimhash]], and EXACTLY the same result set: the 60-bit
-    * signature splits into 5 disjoint 12-bit bands; a pair at Hamming
-    * distance ≤ 4 differs in at most 4 bands, so by pigeonhole it matches
-    * on at least one band exactly. Candidates come from an equi-join on
-    * (band, band_bits) — never an all-pairs scan — then the exact Hamming
-    * check keeps true pairs only. This is the reference's own principle:
-    * hpmr routes every interaction through a hash key
-    * (/root/reference/src/dist_map.h:118-130) precisely to avoid
-    * all-to-all. Shuffle cost is O(docs × 5) rows of 24 bytes; the only
-    * skew risk is a band value shared by a huge near-dup cluster, which
-    * AQE skew-join splits. */
+    * [[dedupSimhash]], and EXACTLY the same result set, via the
+    * block-pair construction of Manku et al. (WWW 2007): the 60-bit
+    * signature splits into 6 disjoint 10-bit blocks, and the join key is
+    * every PAIR of blocks — C(6,2) = 15 tables of 20-bit composite keys.
+    * A pair at Hamming distance ≤ 4 has differing bits in at most 4
+    * blocks, so at least 2 blocks are bit-identical, so at least one
+    * block PAIR matches exactly (pigeonhole — same exactness argument as
+    * single-block banding). Then the exact Hamming check keeps true
+    * pairs only. Why pairs of blocks: single 12-bit bands have only 4096
+    * bucket values per band, so once the corpus is ≫ 4096 docs every
+    * bucket holds n/4096 RANDOM docs and the candidate join degenerates
+    * quadratically (birthday paradox) — measured as the dominant cost at
+    * the 50 k-doc scale probe. 20-bit keys push that saturation point
+    * 256× out (~millions of docs); beyond that, re-parameterize the same
+    * construction (more/wider blocks, k-of-m pigeonhole) to the corpus
+    * size. This is the reference's own principle: hpmr routes every
+    * interaction through a hash key (/root/reference/src/dist_map.h:118-130)
+    * precisely to avoid all-to-all. Shuffle cost is O(docs × 15) rows of
+    * 24 bytes; the only skew risk is a block-pair value shared by a huge
+    * near-dup cluster, which AQE skew-join splits. */
   val dedupSimhashBanded: Q = (s, d) => {
     val sig = simhashSignatures(s, d)
-    val bandCols = (0 until 5).map(b =>
-      shiftright(col("simhash"), 12 * b).bitwiseAND(lit(0xFFFL)).as(s"band$b"))
+    def block(i: Int): Column =
+      shiftright(col("simhash"), 10 * i).bitwiseAND(lit(0x3FFL))
+    val pairKeys = for { i <- 0 until 6; j <- (i + 1) until 6 } yield
+      (block(i) * 1024L + block(j)).as(s"bp${i}_$j")
     // Snapshot the band table: the self-join below would otherwise run
     // the 60-vote signature aggregate (and its corpus scan) once per side.
     val bands = Sessions.snapshot(sig.select(col("doc_id"), col("simhash"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bits"))))._2
+      posexplode(array(pairKeys: _*)).as(Seq("band", "bits"))))._2
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&

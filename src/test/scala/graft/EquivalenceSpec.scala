@@ -5,10 +5,11 @@ import graft.queries.DedupQueries
 /** Cross-query identities the design claims, asserted on real data:
   *
   *  - dedup_simhash_banded is EXACTLY dedup_simhash (pigeonhole: a pair at
-  *    Hamming ≤ 4 over 60 bits differs in at most 4 of 5 disjoint 12-bit
-  *    bands, so at least one band matches exactly → the banded equi-join
-  *    generates a candidate superset, and the final Hamming filter makes
-  *    the sets equal);
+  *    Hamming ≤ 4 over 60 bits has differing bits in at most 4 of 6
+  *    disjoint 10-bit blocks, so at least 2 blocks — hence at least one of
+  *    the C(6,2) block-pair join keys — match exactly → the banded
+  *    equi-join generates a candidate superset, and the final Hamming
+  *    filter makes the sets equal);
   *  - dedup_jaccard_on_lsh is a SUBSET of dedup_ngram_jaccard (same exact
   *    scoring, candidates restricted to LSH pairs) — and on this corpus,
   *    where RecallSpec measures MinHash candidate recall 1.0, the two are
