@@ -50,6 +50,23 @@ class OlapSpec extends SparkSpec {
     assert(shards.map(_.getLong(2)).sum == totalChars)
   }
 
+  test("join_supply_revenue pushes the date filter to the orders scan and broadcasts the tiny dims") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val qe = OlapQueries.joinSupplyRevenue(spark, sfDir).queryExecution
+    // Initial physical plan (pre-AQE): the o_orderdate predicate must
+    // reach a parquet scan as a data filter — at 100 TB this is the
+    // difference between scanning two years and scanning the table.
+    val scans = qe.sparkPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.exists(_.dataFilters.exists(
+      _.references.exists(_.name == "o_orderdate"))),
+      scans.map(_.dataFilters).mkString("; "))
+    // The two explicit broadcast() hints (nation, region) must survive
+    // planning; the real dimensions are deliberately un-hinted.
+    val bhj = qe.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"expected >=2 broadcast joins, got ${bhj.size}")
+  }
+
   test("join_supply_revenue keeps only local-supply lines") {
     // Every surviving (customer, supplier) pair shares a nation by
     // construction; re-deriving the join with the condition dropped must
