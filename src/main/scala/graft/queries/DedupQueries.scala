@@ -58,7 +58,8 @@ object DedupQueries {
     * workhorse: per-doc work is O(shingles × k), the only shuffles are
     * the k-column min aggregate on doc_id and the equi-join on band
     * buckets. Skewed buckets (boilerplate text) are the risk — AQE
-    * skew-join handles moderate cases; extreme cases get a bucket-size cap.
+    * skew-join handles moderate cases; extreme cases are the capped
+    * variant's job ([[dedupMinhashCapped]], `dedup_minhash_capped`).
     *
     * The signature uses the standard affine construction: one md5 base
     * hash per distinct shingle, then mh_j = min over shingles of
@@ -87,22 +88,57 @@ object DedupQueries {
     * candidate and rescoring subtrees. The band table is itself
     * snapshotted: the self-join would otherwise run the 16-min signature
     * aggregate once per side. */
-  private def minhashCandidatesFrom(sh: DataFrame): DataFrame = {
+  private def minhashCandidatesFrom(sh: DataFrame): DataFrame =
+    pairsOf(Sessions.snapshot(minhashBands(sh))._2)
+
+  /** (doc_id, band, band_key) — the 8 LSH band rows per document. */
+  private def minhashBands(sh: DataFrame): DataFrame = {
     val base = sh.select(col("doc_id"), md5Long(col("s")).as("h"))
     def mhCol(j: Int) =
       min((col("h") * (j * 40503L + 10007L) + (j * 69621L + 30011L)) % 2147483647L).as(s"mh$j")
     val sig = base.groupBy("doc_id").agg(mhCol(0), (1 until 16).map(mhCol): _*)
     val bandKeys = (0 until 8).map(b =>
       concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as(s"bk$b"))
-    val bands = Sessions.snapshot(sig
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key"))))._2
+    sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** Distinct (doc_a < doc_b) pairs from a band table's bucket self-join. */
+  private def pairsOf(bands: DataFrame): DataFrame =
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+
+  /** [[minhashCandidatesFrom]] with the production hot-bucket defense:
+    * band buckets holding more than `cap` documents are dropped BEFORE
+    * the self-join. A bucket of boilerplate (licence headers, templated
+    * pages) otherwise contributes O(bucket²) join rows — the one skew
+    * mode AQE cannot fully save, since the quadratic blowup happens in
+    * the join OUTPUT, not in a partition's input size. Dropping the
+    * bucket loses only candidates that share *that* band; members still
+    * pair through their 7 other bands unless they are boilerplate-only —
+    * which is exactly the content a dedup pipeline wants quarantined for
+    * separate handling rather than pairwise-enumerated. The bucket size
+    * comes from a count window over the SAME (band, band_key)
+    * partitioning the self-join shuffles on, so the cap costs no extra
+    * exchange. private[graft]: EquivalenceSpec drives a synthetic
+    * boilerplate corpus through it to pin the drop branch (the fixtures'
+    * max bucket is 4, so the declared query equals the uncapped form
+    * there — asserted too). */
+  private[graft] def minhashCandidatesCapped(sh: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
+    pairsOf(Sessions.snapshot(
+      minhashBands(sh)
+        .withColumn("bsz", count(lit(1)).over(w))
+        .filter(col("bsz") <= cap)
+        .drop("bsz"))._2)
   }
+
+  /** Declared form of the capped candidates (cap = 16) over the corpus. */
+  val dedupMinhashCapped: Q = (s, d) =>
+    minhashCandidatesCapped(shingleSet(s, d), 16).orderBy("doc_a", "doc_b")
 
   /** The full 100 TB dedup composition as ONE declared query: exact
     * 3-gram Jaccard computed ONLY on MinHash-LSH candidate pairs. The
@@ -417,6 +453,7 @@ object DedupQueries {
     "dedup_source_overlap" -> dedupSourceOverlap,
     "dedup_incremental" -> dedupIncremental,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_capped" -> dedupMinhashCapped,
     "dedup_jaccard_on_lsh" -> dedupJaccardOnLsh,
     "dedup_clusters" -> dedupClusters,
     "dedup_keep_canonical" -> dedupKeepCanonical,
@@ -516,6 +553,35 @@ object DedupQueries {
         |)
         |SELECT degree, COUNT(*) AS n_docs
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    // Identical CTEs to dedup_minhash_lsh plus the QUALIFY bucket cap; on
+    // the fixtures (max bucket 4 < 16) this equals the uncapped result —
+    // the drop branch is pinned by EquivalenceSpec's synthetic
+    // boilerplate corpus instead.
+    "dedup_minhash_capped" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), base AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, MIN((h * (j * 40503 + 10007) + (j * 69621 + 30011)) % 2147483647) AS mh
+        |  FROM base, UNNEST(generate_series(0, 15)) AS t(j)
+        |  GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |         CAST(MIN(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
+        |           CAST(MIN(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), kept AS (
+        |  SELECT doc_id, band, band_key FROM bands
+        |  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= 16
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM kept a JOIN kept b
+        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),

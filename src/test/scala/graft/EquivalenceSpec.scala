@@ -26,6 +26,33 @@ class EquivalenceSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("capped minhash equals uncapped on the fixture (max bucket under the cap)") {
+    val capped = SparkEntry.queries("dedup_minhash_capped")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val plain = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(capped == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("bucket cap drops boilerplate black holes, keeps normal near-dups") {
+    import spark.implicits._
+    // 40 docs with the IDENTICAL shingle set — one 40-doc bucket in every
+    // band (a licence-header black hole: 780 candidate pairs uncapped) —
+    // plus one normal near-dup pair with its own shingles.
+    val boiler = for (doc <- 1L to 40L; i <- 1 to 10)
+      yield (doc, s"boiler shingle $i")
+    val pair = for (doc <- Seq(100L, 101L); i <- 1 to 10)
+      yield (doc, s"real content $i")
+    val sh = (boiler ++ pair).toDF("doc_id", "s")
+    val capped = DedupQueries.minhashCandidatesCapped(sh, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"got $capped")
+    val uncapped = DedupQueries.minhashCandidatesCapped(sh, 1000)
+      .collect().length
+    assert(uncapped == 40 * 39 / 2 + 1) // the black hole enumerated
+  }
+
   test("jaccard-on-LSH is a subset of exact jaccard, equal at full recall") {
     val onLsh = DedupQueries.dedupJaccardOnLsh(spark, sfDir)
       .collect().map(_.toSeq).toSet
