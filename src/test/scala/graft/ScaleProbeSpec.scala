@@ -63,6 +63,7 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
 
   private val family = Seq(
     "dedup_minhash_lsh" -> DedupQueries.dedupMinhashLsh,
+    "dedup_minhash_capped" -> DedupQueries.dedupMinhashCapped,
     "dedup_simhash_banded" -> DedupQueries.dedupSimhashBanded,
     "dedup_jaccard_on_lsh" -> DedupQueries.dedupJaccardOnLsh,
     "dedup_clusters" -> DedupQueries.dedupClusters,
