@@ -96,7 +96,10 @@ object OlapQueries {
     daily
       .withColumn("k", count(lit(1)).over(w))
       .withColumn("s", sum(col("n")).over(w))
-      .withColumn("q", sum(col("n") * col("n")).over(w))
+      // The squares accumulate in DECIMAL, not LONG: n² overflows a
+      // BIGINT once a (type, day) cell passes ~3e9 events — realistic at
+      // 100 TB — and Spark would wrap silently where DuckDB errors.
+      .withColumn("q", sum(col("n").cast(dec) * col("n").cast(dec)).over(w))
       .filter(col("k") === 7L)
       .select(col("event_type"), col("day"), col("n"),
         ((col("k") * col("n") - col("s")).cast(dec)
@@ -161,7 +164,8 @@ object OlapQueries {
         |  FROM events GROUP BY event_type, day
         |), stats AS (
         |  SELECT event_type, day, n,
-        |         COUNT(*) OVER w AS k, SUM(n) OVER w AS s, SUM(n * n) OVER w AS q
+        |         COUNT(*) OVER w AS k, SUM(n) OVER w AS s,
+        |         SUM(CAST(n AS HUGEINT) * n) OVER w AS q
         |  FROM daily
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
         |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
