@@ -1,8 +1,10 @@
 package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftx.Metrics
 
 /** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR and
   * emits ONE JSON line `{"metric":"total","value":N,"unit":"sec",...}`.
@@ -15,6 +17,21 @@ import org.apache.spark.sql.SparkSession
   *     set, else bench_out.json in the working directory;
   *   - each query is timed SPARK_GRAFT_BENCH_REPS times (default 3) and the
   *     per-query MEDIAN is reported; "value" is the sum of medians.
+  *
+  * Round-3 lesson (VERDICT.md #1): the driver keeps only the LAST 2000
+  * chars of stdout, and sbt's trailing "[success] Total time..." line eats
+  * ~80 of those. An 84-query per-query map cannot fit in that window even
+  * at millisecond precision (~2.4 KB measured), which is exactly how
+  * BENCH_r03 ended up `"parsed": null`. So the two channels now differ:
+  *   - the FILE gets the full artifact — per-query wall medians
+  *     ("queries", the original contract shape), plus "mins" (best-of-reps
+  *     wall) and "cpus" (median executor-CPU via graftx.Metrics, the
+  *     host-stall-immune signal ScaleProbeSpec already gates on);
+  *   - STDOUT gets a guaranteed-short line (<~1 KB): totals ("value",
+  *     "min_total", "cpu_total"), the contract fields, and a "queries" map
+  *     holding only the TOP-20 slowest medians (the ones a perf gate
+  *     cares about) with "queries_omitted" naming the cut.
+  * Every number is rounded to 1 ms — far below this host's noise floor.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,27 +76,47 @@ object Bench {
     // Time rep-by-rep across the whole query list (rep 1 of all queries,
     // then rep 2, ...) so per-query reps are spread over the JVM's life —
     // a GC pause or JIT recompile hits one rep, not all three.
-    val times = Array.fill(names.size, reps)(0.0)
+    val walls = Array.fill(names.size, reps)(0.0)
+    val cpusSec = Array.fill(names.size, reps)(0.0)
     val okFlags = Array.fill(names.size)(true)
     for (r <- 0 until reps; i <- names.indices) {
       val t0 = System.nanoTime()
-      val ok = runOnce(names(i))
-      times(i)(r) = (System.nanoTime() - t0) / 1e9
+      val (ok, cpu) = Metrics.withCpuTime(spark.sparkContext)(runOnce(names(i)))
+      walls(i)(r) = (System.nanoTime() - t0) / 1e9
+      cpusSec(i)(r) = cpu
       if (!ok) okFlags(i) = false
+      // Outside the timer: dropping the finished rep's snapshot caches is
+      // harness bookkeeping, not query cost — and without it 84 queries ×
+      // reps of corpus-scale persisted RDDs live until GC (ADVICE round 3).
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
     }
-    val results = names.indices.map(i => names(i) -> median(times(i).toSeq))
+    def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    def objOf(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val meds = names.indices.map(i => names(i) -> median(walls(i).toSeq))
+    val mins = names.indices.map(i => names(i) -> walls(i).min)
+    val cpuMeds = names.indices.map(i => names(i) -> median(cpusSec(i).toSeq))
     val failed = names.indices.collect { case i if !okFlags(i) => "\"" + names(i) + "\"" }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = meds.map(_._2).sum
+    val minTotal = mins.map(_._2).sum
+    val cpuTotal = cpuMeds.map(_._2).sum
     val failedJson = failed.mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+    val common =
+      s""""value":${fmt(total)},"unit":"sec","min_total":${fmt(minTotal)},"cpu_total":${fmt(cpuTotal)},"failed":$failedJson,"reps":$reps,"sf":"$sfDir""""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // Full artifact → file (no size limit there).
+    val detailJson =
+      s"""{"metric":"total",$common,"queries":${objOf(meds)},"mins":${objOf(mins)},"cpus":${objOf(cpuMeds)}}"""
+    // Short line → stdout: only the slowest 20 medians fit the 2000-char
+    // tail window alongside sbt's own trailing output.
+    val top = meds.sortBy(-_._2).take(20).sortBy(_._1)
+    val omitted = meds.size - top.size
+    val stdoutJson =
+      s"""{"metric":"total",$common,"queries":${objOf(top)},"queries_omitted":$omitted,"detail":"$outPath"}"""
     // stdout FIRST: the file write is the redundant channel, and an
     // invalid SPARK_GRAFT_BENCH_OUT path must not lose both.
-    println(json)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    println(stdoutJson)
+    try Files.write(Paths.get(outPath), (detailJson + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }

@@ -24,6 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Drop this query's snapshot caches before the next one runs — 84
+      // queries × corpus-scale persisted RDDs would otherwise accumulate
+      // for the whole dump (ADVICE round 3).
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -47,14 +47,42 @@ object Sessions {
     * GBs per round, and waiting on GC-driven ContextCleaner cleanup across
     * 20+ rounds would hoard the cluster's storage memory. Rows are copied
     * before caching (codegen reuses row buffers). Nothing materializes
-    * until the first action on the returned frame. */
+    * until the first action on the returned frame.
+    *
+    * Every snapshot is ALSO tracked in a context-level registry: query
+    * builders with the fixed `(SparkSession, String) => DataFrame` shape
+    * have nowhere to thread the handle, so a long-lived harness (bench
+    * reps, the verify loop) calls [[releaseSnapshots]] once a query's
+    * terminal action completes instead of waiting on GC-driven
+    * ContextCleaner cleanup — one-to-two corpus-scale cached RDDs per
+    * query invocation otherwise pile up for the JVM's life. Unpersisting
+    * only drops cached blocks; a released frame re-executed later
+    * recomputes from lineage, still correct. */
   def snapshot(df: DataFrame): (RDD[InternalRow], DataFrame) = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.add(rdd)
     val snap = classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[classic.SparkSession],
       LogicalRDD.fromDataset(rdd, df.asInstanceOf[classic.Dataset[Row]],
         isStreaming = false))
     (rdd, snap)
+  }
+
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[RDD[InternalRow]]
+
+  /** Unpersists (non-blocking) every snapshot taken since the last call
+    * and returns how many were released. Idempotent with callers that
+    * already unpersist their own handles (Components): RDD.unpersist on an
+    * uncached RDD is a no-op. */
+  def releaseSnapshots(): Int = {
+    var n = 0
+    var rdd = tracked.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      n += 1
+      rdd = tracked.poll()
+    }
+    n
   }
 }
