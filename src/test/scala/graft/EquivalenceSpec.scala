@@ -62,4 +62,37 @@ class EquivalenceSpec extends SparkSpec {
     assert(onLsh == exact, s"recall on this corpus is 1.0, sets should match " +
       s"(onLsh=${onLsh.size} exact=${exact.size})")
   }
+
+  test("df-capped ngram jaccard equals the uncapped truth on the fixture (max df under the cap)") {
+    val capped = SparkEntry.queries("dedup_ngram_jaccard_capped")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val exact = DedupQueries.dedupNgramJaccard(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(capped == exact, s"capped=${capped.size} exact=${exact.size}")
+    assert(exact.nonEmpty)
+  }
+
+  test("shingle df cap drops boilerplate hot shingles from the whole universe") {
+    import spark.implicits._
+    // One shingle shared by 50 docs (licence boilerplate — O(df²) = 1225
+    // join rows for zero discrimination) plus a genuine near-dup pair
+    // sharing 9 of 10 shingles, one of which is the hot one.
+    val boiler = (1L to 50L).map(doc => (doc, "hot boilerplate shingle"))
+    val pair = for (doc <- Seq(100L, 101L); i <- 1 to 9)
+      yield (doc, s"real content $i")
+    val sh = (boiler ++ pair
+      ++ Seq((100L, "hot boilerplate shingle"), (101L, "hot boilerplate shingle")))
+      .toDF("doc_id", "s")
+    val capped = DedupQueries.ngramJaccardCapped(sh, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // The hot shingle is dropped from intersection AND sizes: the pair
+    // scores 9/9 = 1.0 over the reduced universe, and the 50 boiler-only
+    // docs (empty capped shingle sets) produce no pairs at all.
+    assert(capped.toSeq == Seq((100L, 101L, 1.0)), s"got ${capped.mkString(",")}")
+    // Uncapped twin on the same frame: the black hole is enumerated.
+    val uncapped = DedupQueries.ngramJaccardCapped(sh, 1000).collect()
+    // 1225 boiler-boiler pairs (jaccard 1.0) + the real pair; boiler-real
+    // pairs score 1/10 < 0.5 and fall to the threshold.
+    assert(uncapped.length == 50 * 49 / 2 + 1)
+  }
 }
