@@ -128,9 +128,30 @@ object OlapQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("shard")
 
+  /** Per-order revenue over the BUCKETED fact pair — the declared form of
+    * DESIGN.md's 100 TB fact-fact answer (round-3 verdict #5): lineitem ⋈
+    * orders both bucketed+sorted on the order key, so the join AND the
+    * keyed aggregate plan with zero shuffle exchanges below the output
+    * sort — the layout, not the optimizer, carries the partitioning
+    * (BucketedJoinSpec asserts the plan shape on this declared query; the
+    * oracle is the PLAIN join, proving the layout changes nothing about
+    * the answer). [[graft.sources.Bucketing.bucketedFacts]] materializes
+    * the tables once per source dir — the ingest-time cost a warehouse
+    * amortizes over every fact-fact query after it. */
+  val joinBucketedRevenue: Q = (s, d) => {
+    val (li, ord) = graft.sources.Bucketing.bucketedFacts(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(decSum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"),
+           max(col("o_totalprice")).as("o_total"))
+      .orderBy("l_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "join_supply_revenue" -> joinSupplyRevenue,
     "part_type_revenue" -> partTypeRevenue,
+    "join_bucketed_revenue" -> joinBucketedRevenue,
     "events_anomaly_zscore" -> eventsAnomalyZscore,
     "corpus_shards" -> corpusShards,
   )
@@ -150,6 +171,15 @@ object OlapQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // Plain (unbucketed) join: the physical layout must not change the
+    // answer, so the oracle deliberately ignores the bucketing.
+    "join_bucketed_revenue" ->
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items,
+        |       MAX(o_totalprice) AS o_total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "part_type_revenue" ->
       """SELECT p_type,
         |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

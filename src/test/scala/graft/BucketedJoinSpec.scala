@@ -51,6 +51,28 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("declared join_bucketed_revenue: no exchange below the output sort") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = SparkEntry.queries("join_bucketed_revenue")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected a sort-merge join on the bucketed pair:\n$plan")
+      // The join subtree AND the keyed aggregate read the bucket layout's
+      // partitioning: the only exchange in the whole plan is the range
+      // partitioning of the final ORDER BY.
+      val below = smj.head.collect { case e: ShuffleExchangeExec => e }
+      assert(below.isEmpty, s"bucketed join must not shuffle its inputs:\n$plan")
+      val all = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(all.size <= 1,
+        s"expected at most the ORDER BY range exchange, got ${all.size}:\n$plan")
+      assert(df.limit(1).count() == 1)
+    }
+  }
+
   test("unbucketed baseline of the same join DOES shuffle (the lever is real)") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
