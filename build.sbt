@@ -31,7 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // Debug hook for the FORKED test/run JVMs (sbt's own JAVA_OPTS doesn't
+  // reach them): e.g. GRAFT_TEST_OPTS="-Dgraft.cc.debug=true" surfaces
+  // the per-round component-loop timings inside a forked ScaleProbeSpec.
+  sys.env.get("GRAFT_TEST_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
 
 // ScaleProbeSpec asserts on WALL TIME (10x corpus must stay ~linear); in
 // the shared test JVM it runs after ~19 suites whose accumulated heap and

@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * ScaleProbeSpec salted corpus, runs one dedup query at 1× and 10×, and
   * prints the POST-EXECUTION (AQE-final) physical plan plus wall time —
   * the tool that answers "which operator went superlinear".
-  * Run: sbt "runMain graft.ScaleDebug [queryName]" */
+  * Run: sbt "runMain graft.ScaleDebug [queryName] [documentsDir]"
+  * (documentsDir defaults to $SPARK_GRAFT_SF_DIR, e.g. /root/testdata/sf0.1) */
 object ScaleDebug {
   def main(args: Array[String]): Unit = {
     val qname = args.headOption.getOrElse("dedup_jaccard_on_lsh")
+    val srcDir = args.lift(1).orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse(
+      sys.error("pass the data dir as arg 2 or set SPARK_GRAFT_SF_DIR " +
+        "(a dir containing documents.parquet)"))
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,7 +24,7 @@ object ScaleDebug {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val dir1 = Files.createTempDirectory("graft-sd1").toString
     val dir10 = Files.createTempDirectory("graft-sd10").toString
     docs.write.mode("overwrite").parquet(s"$dir1/documents.parquet")
@@ -46,18 +50,26 @@ object ScaleDebug {
           f"spill=${m.diskBytesSpilled / 1e6}%6.0fMB  ${si.name.takeWhile(_ != '\n').take(60)}")
       }
     })
+    val prevCcDebug = sys.props.get("graft.cc.debug")
     sys.props("graft.cc.debug") = "true"
-    val q = SparkEntry.queries(qname)
-    for ((label, dir) <- Seq("1x" -> dir1, "10x" -> dir10)) {
-      stages.clear()
-      val t0 = System.nanoTime()
-      val df = q(spark, dir) // eager queries (dedup_clusters) do real work here
-      df.write.mode("overwrite").format("noop").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(2000) // let stage-completed events drain
-      println(f"=== $qname $label: $sec%.2f s ===")
-      stages.toArray.map(_.toString).sorted.foreach(println)
-      println(df.queryExecution.executedPlan.toString.take(25000))
+    try {
+      val q = SparkEntry.queries(qname)
+      for ((label, dir) <- Seq("1x" -> dir1, "10x" -> dir10)) {
+        stages.clear()
+        val t0 = System.nanoTime()
+        val df = q(spark, dir) // eager queries (dedup_clusters) do real work here
+        df.write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000) // let stage-completed events drain
+        println(f"=== $qname $label: $sec%.2f s ===")
+        stages.toArray.map(_.toString).sorted.foreach(println)
+        println(df.queryExecution.executedPlan.toString.take(25000))
+      }
+    } finally {
+      prevCcDebug match {
+        case Some(v) => sys.props("graft.cc.debug") = v
+        case None => sys.props.remove("graft.cc.debug")
+      }
     }
     spark.stop()
   }
