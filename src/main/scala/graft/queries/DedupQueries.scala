@@ -211,6 +211,21 @@ object DedupQueries {
     graft.operators.Components.connectedComponents(pairs, loopParts)
   }
 
+  /** Cluster-size histogram of the near-dup components — the dedup
+    * amplification report a curation run publishes (how much of the
+    * corpus collapses, and whether one mega-cluster dominates: a huge
+    * max size here is the signal that boilerplate is gluing unrelated
+    * docs together and the capped candidate variant should feed the
+    * clustering instead). Two tiny aggregates over the label table —
+    * the labels are bounded by docs-with-a-near-dup, and the histogram
+    * by the largest cluster, so the post-component cost is negligible
+    * at any corpus size. */
+  val dedupClusterSizes: Q = (s, d) =>
+    dedupClusters(s, d)
+      .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** The kept corpus after near-dup collapse — what a dedup pipeline
     * actually ships downstream: every document EXCEPT non-canonical
     * cluster members (docs whose component rep is a smaller doc_id).
@@ -502,6 +517,7 @@ object DedupQueries {
     "dedup_minhash_capped" -> dedupMinhashCapped,
     "dedup_jaccard_on_lsh" -> dedupJaccardOnLsh,
     "dedup_clusters" -> dedupClusters,
+    "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_keep_canonical" -> dedupKeepCanonical,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
     "dedup_simhash_banded" -> dedupSimhashBanded,
@@ -685,6 +701,46 @@ object DedupQueries {
         |)
         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // Same recursive-closure CTEs as dedup_clusters, then the two-stage
+    // size histogram.
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), base AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, MIN((h * (j * 40503 + 10007) + (j * 69621 + 30011)) % 2147483647) AS mh
+        |  FROM base, UNNEST(generate_series(0, 15)) AS t(j)
+        |  GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |         CAST(MIN(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
+        |           CAST(MIN(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION
+        |  SELECT doc_b, doc_a FROM cand
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), labels AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+        |  FROM reach GROUP BY src
+        |), sizes AS (
+        |  SELECT cluster_rep, COUNT(*) AS cluster_size
+        |  FROM labels GROUP BY cluster_rep
+        |)
+        |SELECT cluster_size, COUNT(*) AS n_clusters
+        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // Same recursive-closure CTEs as dedup_clusters, then the kept corpus
     // = documents minus non-canonical members.
     "dedup_keep_canonical" ->

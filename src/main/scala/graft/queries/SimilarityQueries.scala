@@ -169,10 +169,54 @@ object SimilarityQueries {
       .orderBy("tbl", "bucket_size")
   }
 
+  /** Batch k-NN graph (k = 3) over the WHOLE corpus — the all-to-all form
+    * of [[simAnnLsh]] (which serves 5 online probes): every vector gets
+    * its top-3 LSH-candidate neighbors by exact integer-cosine rescoring.
+    * This is the build step behind graph-based curation (diversity
+    * sampling, semantic dedup clustering, label propagation). Plan shape:
+    * bucketing stays map-side codegen; candidates come from the
+    * (tbl, bucket) equi self-join; the narrow (src, cand) pairs dedupe
+    * BEFORE the vectors join back by id; one rank window per src. The
+    * fan-in per bucket is ~n/2^NPlanes, so at corpus scale NPlanes grows
+    * with log₂(n) to hold bucket size ≈ candidate budget (the same
+    * re-parameterization rule as the simhash block-pair banding), and a
+    * boilerplate-style hot bucket takes the capped-bucket defense
+    * ([[graft.queries.DedupQueries.minhashCandidatesCapped]] pattern).
+    * The keyed bucket table feeds both sides of the self-join and the
+    * quantized vectors three readers — each snapshots once. */
+  val simKnnGraph: Q = (s, d) => {
+    val q = org.apache.spark.sql.graftx.Sessions.snapshot(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+        .withColumn("n2", qnorm2(col("qv"))))._2
+    val keyed = org.apache.spark.sql.graftx.Sessions.snapshot(
+      q.select(col("vec_id"),
+        posexplode(array((0 until NTables).map(t => lshBucket(t, col("qv"))): _*))
+          .as(Seq("tbl", "bucket"))))._2
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("cand_id"))
+      .distinct()
+    val cos: Column = qdot(col("pa.qv"), col("pb.qv")) /
+      (sqrt(col("pa.n2")) * sqrt(col("pb.n2")))
+    val scored = cand
+      .join(q.as("pa"), col("src") === col("pa.vec_id"))
+      .join(q.as("pb"), col("cand_id") === col("pb.vec_id"))
+      .select(col("src"), col("cand_id"), cos.as("cos"))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("src").as("vec_id"), col("rank").cast("long").as("rank"),
+              col("cand_id").as("neighbor"), round(col("cos"), 6).as("score"))
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_bucket_histogram" -> embBucketHistogram,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
+    "sim_knn_graph" -> simKnnGraph,
     "emb_centroids" -> embCentroids,
   )
 
@@ -243,6 +287,41 @@ object SimilarityQueries {
         |)
         |SELECT probe_id, cand_id, round(cos, 6) AS score
         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, cand_id""".stripMargin,
+    // Same bucketing CTEs as sim_ann_lsh, no probe restriction and no
+    // multi-probe flips: the batch graph joins bucket-exact only.
+    "sim_knn_graph" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), qn AS (
+        |  SELECT vec_id, qv, (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2 FROM q
+        |), keyed AS (
+        |  SELECT vec_id, tbl,
+        |         CAST(list_sum(list_transform(generate_series(0, 5), p ->
+        |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
+        |                  qv[dd] * (CAST('0x' || substring(md5(CAST(tbl * 6 + p AS VARCHAR) || ':' || CAST(dd - 1 AS VARCHAR)), 1, 4) AS INTEGER) - 32768))) > 0
+        |                THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+        |  FROM qn, UNNEST(generate_series(0, 2)) AS t(tbl)
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS cand_id
+        |  FROM keyed a JOIN keyed b
+        |    ON b.tbl = a.tbl AND b.bucket = a.bucket AND b.vec_id <> a.vec_id
+        |), pairs AS (
+        |  SELECT src, cand_id,
+        |         (SELECT SUM(x * y) FROM (SELECT UNNEST(pq.qv) AS x, UNNEST(cq.qv) AS y)) /
+        |           (sqrt(pq.n2) * sqrt(cq.n2)) AS cos
+        |  FROM cand
+        |  JOIN qn pq ON pq.vec_id = src
+        |  JOIN qn cq ON cq.vec_id = cand_id
+        |), ranked AS (
+        |  SELECT src, cand_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, cand_id) AS rank
+        |  FROM pairs
+        |)
+        |SELECT src AS vec_id, CAST(rank AS BIGINT) AS rank, cand_id AS neighbor,
+        |       round(cos, 6) AS score
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "sim_ann_lsh" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -391,7 +391,45 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Exact duplicate-span profile — the word-8-gram form of exact
+    * substring deduplication (the published complement to MinHash-style
+    * whole-doc dedup: near-dup detection misses a unique page whose
+    * MIDDLE embeds a verbatim boilerplate paragraph; span-level profiling
+    * finds it). Per document: how many of its distinct 8-word spans occur
+    * in at least one OTHER document, and the duplicated fraction. A
+    * curation pipeline cuts on the ratio (and a span-level scrubber
+    * removes the spans themselves).
+    *
+    * Scale shape — deliberately NOT a pairwise operator: the span table
+    * aggregates to document frequency per span, and the per-doc profile
+    * is an equi-join of spans against that df table on the span key —
+    * join fan-out is one df row per span occurrence, so total work is
+    * LINEAR in corpus spans however hot a boilerplate span gets (the
+    * hot-key quadratic lives only in pairwise span joins, which this
+    * operator never does; at 100 TB the span key would be a 16-byte
+    * digest rather than the raw 8-gram string, same plan). The span
+    * table feeds both the df aggregate and the profile join, so it
+    * snapshots once. */
+  val textDupSpanRatio: Q = (s, d) => {
+    val sp = org.apache.spark.sql.graftx.Sessions.snapshot(
+      Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(0), size(col("w")) - 8),
+          i => concat_ws(" ", (0 until 8).map(j => element_at(col("w"), i + j + 1)): _*))))
+          .as("g")))._2
+    val df = sp.groupBy("g").agg(count(lit(1)).as("df"))
+    sp.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio", round(col("n_dup") / col("n_spans"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_dup_span_ratio" -> textDupSpanRatio,
     "text_scrub_terms" -> textScrubTerms,
     "mix_sources_budget" -> mixSourcesBudget,
     "text_length_quartiles" -> textLengthQuartiles,
@@ -415,6 +453,21 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_dup_span_ratio" ->
+      s"""WITH sp AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-7),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS g
+        |  FROM (SELECT doc_id, ${wordsSql.format("text")} AS w FROM documents)
+        |  WHERE len(w) >= 8
+        |), df AS (
+        |  SELECT g, COUNT(*) AS df FROM sp GROUP BY g
+        |)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       round(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_ratio
+        |FROM sp JOIN df USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_scrub_terms" ->
       s"""WITH scrub AS (
         |  SELECT source, CAST(len(w) AS BIGINT) AS n_words,
