@@ -179,20 +179,30 @@ object SimilarityQueries {
     * BEFORE the vectors join back by id; one rank window per src. The
     * fan-in per bucket is ~n/2^NPlanes, so at corpus scale NPlanes grows
     * with log₂(n) to hold bucket size ≈ candidate budget (the same
-    * re-parameterization rule as the simhash block-pair banding), and a
-    * boilerplate-style hot bucket takes the capped-bucket defense
-    * ([[graft.queries.DedupQueries.minhashCandidatesCapped]] pattern).
-    * The keyed bucket table feeds both sides of the self-join and the
-    * quantized vectors three readers — each snapshots once. */
+    * re-parameterization rule as the simhash block-pair banding), and
+    * buckets past 128 vectors are DROPPED before the self-join — the
+    * capped-bucket defense ([[graft.queries.DedupQueries
+    * .minhashCandidatesCapped]]): a degenerate hot bucket contributes
+    * O(bucket²) join output for near-zero neighbor quality (its members
+    * are the ones LSH failed to discriminate), and the cap rides the same
+    * (tbl, bucket) partitioning the join shuffles on. Fixture max bucket
+    * is 26 (sf0.01) / 81 (sf0.1), so the declared result equals the
+    * uncapped form at both SFs. The keyed bucket table feeds both sides
+    * of the self-join and the quantized vectors three readers — each
+    * snapshots once. */
   val simKnnGraph: Q = (s, d) => {
     val q = org.apache.spark.sql.graftx.Sessions.snapshot(
       Tables.embeddings(s, d)
         .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
         .withColumn("n2", qnorm2(col("qv"))))._2
+    val wB = Window.partitionBy("tbl", "bucket")
     val keyed = org.apache.spark.sql.graftx.Sessions.snapshot(
       q.select(col("vec_id"),
         posexplode(array((0 until NTables).map(t => lshBucket(t, col("qv"))): _*))
-          .as(Seq("tbl", "bucket"))))._2
+          .as(Seq("tbl", "bucket")))
+        .withColumn("bsz", count(lit(1)).over(wB))
+        .filter(col("bsz") <= 128)
+        .drop("bsz"))._2
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -288,7 +298,9 @@ object SimilarityQueries {
         |SELECT probe_id, cand_id, round(cos, 6) AS score
         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, cand_id""".stripMargin,
     // Same bucketing CTEs as sim_ann_lsh, no probe restriction and no
-    // multi-probe flips: the batch graph joins bucket-exact only.
+    // multi-probe flips (the batch graph joins bucket-exact only), plus
+    // the QUALIFY bucket cap — fixture max bucket 26/81 < 128, so this
+    // equals the uncapped form at both SFs.
     "sim_knn_graph" ->
       """WITH q AS (
         |  SELECT vec_id,
@@ -296,13 +308,16 @@ object SimilarityQueries {
         |  FROM embeddings
         |), qn AS (
         |  SELECT vec_id, qv, (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2 FROM q
-        |), keyed AS (
+        |), keyed0 AS (
         |  SELECT vec_id, tbl,
         |         CAST(list_sum(list_transform(generate_series(0, 5), p ->
         |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
         |                  qv[dd] * (CAST('0x' || substring(md5(CAST(tbl * 6 + p AS VARCHAR) || ':' || CAST(dd - 1 AS VARCHAR)), 1, 4) AS INTEGER) - 32768))) > 0
         |                THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
         |  FROM qn, UNNEST(generate_series(0, 2)) AS t(tbl)
+        |), keyed AS (
+        |  SELECT vec_id, tbl, bucket FROM keyed0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= 128
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS cand_id
         |  FROM keyed a JOIN keyed b

@@ -428,7 +428,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary-coverage sizing — the tokenizer-design diagnostic: per
+    * language, the minimum vocabulary size (words ranked by frequency,
+    * ties broken lexically) whose cumulative count covers ≥ 99.5% of that
+    * language's tokens, alongside the distinct-word and total-token
+    * counts. The threshold test is pure integers (1000·cum ≥ 995·total —
+    * no division, bit-identical in any engine). Scale shape: the
+    * (lang, word) aggregate combines map-side, and the rank/cumulative
+    * window runs over the COLLAPSED vocabulary, never raw tokens — the
+    * same aggregate-then-rank discipline as the bigram top-k; a language
+    * partition is bounded by its distinct vocabulary, not its corpus. */
+  val textVocabCoverage: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(words(col("text"))).as("wd"))
+      .groupBy("lang", "wd").agg(count(lit(1)).as("n"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("n"), asc("wd"))
+    val cum = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    counts
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("n")).over(cum))
+      .withColumn("total", sum(col("n")).over(all))
+      .groupBy("lang")
+      .agg(max(col("rk")).as("n_words"),
+           max(col("total")).as("total_tokens"),
+           min(when(col("cum") * 1000L >= col("total") * 995L, col("rk"))).as("vocab_995"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_vocab_coverage" -> textVocabCoverage,
     "text_dup_span_ratio" -> textDupSpanRatio,
     "text_scrub_terms" -> textScrubTerms,
     "mix_sources_budget" -> mixSourcesBudget,
@@ -453,6 +484,23 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_coverage" ->
+      s"""WITH counts AS (
+        |  SELECT lang, wd, COUNT(*) AS n
+        |  FROM (SELECT lang, UNNEST(${wordsSql.format("text")}) AS wd FROM documents)
+        |  GROUP BY lang, wd
+        |), ranked AS (
+        |  SELECT lang, n,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, wd) AS rk,
+        |         SUM(n) OVER (PARTITION BY lang ORDER BY n DESC, wd
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(n) OVER (PARTITION BY lang) AS total
+        |  FROM counts
+        |)
+        |SELECT lang, CAST(MAX(rk) AS BIGINT) AS n_words,
+        |       CAST(MAX(total) AS BIGINT) AS total_tokens,
+        |       CAST(MIN(CASE WHEN cum * 1000 >= total * 995 THEN rk END) AS BIGINT) AS vocab_995
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
     "text_dup_span_ratio" ->
       s"""WITH sp AS (
         |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-7),
