@@ -80,9 +80,19 @@ object Bench {
     val cpusSec = Array.fill(names.size, reps)(0.0)
     val okFlags = Array.fill(names.size)(true)
     for (r <- 0 until reps; i <- names.indices) {
-      val t0 = System.nanoTime()
-      val (ok, cpu) = Metrics.withCpuTime(spark.sparkContext)(runOnce(names(i)))
-      walls(i)(r) = (System.nanoTime() - t0) / 1e9
+      // Wall timestamps wrap runOnce INSIDE the metered block: withCpuTime
+      // ends with a listenerBus.waitUntilEmpty (up to 30 s) that is metric
+      // plumbing, not query cost — timing around the whole block would
+      // inflate walls by the drain and break cross-round comparability
+      // (ADVICE round 4).
+      var wall = 0.0
+      val (ok, cpu) = Metrics.withCpuTime(spark.sparkContext) {
+        val t0 = System.nanoTime()
+        val r0 = runOnce(names(i))
+        wall = (System.nanoTime() - t0) / 1e9
+        r0
+      }
+      walls(i)(r) = wall
       cpusSec(i)(r) = cpu
       if (!ok) okFlags(i) = false
       // Outside the timer: dropping the finished rep's snapshot caches is
@@ -101,8 +111,10 @@ object Bench {
     val minTotal = mins.map(_._2).sum
     val cpuTotal = cpuMeds.map(_._2).sum
     val failedJson = failed.mkString("[", ",", "]")
+    // Env-provided strings (sfDir, outPath) go through the shared JSON
+    // escape — a quote/backslash in either would corrupt BOTH channels.
     val common =
-      s""""value":${fmt(total)},"unit":"sec","min_total":${fmt(minTotal)},"cpu_total":${fmt(cpuTotal)},"failed":$failedJson,"reps":$reps,"sf":"$sfDir""""
+      s""""value":${fmt(total)},"unit":"sec","min_total":${fmt(minTotal)},"cpu_total":${fmt(cpuTotal)},"failed":$failedJson,"reps":$reps,"sf":${Jsons.q(sfDir)}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // Full artifact → file (no size limit there).
     val detailJson =
@@ -112,7 +124,7 @@ object Bench {
     val top = meds.sortBy(-_._2).take(20).sortBy(_._1)
     val omitted = meds.size - top.size
     val stdoutJson =
-      s"""{"metric":"total",$common,"queries":${objOf(top)},"queries_omitted":$omitted,"detail":"$outPath"}"""
+      s"""{"metric":"total",$common,"queries":${objOf(top)},"queries_omitted":$omitted,"detail":${Jsons.q(outPath)}}"""
     // stdout FIRST: the file write is the redundant channel, and an
     // invalid SPARK_GRAFT_BENCH_OUT path must not lose both.
     println(stdoutJson)

@@ -25,14 +25,17 @@ object SimilarityQueries {
   private val NPlanes = 6
   private val NTables = 3
 
-  /** Table t's NPlanes-bit sign-LSH bucket id: NPlanes codegen'd qdots
-    * against constant weight arrays (global plane index t·NPlanes+p) —
+  /** Table t's nPlanes-bit sign-LSH bucket id: nPlanes codegen'd qdots
+    * against constant weight arrays (global plane index t·nPlanes+p) —
     * pure map-side compute. */
-  private def lshBucket(tbl: Int, qv: Column): Column =
-    (0 until NPlanes).map(p =>
-      when(qdot(qv, typedlit(lshWeights(tbl * NPlanes + p))) > 0L, lit(1L << p))
+  private def lshBucketN(tbl: Int, qv: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map(p =>
+      when(qdot(qv, typedlit(lshWeights(tbl * nPlanes + p))) > 0L, lit(1L << p))
         .otherwise(lit(0L)))
       .reduce(_ + _)
+
+  private def lshBucket(tbl: Int, qv: Column): Column =
+    lshBucketN(tbl, qv, NPlanes)
 
   /** ANN top-5 per probe — multi-table multi-probe sign-LSH: NTables
     * independent hash tables of NPlanes hyperplanes each; in every table a
@@ -190,7 +193,16 @@ object SimilarityQueries {
     * uncapped form at both SFs. The keyed bucket table feeds both sides
     * of the self-join and the quantized vectors three readers — each
     * snapshots once. */
-  val simKnnGraph: Q = (s, d) => {
+  val simKnnGraph: Q = (s, d) => simKnnGraphPlanes(NPlanes)(s, d)
+
+  /** [[simKnnGraph]] with an explicit plane count — the deployment knob
+    * of the documented "NPlanes grows with log₂(n)" rule, exposed so the
+    * 10× scale probe can exercise the rule itself (at 10× vectors it adds
+    * ⌈log₂ 10⌉ ≈ 3 planes to hold bucket occupancy ≈ the candidate
+    * budget; a fixed plane count at growing n makes EVERY bucket saturate
+    * the cap and the probe would only measure the drop branch). The
+    * declared query is this at NPlanes = 6. */
+  private[graft] def simKnnGraphPlanes(nPlanes: Int): Q = (s, d) => {
     val q = org.apache.spark.sql.graftx.Sessions.snapshot(
       Tables.embeddings(s, d)
         .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
@@ -198,7 +210,7 @@ object SimilarityQueries {
     val wB = Window.partitionBy("tbl", "bucket")
     val keyed = org.apache.spark.sql.graftx.Sessions.snapshot(
       q.select(col("vec_id"),
-        posexplode(array((0 until NTables).map(t => lshBucket(t, col("qv"))): _*))
+        posexplode(array((0 until NTables).map(t => lshBucketN(t, col("qv"), nPlanes)): _*))
           .as(Seq("tbl", "bucket")))
         .withColumn("bsz", count(lit(1)).over(wB))
         .filter(col("bsz") <= 128)

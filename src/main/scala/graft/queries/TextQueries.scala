@@ -406,10 +406,15 @@ object TextQueries {
     * join fan-out is one df row per span occurrence, so total work is
     * LINEAR in corpus spans however hot a boilerplate span gets (the
     * hot-key quadratic lives only in pairwise span joins, which this
-    * operator never does; at 100 TB the span key would be a 16-byte
-    * digest rather than the raw 8-gram string, same plan). The span
-    * table feeds both the df aggregate and the profile join, so it
-    * snapshots once. */
+    * operator never does). The span KEY is a map-side 60-bit md5 prefix,
+    * not the raw 8-gram string — the ~50-char text never shuffles, only
+    * 8-byte digests (round-4 verdict #3: a constant-factor ~5-10× cut in
+    * shuffle bytes; at 2.6 M corpus spans the 60-bit space makes a
+    * collision ~1e-6, and the oracle computes the identical digest so
+    * even a collision is mirrored bit-for-bit). Distinctness is applied
+    * to the raw spans BEFORE digesting (array_distinct), matching the
+    * oracle's DISTINCT-then-digest order. The span table feeds both the
+    * df aggregate and the profile join, so it snapshots once. */
   val textDupSpanRatio: Q = (s, d) => {
     val sp = org.apache.spark.sql.graftx.Sessions.snapshot(
       Tables.documents(s, d)
@@ -418,7 +423,8 @@ object TextQueries {
         .select(col("doc_id"), explode(array_distinct(transform(
           sequence(lit(0), size(col("w")) - 8),
           i => concat_ws(" ", (0 until 8).map(j => element_at(col("w"), i + j + 1)): _*))))
-          .as("g")))._2
+          .as("g0"))
+        .select(col("doc_id"), md5Long60(col("g0")).as("g")))._2
     val df = sp.groupBy("g").agg(count(lit(1)).as("df"))
     sp.join(df, "g")
       .groupBy("doc_id")
@@ -502,12 +508,14 @@ object TextQueries {
         |       CAST(MIN(CASE WHEN cum * 1000 >= total * 995 THEN rk END) AS BIGINT) AS vocab_995
         |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
     "text_dup_span_ratio" ->
-      s"""WITH sp AS (
+      s"""WITH sp0 AS (
         |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-7),
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
-        |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS g
+        |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS g0
         |  FROM (SELECT doc_id, ${wordsSql.format("text")} AS w FROM documents)
         |  WHERE len(w) >= 8
+        |), sp AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(g0), 1, 15) AS BIGINT) AS g FROM sp0
         |), df AS (
         |  SELECT g, COUNT(*) AS df FROM sp GROUP BY g
         |)

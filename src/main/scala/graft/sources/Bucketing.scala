@@ -22,6 +22,71 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Bucket count for the materialized fact tables. Defaults to the
+    * harness parallelism (SPARK_GRAFT_CPUS — the same knob Bench/Verify
+    * size local[] and shuffle width from), floored at 8 so a low-CPU
+    * verify run still gets enough buckets for balanced files; a cluster
+    * deployment sets it to executors × a small factor. Read once: a
+    * bucket layout is a durable property of the written table, so it must
+    * not drift between the write and a later same-process read. */
+  val buckets: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(8).max(8)
+
+  /** Collision-resistant tag for a source dir: md5 hex (first 16 chars)
+    * of the ABSOLUTE path. The previous 32-bit `String.hashCode` tag
+    * could collide two distinct dirs and silently serve one dir's
+    * materialization for the other (ADVICE round 4); 64 bits of md5 over
+    * the absolute path makes that practically impossible, and the
+    * absolute form means "./x" and "x" share one materialization. */
+  private[graft] def dirTag(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Ensures managed table `tbl` materialized from `srcDir` exists and
+    * belongs to `srcDir`, (re)building it via `write` when missing. The
+    * guard against serving another dir's data is two-layer: the md5 path
+    * tag in the table NAME makes cross-dir collisions practically
+    * impossible, and a `graft.source.dir` table property records the
+    * absolute source path and is verified on every reuse — a mismatch
+    * (however it arose) drops and rebuilds rather than returning wrong
+    * data. Synchronized: one materialization per (process, dir). */
+  private[graft] def ensureTable(s: SparkSession, tbl: String, srcDir: String)(
+      write: => Unit): DataFrame = synchronized {
+    val abs = new java.io.File(srcDir).getAbsolutePath
+    if (s.catalog.tableExists(tbl)) {
+      val recorded = s.sql(s"SHOW TBLPROPERTIES $tbl")
+        .collect().collectFirst {
+          case r if r.getString(0) == "graft.source.dir" => r.getString(1)
+        }
+      if (!recorded.contains(abs)) s.sql(s"DROP TABLE $tbl")
+    }
+    if (!s.catalog.tableExists(tbl)) {
+      // A fresh JVM starts with an empty in-memory catalog, but the
+      // previous process's warehouse directory survives on disk — and
+      // saveAsTable CREATE throws LOCATION_ALREADY_EXISTS rather than
+      // reuse it. Stale locations are dead data (no catalog entry can
+      // reference them), so remove them before materializing.
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")) match {
+        case u if u.getScheme == "file" => java.nio.file.Paths.get(u)
+        case u => java.nio.file.Paths.get(u.toString.stripPrefix("file:"))
+      }
+      val p = wh.resolve(tbl)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      write
+      // Single-quote escape: a path containing ' must not break the DDL.
+      val lit = abs.replace("'", "''")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('graft.source.dir' = '$lit')")
+    }
+    s.table(tbl)
+  }
+
   /** Write `df` as a managed parquet table bucketed AND sorted by `key`
     * into `n` buckets. Sorting inside buckets lets SortMergeJoin skip its
     * per-task sort as well. The repartition on the bucket key first is
@@ -43,41 +108,24 @@ object Bucketing {
     * is keyed on the source dir and reused — exactly how a 100 TB
     * warehouse treats its bucketed fact tables (the bench's first rep pays
     * the write; steady-state reps measure the join the layout buys).
-    * 8 buckets matches the test parallelism; a cluster deployment picks
-    * buckets ≈ executors × a small factor. */
-  def bucketedFacts(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    synchronized {
-      // String.hashCode is a documented stable function, so table names
-      // are deterministic across JVMs; overwrite handles a stale
-      // same-name warehouse dir left by a previous process.
-      val tag = "b" + java.lang.Integer.toHexString(dir.hashCode)
-      val (liName, ordName) = (s"graft_lineitem_$tag", s"graft_orders_$tag")
-      if (!s.catalog.tableExists(liName) || !s.catalog.tableExists(ordName)) {
-        // A fresh JVM starts with an empty in-memory catalog, but the
-        // previous process's warehouse directory survives on disk — and
-        // saveAsTable CREATE throws LOCATION_ALREADY_EXISTS rather than
-        // reuse it. Stale locations are dead data (no catalog entry can
-        // reference them), so remove them before materializing.
-        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")) match {
-          case u if u.getScheme == "file" => java.nio.file.Paths.get(u)
-          case u => java.nio.file.Paths.get(u.toString.stripPrefix("file:"))
-        }
-        for (t <- Seq(liName, ordName)) {
-          val p = wh.resolve(t)
-          if (java.nio.file.Files.exists(p) && !s.catalog.tableExists(t)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(java.nio.file.Files.delete)
-          }
-        }
-        writeBucketed(
-          Tables.lineitem(s, dir)
-            .select("l_orderkey", "l_extendedprice", "l_discount"),
-          "l_orderkey", 8, liName)
-        writeBucketed(
-          Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
-          "o_orderkey", 8, ordName)
-      }
-      (s.table(liName), s.table(ordName))
+    * The bucket count rides [[buckets]] and is baked into the table name:
+    * a run under a different SPARK_GRAFT_CPUS materializes fresh tables
+    * rather than silently reusing a layout sized for another width (the
+    * zero-exchange join REQUIRES both sides on one count). */
+  def bucketedFacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tag = s"${dirTag(dir)}_b$buckets"
+    val (liName, ordName) = (s"graft_lineitem_$tag", s"graft_orders_$tag")
+    val li = ensureTable(s, liName, dir) {
+      writeBucketed(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey", buckets, liName)
     }
+    val ord = ensureTable(s, ordName, dir) {
+      writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        "o_orderkey", buckets, ordName)
+    }
+    (li, ord)
+  }
 }

@@ -61,7 +61,7 @@ object Sessions {
   def snapshot(df: DataFrame): (RDD[InternalRow], DataFrame) = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    tracked.add(rdd)
+    tracked.add(new java.lang.ref.WeakReference(rdd))
     val snap = classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[classic.SparkSession],
       LogicalRDD.fromDataset(rdd, df.asInstanceOf[classic.Dataset[Row]],
@@ -69,19 +69,39 @@ object Sessions {
     (rdd, snap)
   }
 
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[RDD[InternalRow]]
+  /** WEAK references (ADVICE round 4): the registry must never be the
+    * thing keeping a snapshot alive. A caller that never invokes
+    * [[releaseSnapshots]] — a library user, the ~20 shared-JVM test
+    * suites — still gets GC-driven ContextCleaner unpersist once its
+    * query's DataFrame is dropped; a strong queue here would pin every
+    * corpus-scale cached RDD for the JVM's life, the exact hoarding the
+    * registry exists to prevent. */
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[RDD[InternalRow]]]
 
   /** Unpersists (non-blocking) every snapshot taken since the last call
-    * and returns how many were released. Idempotent with callers that
+    * and returns how many were released (already-GC'd entries just drop
+    * off — ContextCleaner has them). Idempotent with callers that
     * already unpersist their own handles (Components): RDD.unpersist on an
-    * uncached RDD is a no-op. */
+    * uncached RDD is a no-op.
+    *
+    * HARNESS-SCOPED, single-threaded by contract: the registry is
+    * JVM-global, so a release while another query is mid-flight would
+    * unpersist THAT query's in-flight snapshots too — still correct
+    * (lineage recompute) but a silent recompute storm for iterative
+    * callers. Bench/Verify satisfy the contract by running queries
+    * strictly one at a time and releasing only between them; concurrent
+    * library callers should skip this API and rely on the GC path. */
   def releaseSnapshots(): Int = {
     var n = 0
-    var rdd = tracked.poll()
-    while (rdd != null) {
-      rdd.unpersist(blocking = false)
-      n += 1
-      rdd = tracked.poll()
+    var ref = tracked.poll()
+    while (ref != null) {
+      val rdd = ref.get()
+      if (rdd != null) {
+        rdd.unpersist(blocking = false)
+        n += 1
+      }
+      ref = tracked.poll()
     }
     n
   }
