@@ -199,7 +199,9 @@ object DedupQueries {
     * transitive closure over the identical candidate edges. */
   /** The label pipeline itself — candidates + iterative components, no
     * memo. private[graft]: the declared queries go through
-    * [[clusterLabels]]; ScaleProbeSpec gates THIS form so the 10× probe
+    * [[clusterLabels]]; ScaleProbeSpec gates THIS form (as
+    * `dedup_clusters_raw`, plus the [[dedupClusterSizesRaw]] /
+    * [[dedupKeepCanonicalRaw]] compositions over it) so the 10× probe
     * measures the loop every time rather than a memo-table read. */
   private[graft] def clusterLabelsRaw(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashCandidates(s, d)
@@ -264,6 +266,33 @@ object DedupQueries {
     * equi-join on doc_id; document text never shuffles (only ids move). */
   val dedupKeepCanonical: Q = (s, d) => {
     val labels = clusterLabels(s, d)
+    val dupes = labels.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+    Tables.documents(s, d)
+      .join(dupes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Probe-only twins of the declared cluster trio, composed over the
+    * UN-memoized [[clusterLabelsRaw]]. The round-5 memoization made the
+    * old ScaleProbeSpec entries vacuous — best-of-two minima measured a
+    * parquet read of the label table at both scales, not the candidates +
+    * iterative-components loop the probe was built to gate (VERDICT r5
+    * "what's wrong" #1). These keep the declared queries on the memo (the
+    * right 100 TB design: labels are a pure function of the corpus, paid
+    * once) while the 10× gate exercises the full pipeline plus each
+    * consumer's own aggregates/joins and output sort every run. */
+  private[graft] val dedupClustersRaw: Q = (s, d) =>
+    clusterLabelsRaw(s, d).orderBy("doc_id")
+
+  private[graft] val dedupClusterSizesRaw: Q = (s, d) =>
+    clusterLabelsRaw(s, d)
+      .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
+  private[graft] val dedupKeepCanonicalRaw: Q = (s, d) => {
+    val labels = clusterLabelsRaw(s, d)
     val dupes = labels.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
     Tables.documents(s, d)
       .join(dupes, Seq("doc_id"), "left_anti")

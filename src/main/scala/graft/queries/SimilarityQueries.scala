@@ -22,7 +22,9 @@ object SimilarityQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val NPlanes = 6
+  // NPlanes is probe-visible: ScaleProbeSpec grows it by ⌈log₂ 10⌉ at the
+  // 10× corpus via [[simKnnGraphPlanes]] to exercise the scaling rule.
+  private[graft] val NPlanes = 6
   private val NTables = 3
 
   /** Table t's nPlanes-bit sign-LSH bucket id: nPlanes codegen'd qdots
@@ -196,10 +198,10 @@ object SimilarityQueries {
   val simKnnGraph: Q = (s, d) => simKnnGraphPlanes(NPlanes)(s, d)
 
   /** [[simKnnGraph]] with an explicit plane count — the deployment knob
-    * of the documented "NPlanes grows with log₂(n)" rule, exposed so the
-    * 10× scale probe can exercise the rule itself (at 10× vectors it adds
-    * ⌈log₂ 10⌉ ≈ 3 planes to hold bucket occupancy ≈ the candidate
-    * budget; a fixed plane count at growing n makes EVERY bucket saturate
+    * of the documented "NPlanes grows with log₂(n)" rule. ScaleProbeSpec
+    * gates `sim_knn_graph` through this: at 10× vectors it adds
+    * ⌈log₂ 10⌉ = 4 planes, holding bucket occupancy ≈ the candidate
+    * budget (a fixed plane count at growing n makes EVERY bucket saturate
     * the cap and the probe would only measure the drop branch). The
     * declared query is this at NPlanes = 6. */
   private[graft] def simKnnGraphPlanes(nPlanes: Int): Q = (s, d) => {

@@ -45,23 +45,51 @@ object Bucketing {
       .map("%02x".format(_)).mkString.take(16)
   }
 
+  /** Content fingerprint of `srcDir` (ADVICE round 5): md5 over the
+    * sorted (relative path, size, mtime) of every regular file under the
+    * dir. Catches an in-place rewrite of the source parquet that the path
+    * tag + dir property cannot see (same dir, new contents → stale memo
+    * served silently), at the cost of one driver-side directory walk per
+    * reuse — the same listing cost planning a scan over the dir pays.
+    * File CONTENTS are not read: a rewrite preserving every name, size
+    * AND mtime is indistinguishable, which no real writer does. */
+  private[graft] def dirFingerprint(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(new java.io.File(dir).getAbsolutePath)
+    val stream = java.nio.file.Files.walk(root)
+    val lines =
+      try stream.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${root.relativize(p)}|${java.nio.file.Files.size(p)}|" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted
+      finally stream.close()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Ensures managed table `tbl` materialized from `srcDir` exists and
-    * belongs to `srcDir`, (re)building it via `write` when missing. The
-    * guard against serving another dir's data is two-layer: the md5 path
-    * tag in the table NAME makes cross-dir collisions practically
-    * impossible, and a `graft.source.dir` table property records the
-    * absolute source path and is verified on every reuse — a mismatch
-    * (however it arose) drops and rebuilds rather than returning wrong
-    * data. Synchronized: one materialization per (process, dir). */
+    * belongs to `srcDir`'s CURRENT contents, (re)building it via `write`
+    * when missing or stale. The guard against serving wrong data is
+    * three-layer: the md5 path tag in the table NAME makes cross-dir
+    * collisions practically impossible; a `graft.source.dir` table
+    * property records the absolute source path and is verified on every
+    * reuse; and a `graft.source.fingerprint` property records the source
+    * files' (name, size, mtime) digest so an in-place rewrite of the dir
+    * within one JVM drops and rebuilds rather than serving the old
+    * materialization (ADVICE round 5). Synchronized: one materialization
+    * per (process, dir). BucketingSpec pins all the rebuild branches. */
   private[graft] def ensureTable(s: SparkSession, tbl: String, srcDir: String)(
       write: => Unit): DataFrame = synchronized {
     val abs = new java.io.File(srcDir).getAbsolutePath
+    val fp = dirFingerprint(srcDir)
     if (s.catalog.tableExists(tbl)) {
-      val recorded = s.sql(s"SHOW TBLPROPERTIES $tbl")
-        .collect().collectFirst {
-          case r if r.getString(0) == "graft.source.dir" => r.getString(1)
-        }
-      if (!recorded.contains(abs)) s.sql(s"DROP TABLE $tbl")
+      val props = s.sql(s"SHOW TBLPROPERTIES $tbl")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      if (!props.get("graft.source.dir").contains(abs) ||
+          !props.get("graft.source.fingerprint").contains(fp))
+        s.sql(s"DROP TABLE $tbl")
     }
     if (!s.catalog.tableExists(tbl)) {
       // A fresh JVM starts with an empty in-memory catalog, but the
@@ -82,7 +110,8 @@ object Bucketing {
       write
       // Single-quote escape: a path containing ' must not break the DDL.
       val lit = abs.replace("'", "''")
-      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('graft.source.dir' = '$lit')")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES (" +
+        s"'graft.source.dir' = '$lit', 'graft.source.fingerprint' = '$fp')")
     }
     s.table(tbl)
   }

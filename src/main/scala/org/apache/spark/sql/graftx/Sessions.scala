@@ -26,6 +26,13 @@ object Sessions {
       target.asInstanceOf[classic.SparkSession],
       df.queryExecution.analyzed)
 
+  /** Wraps an (analyzed) logical plan as a DataFrame — diagnostic/test
+    * plumbing for executing plan SUBTREES in isolation (e.g. the window
+    * guard spec counts the rows actually feeding a Window node). */
+  def ofRows(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
   /** `newSession()` starts from builder-time options only; copy the
     * source session's explicitly-set, modifiable SQL confs (e.g. a
     * runtime-set parquet nanosAsLong) so rebound plans keep their
@@ -61,6 +68,15 @@ object Sessions {
   def snapshot(df: DataFrame): (RDD[InternalRow], DataFrame) = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Opportunistic prune (ADVICE round 5): a library caller that never
+    // invokes releaseSnapshots still gets GC-driven unpersist of the RDDs
+    // themselves (weak refs), but the dead WeakReference WRAPPERS were
+    // only drained inside releaseSnapshots — one wrapper leaked per
+    // snapshot for the JVM's life. Sweeping cleared refs every 64 adds
+    // amortizes to O(1) per snapshot and bounds the queue by live
+    // snapshots + 64.
+    if (snapCount.incrementAndGet() % 64 == 0)
+      tracked.removeIf(_.get == null)
     tracked.add(new java.lang.ref.WeakReference(rdd))
     val snap = classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[classic.SparkSession],
@@ -78,6 +94,7 @@ object Sessions {
     * registry exists to prevent. */
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[
     java.lang.ref.WeakReference[RDD[InternalRow]]]
+  private val snapCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Unpersists (non-blocking) every snapshot taken since the last call
     * and returns how many were released (already-GC'd entries just drop

@@ -73,6 +73,37 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("zero-exchange property holds at a non-default bucket width") {
+    // VERDICT r5 next #7: `Bucketing.buckets` is SPARK_GRAFT_CPUS-driven
+    // (new in round 5) and the zero-exchange join REQUIRES both sides on
+    // one count — so pin the property at a second, non-default width
+    // (and one that does NOT divide the session's shuffle partitions,
+    // the shape a mis-sized deployment would hit).
+    val width = 5
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+      "l_orderkey", width, "lineitem_bucketed_w5")
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
+      "o_orderkey", width, "orders_bucketed_w5")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.table("lineitem_bucketed_w5")
+        .join(spark.table("orders_bucketed_w5"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("qty"), max("o_totalprice").as("top"))
+      val plan = joined.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"expected no Exchange on $width-bucket join+agg, got ${shuffles.size}:\n$plan")
+      assert(joined.count() == spark.table("orders_bucketed_w5")
+        .join(spark.table("lineitem_bucketed_w5"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi").count())
+    }
+  }
+
   test("unbucketed baseline of the same join DOES shuffle (the lever is real)") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.sources.Bucketing
+import org.scalatest.BeforeAndAfterAll
+
+/** Pins every branch of [[Bucketing.ensureTable]] (VERDICT r5 next #6 +
+  * ADVICE r5 on content staleness). The driver's verify loop only ever
+  * exercises the happy path (fresh build, then property-match reuse); the
+  * rebuild branches exist precisely for the cases the happy path never
+  * hits — a table claimed by ANOTHER source dir, a source dir rewritten
+  * in place under a live JVM, and a stale warehouse directory surviving
+  * from a previous process — so each gets an explicit test.
+  */
+class BucketingSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val tmp = Files.createTempDirectory("graft-bucketing").toString
+
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(tmp)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    super.afterAll()
+  }
+
+  /** A tiny distinct source dir per test, holding one parquet file whose
+    * single row carries `v` — so "which source fed this table" is
+    * observable from the table's contents. */
+  private def mkSource(name: String, v: Long): String = {
+    val d = s"$tmp/$name"
+    import spark.implicits._
+    Seq(v).toDF("v").coalesce(1).write.mode("overwrite").parquet(s"$d/t.parquet")
+    d
+  }
+
+  private def build(tbl: String, dir: String, counter: Array[Int]): Unit = {
+    counter(0) += 1
+    spark.read.parquet(s"$dir/t.parquet")
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+  }
+
+  test("fresh build, then reuse without rebuilding") {
+    val dir = mkSource("fresh", 1L)
+    val n = Array(0)
+    val tbl = s"bspec_fresh_${Bucketing.dirTag(dir)}"
+    val df1 = Bucketing.ensureTable(spark, tbl, dir)(build(tbl, dir, n))
+    assert(n(0) == 1 && df1.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val df2 = Bucketing.ensureTable(spark, tbl, dir)(build(tbl, dir, n))
+    assert(n(0) == 1, "reuse must not re-run the write")
+    assert(df2.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("source-dir property mismatch drops and rebuilds") {
+    val dirA = mkSource("propA", 10L)
+    val dirB = mkSource("propB", 20L)
+    val n = Array(0)
+    val tbl = "bspec_prop_mismatch"
+    Bucketing.ensureTable(spark, tbl, dirA)(build(tbl, dirA, n))
+    assert(n(0) == 1)
+    // Same table name claimed for a DIFFERENT source dir: without the
+    // property check this would silently serve dirA's row for dirB.
+    val df = Bucketing.ensureTable(spark, tbl, dirB)(build(tbl, dirB, n))
+    assert(n(0) == 2, "dir mismatch must rebuild")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(20L))
+  }
+
+  test("content fingerprint mismatch (in-place rewrite) drops and rebuilds") {
+    val dir = mkSource("fprw", 30L)
+    val n = Array(0)
+    val tbl = s"bspec_fp_${Bucketing.dirTag(dir)}"
+    Bucketing.ensureTable(spark, tbl, dir)(build(tbl, dir, n))
+    assert(n(0) == 1)
+    // Rewrite the source IN PLACE: same dir (path tag and dir property
+    // both still match), new contents. Force a distinct mtime too —
+    // same-millisecond rewrites are below the fingerprint's resolution.
+    import spark.implicits._
+    Seq(31L).toDF("v").coalesce(1).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(Files.isRegularFile(_)).foreach { p: Path =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            Files.getLastModifiedTime(p).toMillis + 1000))
+      }
+    val df = Bucketing.ensureTable(spark, tbl, dir)(build(tbl, dir, n))
+    assert(n(0) == 2, "content rewrite must rebuild")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(31L))
+  }
+
+  test("stale warehouse directory from a previous process is swept") {
+    val dir = mkSource("sweep", 40L)
+    val n = Array(0)
+    val tbl = s"bspec_sweep_${Bucketing.dirTag(dir)}"
+    // Simulate a previous JVM's leftovers: a directory at the managed
+    // table's location with NO catalog entry. saveAsTable would throw
+    // LOCATION_ALREADY_EXISTS without the sweep.
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")) match {
+      case u if u.getScheme == "file" => Paths.get(u)
+      case u => Paths.get(u.toString.stripPrefix("file:"))
+    }
+    val stale = wh.resolve(tbl)
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("junk"), Array[Byte](1, 2, 3))
+    val df = Bucketing.ensureTable(spark, tbl, dir)(build(tbl, dir, n))
+    assert(n(0) == 1)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(40L))
+  }
+}
