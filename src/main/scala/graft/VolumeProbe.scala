@@ -90,7 +90,13 @@ object VolumeProbe {
       val queries: Seq[(String, DedupQueries.Q)] = Seq(
         "dedup_minhash_capped" -> DedupQueries.dedupMinhashCapped,
         "dedup_jaccard_on_lsh" -> DedupQueries.dedupJaccardOnLsh,
-        "dedup_clusters_raw" -> DedupQueries.dedupClustersRaw)
+        "dedup_clusters_raw" -> DedupQueries.dedupClustersRaw,
+        // The two other heavy declared dedup plans: the df-capped exact
+        // shingle self-join (word salting preserves each shingle's
+        // document frequency, so the df≤64 cap drops the same shingle
+        // universe at every factor) and the span-profiling equi-join.
+        "dedup_ngram_jaccard_capped" -> DedupQueries.dedupNgramJaccardCapped,
+        "text_dup_span_ratio" -> graft.queries.TextQueries.textDupSpanRatio)
 
       def measure(q: DedupQueries.Q, dir: String): (Double, Metrics.TaskWork, Boolean) = {
         val t0 = System.nanoTime()
@@ -118,8 +124,14 @@ object VolumeProbe {
         val recRatio = kN.shuffleRecordsRead.toDouble / math.max(k1.shuffleRecordsRead, 1L)
         val recOk = kN.shuffleRecordsRead <=
           2L * factor * math.max(k1.shuffleRecordsRead, 10000L)
+        // Factor-aware: a LINEAR operator's spill grows ~factor× once the
+        // data outgrows executor memory, so the bound is 2.5× linear (the
+        // same headroom ScaleProbeSpec's 25× gives factor 10), with a
+        // 64 MB floor so a zero-spill 1× baseline can't make any 100×
+        // spill a failure. A spill-bound quadratic overshoots this by
+        // ~factor×.
         val spillOk = kN.diskSpilledBytes <=
-          25L * math.max(k1.diskSpilledBytes, 128L * 1024 * 1024)
+          (5L * factor / 2) * math.max(k1.diskSpilledBytes, 64L * 1024 * 1024)
         val pass = recOk && spillOk && planSane
         allPass &= pass
         println(f"[volprobe] $name: 1x shufrec=${k1.shuffleRecordsRead} " +

@@ -161,9 +161,21 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
         DedupQueries.dedupEmbeddingPairsPlanes(4 + 4)),
       sym("sim_ann_lsh", SimilarityQueries.simAnnLsh),
       sym("sim_ann_ivf", SimilarityQueries.simAnnIvf),
+      sym("dedup_source_overlap", DedupQueries.dedupSourceOverlap),
+      sym("dedup_incremental", DedupQueries.dedupIncremental),
+      sym("text_tfidf_top_terms", TextQueries.textTfidfTopTerms),
       sym("join_supply_revenue", OlapQueries.joinSupplyRevenue),
       sym("part_type_revenue", OlapQueries.partTypeRevenue),
-      sym("events_anomaly_zscore", OlapQueries.eventsAnomalyZscore))
+      sym("events_anomaly_zscore", OlapQueries.eventsAnomalyZscore),
+      // Events fixture notes: user_ids and timestamps are shared across
+      // copies (only event_id/event_type are offset/tagged), so funnel /
+      // transitions see 10× rows per user — the per-user window cascade
+      // at 10× depth — while retention's distinct (user, day) output is
+      // UNCHANGED at 10×: the entry gates that the big distinct shuffle
+      // partial-aggregates instead of moving 10× raw rows.
+      sym("events_type_transitions", graft.queries.ExtensionQueries.eventsTypeTransitions),
+      sym("events_funnel", graft.queries.ExtensionQueries.eventsFunnel),
+      sym("events_retention", graft.queries.ExtensionQueries.eventsRetention))
   }
 
   /** Entries whose plan legitimately contains a nested-loop join, so the
@@ -174,8 +186,10 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
     * exists to catch CORPUS-scale in-stage pair generation (a
     * BroadcastNestedLoopJoin whose output grows with n²); a
     * constant-bounded cross join is not that failure mode, and records +
-    * spill still gate the entry's actual data volume. */
-  private val boundedNestedLoop = Set("sim_ann_ivf")
+    * spill still gate the entry's actual data volume. text_tfidf_top_terms
+    * is the other instance: its crossJoin(broadcast(nDocs)) is the 1-row
+    * corpus-size scalar. */
+  private val boundedNestedLoop = Set("sim_ann_ivf", "text_tfidf_top_terms")
 
   /** One measured run: (wall seconds, [[Metrics.TaskWork]], plan-sane).
     * The query is CONSTRUCTED inside the metered block — the iterative
