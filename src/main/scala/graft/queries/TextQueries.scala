@@ -434,6 +434,62 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact duplicated-span REMOVAL — the substring-dedup operator of Lee
+    * et al. "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), which [[textDupSpanRatio]] only profiles: every
+    * token covered by an 8-gram span that also appears in ANOTHER
+    * document is cut, and the query emits the cleaned corpus summary
+    * (token counts before/after, kept ratio, md5 of the retained text —
+    * the checksum stands in for shipping the text through the oracle
+    * gate). Cross-doc duplication only (df counts distinct docs per span
+    * digest): intra-doc repetition is [[textRepetitionRatio]]'s domain,
+    * and cutting it would mangle legitimately repetitive prose.
+    *
+    * Scale shape — strictly linear, no pairwise stage anywhere: span
+    * digests are 60-bit md5 longs (raw 8-grams never shuffle); the df
+    * aggregate and the dup-span join ride the digest key; covered token
+    * indices are ≤ 8× the dup-span count; and the removal itself is an
+    * anti join of (doc_id, idx, token) rows against the covered list —
+    * the token-level shuffle is the honest cost of token-level editing
+    * (the alternative, a per-doc array_contains filter over a collected
+    * covered-index array, is quadratic in doc length for fully-duplicated
+    * docs — the exact corpus shape this operator exists to clean).
+    * Fully-covered docs are preserved in the output via the left join
+    * from the corpus (their kept text is empty, md5 of ""). The span
+    * frame is snapshotted once and read twice (df + dup positions). */
+  val textDedupSpans: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), words(col("text")).as("w"))
+    val base = docs.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+    val sp = org.apache.spark.sql.graftx.Sessions.snapshot(
+      docs.filter(size(col("w")) >= 8)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("w")) - 8),
+          i => concat_ws(" ", (0 until 8).map(j => element_at(col("w"), i + j + 1)): _*)))
+          .as(Seq("i", "g0")))
+        .select(col("doc_id"), col("i").cast("long").as("i"), md5Long60(col("g0")).as("g")))._2
+    val df = sp.select(col("doc_id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val covered = sp.join(df.filter(col("df") >= 2L).select("g"), "g")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7L)).as("idx"))
+      .distinct()
+    val tok = docs
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
+      .select(col("doc_id"), col("p").cast("long").as("idx"), col("word"))
+    val keptAgg = tok.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nk"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("idx"), col("word")))),
+          x => x.getField("word"))).as("kept_text"))
+    base.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("nk"), lit(0L)).as("n_kept"),
+        round(coalesce(col("nk"), lit(0L)) / greatest(col("n_tokens"), lit(1L)), 6)
+          .as("kept_ratio"),
+        md5(coalesce(col("kept_text"), lit("")).cast("binary")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary-coverage sizing — the tokenizer-design diagnostic: per
     * language, the minimum vocabulary size (words ranked by frequency,
     * ties broken lexically) whose cumulative count covers ≥ 99.5% of that
@@ -467,6 +523,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "text_vocab_coverage" -> textVocabCoverage,
     "text_dup_span_ratio" -> textDupSpanRatio,
+    "text_dedup_spans" -> textDedupSpans,
     "text_scrub_terms" -> textScrubTerms,
     "mix_sources_budget" -> mixSourcesBudget,
     "text_length_quartiles" -> textLengthQuartiles,
@@ -524,6 +581,40 @@ object TextQueries {
         |       round(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_ratio
         |FROM sp JOIN df USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_dedup_spans" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, ${wordsSql.format("text")} AS wl FROM documents
+        |), base AS (
+        |  SELECT doc_id, CAST(len(wl) AS BIGINT) AS n_tokens FROM w
+        |), sp AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS i,
+        |         CAST('0x' || substring(md5(
+        |           wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' ' || wl[i+3] || ' ' ||
+        |           wl[i+4] || ' ' || wl[i+5] || ' ' || wl[i+6] || ' ' || wl[i+7]), 1, 15) AS BIGINT) AS g
+        |  FROM w, UNNEST(generate_series(1, len(wl) - 7)) AS t(i)
+        |  WHERE len(wl) >= 8
+        |), df AS (
+        |  SELECT g, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, g FROM sp) GROUP BY g
+        |), covered AS (
+        |  SELECT DISTINCT sp.doc_id, CAST(u.idx AS BIGINT) AS idx
+        |  FROM sp JOIN df USING (g), UNNEST(generate_series(sp.i, sp.i + 7)) AS u(idx)
+        |  WHERE df.df >= 2
+        |), tok AS (
+        |  SELECT doc_id, CAST(p - 1 AS BIGINT) AS idx, wl[p] AS word
+        |  FROM w, UNNEST(generate_series(1, len(wl))) AS t(p)
+        |), kept AS (
+        |  SELECT tok.* FROM tok ANTI JOIN covered USING (doc_id, idx)
+        |), ka AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |         string_agg(word, ' ' ORDER BY idx) AS kept_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT base.doc_id, base.n_tokens,
+        |       COALESCE(ka.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |       round(COALESCE(ka.n_kept, 0) / greatest(base.n_tokens, 1), 6) AS kept_ratio,
+        |       md5(COALESCE(ka.kept_text, '')) AS kept_md5
+        |FROM base LEFT JOIN ka USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_scrub_terms" ->
       s"""WITH scrub AS (
         |  SELECT source, CAST(len(w) AS BIGINT) AS n_words,

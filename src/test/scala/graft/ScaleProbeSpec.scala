@@ -150,6 +150,7 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       sym("dedup_jaccard_on_lsh", DedupQueries.dedupJaccardOnLsh),
       sym("dedup_ngram_jaccard_capped", DedupQueries.dedupNgramJaccardCapped),
       sym("text_dup_span_ratio", TextQueries.textDupSpanRatio),
+      sym("text_dedup_spans", TextQueries.textDedupSpans),
       sym("dedup_clusters_raw", DedupQueries.dedupClustersRaw),
       sym("dedup_cluster_sizes_raw", DedupQueries.dedupClusterSizesRaw),
       sym("dedup_keep_canonical_raw", DedupQueries.dedupKeepCanonicalRaw),
