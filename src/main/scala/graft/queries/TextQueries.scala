@@ -455,10 +455,16 @@ object TextQueries {
     * covered-index array, is quadratic in doc length for fully-duplicated
     * docs — the exact corpus shape this operator exists to clean).
     * Fully-covered docs are preserved in the output via the left join
-    * from the corpus (their kept text is empty, md5 of ""). The span
-    * frame is snapshotted once and read twice (df + dup positions). */
+    * from the corpus (their kept text is empty, md5 of ""). Two
+    * snapshots, both multi-read (the round-3 rule): the tokenized corpus
+    * feeds three subtrees (token counts, the span generator, the token
+    * explode — un-snapshotted it re-scanned and re-tokenized the text
+    * column three times, measured +10% wall / +10% CPU at sf0.1 and two
+    * redundant full-corpus scans at any scale), and the span frame is
+    * read twice (df + dup positions). */
   val textDedupSpans: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select(col("doc_id"), words(col("text")).as("w"))
+    val docs = org.apache.spark.sql.graftx.Sessions.snapshot(
+      Tables.documents(s, d).select(col("doc_id"), words(col("text")).as("w")))._2
     val base = docs.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
     val sp = org.apache.spark.sql.graftx.Sessions.snapshot(
       docs.filter(size(col("w")) >= 8)
