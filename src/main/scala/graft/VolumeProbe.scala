@@ -96,7 +96,11 @@ object VolumeProbe {
         // document frequency, so the df≤64 cap drops the same shingle
         // universe at every factor) and the span-profiling equi-join.
         "dedup_ngram_jaccard_capped" -> DedupQueries.dedupNgramJaccardCapped,
-        "text_dup_span_ratio" -> graft.queries.TextQueries.textDupSpanRatio)
+        "text_dup_span_ratio" -> graft.queries.TextQueries.textDupSpanRatio,
+        // Span REMOVAL: the token-level anti join is the heaviest shuffle
+        // shape in the surface (every token moves once) — exactly the
+        // plan whose 100x linearity needs a recorded data point.
+        "text_dedup_spans" -> graft.queries.TextQueries.textDedupSpans)
 
       def measure(q: DedupQueries.Q, dir: String): (Double, Metrics.TaskWork, Boolean) = {
         val t0 = System.nanoTime()
