@@ -176,7 +176,22 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       // partial-aggregates instead of moving 10× raw rows.
       sym("events_type_transitions", graft.queries.ExtensionQueries.eventsTypeTransitions),
       sym("events_funnel", graft.queries.ExtensionQueries.eventsFunnel),
-      sym("events_retention", graft.queries.ExtensionQueries.eventsRetention))
+      sym("events_retention", graft.queries.ExtensionQueries.eventsRetention),
+      // The custom join shapes: as-of (union + running-last window; the
+      // quote side's (custkey, date) domain collapses to 1× under the
+      // aggregate, events grow 10×) and the binned range join (the 10×
+      // form matches tagged error types by prefix — see
+      // eventsErrorWindowJoinWhere — so every copy opens windows as the
+      // 1× corpus does). The guarded global window rides along: its
+      // per-minute aggregate domain is scale-invariant here, so the
+      // entry gates that the window input stays the COLLAPSED frame.
+      sym("asof_last_order", graft.queries.ExtensionQueries.asofLastOrder),
+      sym("events_lateness_histogram",
+        graft.queries.ExtensionQueries.eventsLatenessHistogram),
+      ("events_error_window_join",
+        graft.queries.ExtensionQueries.eventsErrorWindowJoin,
+        graft.queries.ExtensionQueries.eventsErrorWindowJoinWhere(
+          col("event_type").startsWith("error"))))
   }
 
   /** Entries whose plan legitimately contains a nested-loop join, so the
