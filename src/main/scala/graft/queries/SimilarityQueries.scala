@@ -202,8 +202,12 @@ object SimilarityQueries {
     * gates `sim_knn_graph` through this: at 10× vectors it adds
     * ⌈log₂ 10⌉ = 4 planes, holding bucket occupancy ≈ the candidate
     * budget (a fixed plane count at growing n makes EVERY bucket saturate
-    * the cap and the probe would only measure the drop branch). The
-    * declared query is this at NPlanes = 6. */
+    * the cap and the probe would only measure the drop branch). Growing k
+    * lowers per-table collision probability p^k, so the rule is safe only
+    * for the near-dup workload: RecallSpec pins recall ≥ 0.9 on planted
+    * cos ≈ 0.99 pairs at BOTH k = 6 and k = 10 (a deployment chasing
+    * mid-similarity neighbors would grow tables/probes alongside planes).
+    * The declared query is this at NPlanes = 6. */
   private[graft] def simKnnGraphPlanes(nPlanes: Int): Q = (s, d) => {
     val q = org.apache.spark.sql.graftx.Sessions.snapshot(
       Tables.embeddings(s, d)

@@ -90,6 +90,42 @@ class RecallSpec extends SparkSpec {
     assert(hit >= math.ceil(0.9 * total).toLong, s"ANN LSH recall $hit/$total < 0.9")
   }
 
+  test("planted near-dups: sim_knn_graph keeps recall >= 0.9 as the plane count grows") {
+    // ScaleProbeSpec grows NPlanes by ceil(log2 10) = 4 at the 10x corpus
+    // (the documented planes-track-log2(n) rule). Growing k lowers
+    // per-table collision probability (p^k), so the rule is only safe for
+    // the near-dup workload this operator exists for — at the planted
+    // cos ~0.993 (theta ~ 7 deg, p ~ 0.96 per plane) expected recall is
+    // ~0.97 at k+4 with L=3 tables, while isotropic-noise "neighbors"
+    // (theta ~ 60 deg) wash out at ANY k. This pins the safe domain for
+    // BOTH the declared (k=6) and the probe-grown (k=10) forms: each
+    // planted vector's exact nearest neighbor must appear in its top-3
+    // graph edges for >= 0.9 of the planted vectors. Hyperplanes are
+    // md5-derived constants, so the outcome is deterministic.
+    val q = graft.sources.Tables.embeddings(spark, plantedDir)
+      .select(col("vec_id"), graft.functions.ColFns.quantizeVec(col("embedding")).as("qv"))
+      .withColumn("n2", graft.functions.ColFns.qnorm2(col("qv")))
+    val others = q.select(col("vec_id").as("other_id"), col("qv").as("oqv"),
+      col("n2").as("on2"))
+    val cos = graft.functions.ColFns.qdot(col("qv"), col("oqv")) /
+      (sqrt(col("n2")) * sqrt(col("on2")))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("other_id"))
+    val top1 = q.filter(col("vec_id") >= 100).crossJoin(broadcast(others))
+      .filter(col("vec_id") =!= col("other_id"))
+      .select(col("vec_id"), col("other_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("other_id").as("neighbor"))
+    for (k <- Seq(6, 10)) {
+      val graph = SimilarityQueries.simKnnGraphPlanes(k)(spark, plantedDir)
+        .select("vec_id", "neighbor")
+      val (hit, total) = recall(graph, top1, Seq("vec_id", "neighbor"))
+      assert(total == 25)
+      assert(hit >= math.ceil(0.9 * total).toLong,
+        s"kNN-graph recall at $k planes: $hit/$total < 0.9")
+    }
+  }
+
   test("real documents: dedup_minhash_lsh candidates cover >=0.9 of exact Jaccard>=0.5 pairs") {
     val truth = DedupQueries.dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
     val cand = DedupQueries.dedupMinhashLsh(spark, sfDir)
