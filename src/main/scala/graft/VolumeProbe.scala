@@ -2,34 +2,47 @@ package graft
 
 import java.nio.file.Files
 
-import graft.queries.DedupQueries
+import graft.queries.{DedupQueries, SimilarityQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftx.{Metrics, Sessions}
 
-/** One-shot 100× VOLUME probe for the flagship dedup composition
-  * (VERDICT r4 #5 / r5 next #3): minhash-capped candidates →
-  * jaccard-on-lsh rescoring → raw connected-component labels, measured at
-  * 1× and SPARK_GRAFT_VOL_FACTOR× (default 100×) the sf0.1 corpus.
+/** One-shot 100× VOLUME probe for the heavy plan classes
+  * (VERDICT r4 #5 / r5 next #3 / r6 next #1): the dedup composition
+  * (minhash-capped candidates → jaccard-on-lsh rescoring → raw
+  * connected-component labels), the span profiling/removal pair, and —
+  * new in round 7 — the EMBEDDING family (the bucket self-join feeding a
+  * rank window in `sim_knn_graph`, and the sign-LSH blocked
+  * `dedup_embedding_pairs`), measured at 1× and SPARK_GRAFT_VOL_FACTOR×
+  * (default 100×) the sf0.1 corpus. The embedding entries exercise the
+  * documented planes-track-log₂(n) deployment rule at the probe factor:
+  * ⌈log₂ factor⌉ extra hyperplanes hold bucket occupancy ≈ the candidate
+  * budget (RecallSpec pins the grown forms recall-safe at k = 10 and 13).
   *
   * ScaleProbeSpec's 10× gate runs every build; this main exists because a
   * single 100× point is the strongest linearity evidence this host can
   * produce — IF the gate is host-noise-free. So only the VOLUME gate from
   * ScaleProbeSpec applies here: shuffle-records-read ratio ≤ 2× linear
-  * (≤ 2·factor), disk spill bounded, and no nested-loop join in the
-  * measured plan. Shuffle-record counts and plan shape are properties of
-  * the PLAN, not the VM — this box's documented stall episodes inflate
-  * wall 10-30× and even thread-CPU time (memory stalls are on-CPU), which
-  * is exactly why wall/cpu are RECORDED in the artifact for context but
-  * never gated on. A hot-key quadratic writes ~factor²× join-output
-  * records; an in-stage all-pairs regression shows up as a
-  * BroadcastNestedLoopJoin/CartesianProduct node.
+  * (≤ 2·factor), join-output rows ≤ 2× linear (the round-7 fourth arm —
+  * a hash-join quadratic collapsed into a same-stage aggregate shuffles
+  * nothing, but its join nodes' numOutputRows counts every pair), disk
+  * spill bounded, and no nested-loop join in any EXECUTED plan (checked
+  * structurally on the final adaptive plan — round-6 ADVICE: the
+  * pre-execution sparkPlan cannot show an AQE runtime re-plan). Record
+  * counts, join-row counts and plan shape are properties of the PLAN,
+  * not the VM — this box's documented stall episodes inflate wall 10-30×
+  * and even thread-CPU time (memory stalls are on-CPU), which is exactly
+  * why wall/cpu are RECORDED in the artifact for context but never gated
+  * on.
   *
   * The 100× corpus uses the same per-copy word salting as ScaleProbeSpec
   * (offset doc_ids, every word tagged per copy): intra-copy near-dup
   * structure is preserved exactly while cross-copy shingle collisions are
   * impossible, so candidate volume grows ~factor×, not factor²× as naive
-  * duplication would force on a perfectly linear operator.
+  * duplication would force on a perfectly linear operator. Embeddings get
+  * the analogous treatment: a per-copy ±1 DIAGONAL (deterministic
+  * per-(copy, dim) sign flip) is orthogonal, preserving intra-copy
+  * cosines exactly while scrambling cross-copy sign-LSH buckets.
   *
   * Auto-broadcast is DISABLED for the probe session: the first run of
   * this probe failed its own gate at 274×/360× "growth" on
@@ -45,9 +58,21 @@ import org.apache.spark.sql.graftx.{Metrics, Sessions}
   * tiny scalar/size tables) still broadcast — hints override the
   * threshold — which is also their posture at 100 TB.
   *
+  * The record/join floors (a flat 10k-record 1× baseline minimum) exist
+  * so a near-zero 1× denominator can't flake the gate — but they also
+  * mean a passing entry can ride the floor rather than 2×-linear growth
+  * (round-6 ADVICE: a 500× ratio could print next to pass=true with no
+  * visible reason). Any entry whose binding bound was the floor is
+  * flagged `floor_admitted` in the artifact and on stdout, so a huge
+  * ratio that passed is visibly floor-admitted rather than silently
+  * green.
+  *
   * Emits one JSON artifact (SPARK_GRAFT_VOL_OUT, default
-  * VOLPROBE_r06.json in the working dir) with per-query raw numbers,
-  * ratios, and gate results; exits non-zero if any gate fails.
+  * VOLPROBE_r07.json in the working dir) with per-query raw numbers,
+  * ratios, and gate results; exits non-zero if any gate fails — AFTER
+  * the finally block has removed the multi-GB temp corpora and stopped
+  * the session (round-6 ADVICE: sys.exit inside the try skipped the
+  * cleanup on exactly the failure path).
   */
 object VolumeProbe {
 
@@ -62,7 +87,7 @@ object VolumeProbe {
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_VOL_FACTOR", "100").toInt
-    val out = sys.env.getOrElse("SPARK_GRAFT_VOL_OUT", "VOLPROBE_r06.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_VOL_OUT", "VOLPROBE_r07.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,6 +101,7 @@ object VolumeProbe {
 
     val dir1 = Files.createTempDirectory("graft-vol1").toString
     val dirN = Files.createTempDirectory(s"graft-vol$factor").toString
+    var exitCode = 0
     try {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
       docs.write.mode("overwrite").parquet(s"$dir1/documents.parquet")
@@ -87,33 +113,70 @@ object VolumeProbe {
       (0 until factor).map(salted).reduce(_ union _)
         .write.mode("overwrite").parquet(s"$dirN/documents.parquet")
 
-      val queries: Seq[(String, DedupQueries.Q)] = Seq(
-        "dedup_minhash_capped" -> DedupQueries.dedupMinhashCapped,
-        "dedup_jaccard_on_lsh" -> DedupQueries.dedupJaccardOnLsh,
-        "dedup_clusters_raw" -> DedupQueries.dedupClustersRaw,
-        // The two other heavy declared dedup plans: the df-capped exact
-        // shingle self-join (word salting preserves each shingle's
-        // document frequency, so the df≤64 cap drops the same shingle
-        // universe at every factor) and the span-profiling equi-join.
-        "dedup_ngram_jaccard_capped" -> DedupQueries.dedupNgramJaccardCapped,
-        "text_dup_span_ratio" -> graft.queries.TextQueries.textDupSpanRatio,
-        // Span REMOVAL: the token-level anti join is the heaviest shuffle
-        // shape in the surface (every token moves once) — exactly the
-        // plan whose 100x linearity needs a recorded data point.
-        "text_dedup_spans" -> graft.queries.TextQueries.textDedupSpans)
+      // Embeddings: per-copy orthogonal ±1 diagonal (murmur3(dim, copy)
+      // parity — deterministic), the same fixture rule as
+      // ScaleProbeSpec's 10× family, at the probe factor.
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      emb.write.mode("overwrite").parquet(s"$dir1/embeddings.parquet")
+      def saltedEmb(t: Int): DataFrame = emb.select(
+        (col("vec_id") + t * 100000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(pmod(hash(i, lit(t)), lit(2)) === 1, negate(x)).otherwise(x))
+          .as("embedding"),
+        col("label"))
+      (0 until factor).map(saltedEmb).reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dirN/embeddings.parquet")
+
+      // ⌈log₂ factor⌉ extra LSH planes at factor× vectors — the
+      // deployment re-parameterization the embedding entries gate.
+      val extraPlanes = math.ceil(math.log(factor) / math.log(2)).toInt
+
+      // (name, 1× query, factor× query). Same function at both scales
+      // except the embedding family, whose factor× form grows the plane
+      // count per the log₂ rule (a fixed blocking at growing n densifies
+      // every bucket and measures the drop branch, not the operator).
+      val queries: Seq[(String, DedupQueries.Q, DedupQueries.Q)] = {
+        def sym(n: String, q: DedupQueries.Q) = (n, q, q)
+        Seq(
+          sym("dedup_minhash_capped", DedupQueries.dedupMinhashCapped),
+          sym("dedup_jaccard_on_lsh", DedupQueries.dedupJaccardOnLsh),
+          sym("dedup_clusters_raw", DedupQueries.dedupClustersRaw),
+          // The two other heavy declared dedup plans: the df-capped exact
+          // shingle self-join (word salting preserves each shingle's
+          // document frequency, so the df≤64 cap drops the same shingle
+          // universe at every factor) and the span-profiling equi-join.
+          sym("dedup_ngram_jaccard_capped", DedupQueries.dedupNgramJaccardCapped),
+          sym("text_dup_span_ratio", graft.queries.TextQueries.textDupSpanRatio),
+          // Span REMOVAL: the token-level anti join is the heaviest
+          // shuffle shape in the surface (every token moves once) —
+          // exactly the plan whose 100x linearity needs a recorded point.
+          sym("text_dedup_spans", graft.queries.TextQueries.textDedupSpans),
+          // The embedding family (round-6 verdict #1): the one
+          // bucket-self-join-feeding-a-rank-window plan in the surface,
+          // riding the plane-growth rule whose constant matters more at
+          // 100× than 10×.
+          ("sim_knn_graph",
+            SimilarityQueries.simKnnGraphPlanes(SimilarityQueries.NPlanes),
+            SimilarityQueries.simKnnGraphPlanes(
+              SimilarityQueries.NPlanes + extraPlanes)),
+          ("dedup_embedding_pairs",
+            DedupQueries.dedupEmbeddingPairsPlanes(4),
+            // Both (k, L) dials: one extra table per ~3 extra planes
+            // holds the miss rate (1-p^k)^L flat as planes grow — see
+            // the operator's scaladoc; RecallSpec pins (11, 4).
+            DedupQueries.dedupEmbeddingPairsPlanes(4 + extraPlanes,
+              nTables = 2 + (extraPlanes + 1) / 3)))
+      }
 
       def measure(q: DedupQueries.Q, dir: String): (Double, Metrics.TaskWork, Boolean) = {
         val t0 = System.nanoTime()
-        var df: DataFrame = null
-        val (_, work) = Metrics.withTaskWork(spark.sparkContext) {
-          df = q(spark, dir)
+        val (_, work, plans) = Metrics.withTaskWorkPlans(spark) {
+          val df = q(spark, dir)
           df.write.mode("overwrite").format("noop").save()
         }
         val wall = (System.nanoTime() - t0) / 1e9
         Sessions.releaseSnapshots()
-        val plan = df.queryExecution.sparkPlan.toString
-        (wall, work,
-          !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+        (wall, work, !Metrics.hasNestedLoop(plans))
       }
 
       // Warm-up (JIT, codegen, parquet reader) so the 1× baseline isn't
@@ -122,12 +185,21 @@ object VolumeProbe {
       measure(queries.head._2, dir1)
 
       var allPass = true
-      val entries = queries.map { case (name, q) =>
-        val (w1, k1, _) = measure(q, dir1)
-        val (wN, kN, planSane) = measure(q, dirN)
+      val entries = queries.map { case (name, q1, qN) =>
+        val (w1, k1, _) = measure(q1, dir1)
+        val (wN, kN, planSane) = measure(qN, dirN)
         val recRatio = kN.shuffleRecordsRead.toDouble / math.max(k1.shuffleRecordsRead, 1L)
+        val joinRatio = kN.joinOutputRows.toDouble / math.max(k1.joinOutputRows, 1L)
         val recOk = kN.shuffleRecordsRead <=
           2L * factor * math.max(k1.shuffleRecordsRead, 10000L)
+        val joinOk = kN.joinOutputRows <=
+          2L * factor * math.max(k1.joinOutputRows, 10000L)
+        // Floor-admission flag (round-6 ADVICE): true when the pass rode
+        // the 10k-record floor rather than 2×-linear growth of the
+        // query's own 1× baseline.
+        val floorAdmitted =
+          (recOk && kN.shuffleRecordsRead > 2L * factor * k1.shuffleRecordsRead) ||
+          (joinOk && kN.joinOutputRows > 2L * factor * k1.joinOutputRows)
         // Factor-aware: a LINEAR operator's spill grows ~factor× once the
         // data outgrows executor memory, so the bound is 2.5× linear (the
         // same headroom ScaleProbeSpec's 25× gives factor 10), with a
@@ -136,33 +208,38 @@ object VolumeProbe {
         // ~factor×.
         val spillOk = kN.diskSpilledBytes <=
           (5L * factor / 2) * math.max(k1.diskSpilledBytes, 64L * 1024 * 1024)
-        val pass = recOk && spillOk && planSane
+        val pass = recOk && joinOk && spillOk && planSane
         allPass &= pass
         println(f"[volprobe] $name: 1x shufrec=${k1.shuffleRecordsRead} " +
           f"${factor}x shufrec=${kN.shuffleRecordsRead} (ratio $recRatio%.1f, " +
-          f"linear=$factor) spill=${kN.diskSpilledBytes / 1e6}%.0f MB " +
-          f"planSane=$planSane pass=$pass " +
+          f"linear=$factor) joinrows=${k1.joinOutputRows}→${kN.joinOutputRows} " +
+          f"(ratio $joinRatio%.1f) spill=${kN.diskSpilledBytes / 1e6}%.0f MB " +
+          f"planSane=$planSane floorAdmitted=$floorAdmitted pass=$pass " +
           f"[context: wall $w1%.2f→$wN%.2f s, cpu ${k1.cpuSec}%.2f→${kN.cpuSec}%.2f s]")
         s"${Jsons.q(name)}:{" +
           s""""shufrec_1x":${k1.shuffleRecordsRead},"shufrec_${factor}x":${kN.shuffleRecordsRead},""" +
-          f""""shufrec_ratio":$recRatio%.2f,"spill_1x":${k1.diskSpilledBytes},""" +
+          f""""shufrec_ratio":$recRatio%.2f,""" +
+          s""""joinrows_1x":${k1.joinOutputRows},"joinrows_${factor}x":${kN.joinOutputRows},""" +
+          f""""joinrows_ratio":$joinRatio%.2f,"spill_1x":${k1.diskSpilledBytes},""" +
           s""""spill_${factor}x":${kN.diskSpilledBytes},"plan_sane":$planSane,""" +
           f""""wall_1x":$w1%.3f,"wall_${factor}x":$wN%.3f,""" +
           f""""cpu_1x":${k1.cpuSec}%.3f,"cpu_${factor}x":${kN.cpuSec}%.3f,""" +
-          s""""gate_records":$recOk,"gate_spill":$spillOk,"pass":$pass}"""
+          s""""gate_records":$recOk,"gate_joinrows":$joinOk,"gate_spill":$spillOk,""" +
+          s""""floor_admitted":$floorAdmitted,"pass":$pass}"""
       }
       val json = s"""{"probe":"volume","factor":$factor,"sf":${Jsons.q(sf)},""" +
-        s""""gate":"shuffle_records<=2x_linear AND spill_bounded AND plan_sane",""" +
+        s""""gate":"shuffle_records<=2x_linear AND join_output_rows<=2x_linear AND spill_bounded AND plan_sane",""" +
         s""""timing_is_context_only":true,""" +
         s""""queries":{${entries.mkString(",")}},"all_pass":$allPass}"""
       Files.write(java.nio.file.Paths.get(out),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(json)
-      if (!allPass) sys.exit(1)
+      if (!allPass) exitCode = 1
     } finally {
       rmTree(dir1)
       rmTree(dirN)
       spark.stop()
     }
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }

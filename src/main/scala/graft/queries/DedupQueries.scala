@@ -459,14 +459,23 @@ object DedupQueries {
     * the brute form survives as [[dedupEmbeddingPairsBrute]] for specs. */
   val dedupEmbeddingPairs: Q = (s, d) => dedupEmbeddingPairsPlanes(4)(s, d)
 
-  /** [[dedupEmbeddingPairs]] with an explicit plane count per table — the
-    * same planes-track-log₂(n) deployment knob as
-    * [[SimilarityQueries.simKnnGraphPlanes]]: at 10× vectors ScaleProbeSpec
-    * adds ⌈log₂ 10⌉ = 4 planes so bucket occupancy (and therefore the
-    * bucket self-join's output per input row) stays ≈ constant; a fixed
-    * 4-plane blocking at growing n densifies every bucket and goes
-    * quadratic by construction. The declared query is this at 4. */
-  private[graft] def dedupEmbeddingPairsPlanes(nPlanes: Int): Q = (s, d) => {
+  /** [[dedupEmbeddingPairs]] with explicit plane and table counts — the
+    * two dials of the standard (k, L) LSH deployment rule, the same
+    * planes-track-log₂(n) knob as [[SimilarityQueries.simKnnGraphPlanes]]:
+    * at 10× vectors ScaleProbeSpec adds ⌈log₂ 10⌉ = 4 planes so bucket
+    * occupancy (and therefore the bucket self-join's output per input
+    * row) stays ≈ constant; a fixed 4-plane blocking at growing n
+    * densifies every bucket and goes quadratic by construction. Growing
+    * planes alone decays recall — per-table collision probability is p^k
+    * — so TABLES grow alongside, roughly one per 3 extra planes, holding
+    * the planted-near-dup miss rate (1−p^k)^L flat (at p ≈ 0.94 for
+    * cos ≈ 0.98 dups: k=4,L=2 → miss 0.05; k=8,L=3 → 0.06; k=11,L=4 →
+    * 0.06 — while k=11 at the original L=2 measured 0.75 recall, which
+    * is how round 7 found the rule needs both dials). Extra tables cost
+    * L/2× more bucket keys — a linear factor — never pair growth.
+    * RecallSpec pins ≥0.9 recall at (4,2), (8,3) and (11,4); the
+    * declared query is (4, 2). */
+  private[graft] def dedupEmbeddingPairsPlanes(nPlanes: Int, nTables: Int = 2): Q = (s, d) => {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
       .withColumn("n2", qnorm2(col("qv")))
@@ -475,7 +484,7 @@ object DedupQueries {
         when(qdot(col("qv"), typedlit(lshWeights(tbl * nPlanes + p))) > 0L, lit(1L << p))
           .otherwise(lit(0L))).reduce(_ + _)
     val keyed = q.select(col("vec_id"),
-      posexplode(array(bucket(0), bucket(1))).as(Seq("tbl", "bucket")))
+      posexplode(array((0 until nTables).map(bucket): _*)).as(Seq("tbl", "bucket")))
     // Narrow candidate pairs first (16-byte rows through the join +
     // distinct), then join the 64-long vectors back by vec_id — carrying
     // qv through the bucket join would shuffle ~40× the bytes.

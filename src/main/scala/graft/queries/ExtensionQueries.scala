@@ -403,23 +403,11 @@ object ExtensionQueries {
     * (graft.operators.RangeJoin — binned equi-join, not a nested loop;
     * windows deliberately cross bin boundaries). Oracle: DuckDB's native
     * inequality join. */
-  val eventsErrorWindowJoin: Q = (s, d) =>
-    eventsErrorWindowJoinWhere(col("event_type") === "error")(s, d)
-
-  /** [[eventsErrorWindowJoin]] with the error predicate as a knob —
-    * probe plumbing only: ScaleProbeSpec's 10× events fixture tags
-    * event_type per copy (so the copies' window domains stay disjoint),
-    * which would make the declared `=== "error"` literal match nothing
-    * and the probe measure an empty join; the probe binds a
-    * startswith("error") form so every copy opens its own windows
-    * exactly as the 1× corpus does. The declared query is the equality
-    * form. */
-  private[graft] def eventsErrorWindowJoinWhere(
-      isError: org.apache.spark.sql.Column): Q = (s, d) => {
+  val eventsErrorWindowJoin: Q = (s, d) => {
     import graft.operators.RangeJoin
     val ev = Tables.events(s, d)
       .select(nsToEpochSec(col("ts")).as("sec"), col("event_type"))
-    val windows = ev.filter(isError)
+    val windows = ev.filter(col("event_type") === "error")
       .groupBy((call_function("div", col("sec"), lit(3600L)) * 3600L).as("hr"))
       .agg(min(col("sec")).as("win_start"))
       .select(col("win_start"), (col("win_start") + 2700L).as("win_end"))

@@ -49,12 +49,19 @@ object Bucketing {
     * sorted (relative path, size, mtime) of every regular file under the
     * dir. Catches an in-place rewrite of the source parquet that the path
     * tag + dir property cannot see (same dir, new contents → stale memo
-    * served silently), at the cost of one driver-side directory walk per
-    * reuse — the same listing cost planning a scan over the dir pays.
-    * File CONTENTS are not read: a rewrite preserving every name, size
-    * AND mtime is indistinguishable, which no real writer does. */
+    * served silently). File CONTENTS are not read: a rewrite preserving
+    * every name, size AND mtime is indistinguishable, which no real
+    * writer does. The walk is paid ONCE per (session, dir) via
+    * [[fingerprintCached]] (round-6 verdict #4): per query construction
+    * it was a recursive listing of the whole source dir — microseconds at
+    * sf0.1 but a real driver-side cost on an object store with millions
+    * of files, paid even when the answer is "not stale" every time. The
+    * memo's staleness window is the JVM lifetime the memo itself exists
+    * for; an in-place rewrite within one session is surfaced by
+    * [[invalidateFingerprints]] (or a new session). */
   private[graft] def dirFingerprint(dir: String): String = {
     import scala.jdk.CollectionConverters._
+    fingerprintWalks.incrementAndGet()
     val root = java.nio.file.Paths.get(new java.io.File(dir).getAbsolutePath)
     val stream = java.nio.file.Files.walk(root)
     val lines =
@@ -69,6 +76,33 @@ object Bucketing {
       .map("%02x".format(_)).mkString
   }
 
+  /** Count of actual filesystem walks [[dirFingerprint]] has performed —
+    * test-visible so BucketingSpec can prove a memoized reuse does NOT
+    * touch the filesystem (the done-criterion of round-6 verdict #4). */
+  private[graft] val fingerprintWalks = new java.util.concurrent.atomic.AtomicLong
+
+  /** Fingerprint memo, keyed per (session, absolute dir). Weak session
+    * keys: a stopped session's entries become collectable instead of
+    * pinning the map for the JVM lifetime. Guarded by the same object
+    * lock [[ensureTable]] already holds. */
+  private val fpMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]
+
+  private def fingerprintCached(s: SparkSession, abs: String): String = synchronized {
+    fpMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+      .getOrElseUpdate(abs, dirFingerprint(abs))
+  }
+
+  /** Explicit staleness hook: drops the memoized fingerprint of `dir` in
+    * EVERY session, so the next [[ensureTable]] re-walks and a same-JVM
+    * in-place rewrite of the source dir is detected again. A writer that
+    * rewrites a source dir mid-session calls this; everyone else gets
+    * walk-free reuse. */
+  def invalidateFingerprints(dir: String): Unit = synchronized {
+    val abs = new java.io.File(dir).getAbsolutePath
+    fpMemo.values.forEach(_.remove(abs))
+  }
+
   /** Ensures managed table `tbl` materialized from `srcDir` exists and
     * belongs to `srcDir`'s CURRENT contents, (re)building it via `write`
     * when missing or stale. The guard against serving wrong data is
@@ -78,12 +112,15 @@ object Bucketing {
     * reuse; and a `graft.source.fingerprint` property records the source
     * files' (name, size, mtime) digest so an in-place rewrite of the dir
     * within one JVM drops and rebuilds rather than serving the old
-    * materialization (ADVICE round 5). Synchronized: one materialization
+    * materialization (ADVICE round 5; fingerprint memoized per
+    * (session, dir) — see [[dirFingerprint]] — so steady-state reuse is a
+    * map lookup, and rewrite detection within one session rides
+    * [[invalidateFingerprints]]). Synchronized: one materialization
     * per (process, dir). BucketingSpec pins all the rebuild branches. */
   private[graft] def ensureTable(s: SparkSession, tbl: String, srcDir: String)(
       write: => Unit): DataFrame = synchronized {
     val abs = new java.io.File(srcDir).getAbsolutePath
-    val fp = dirFingerprint(srcDir)
+    val fp = fingerprintCached(s, abs)
     if (s.catalog.tableExists(tbl)) {
       val props = s.sql(s"SHOW TBLPROPERTIES $tbl")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap

@@ -2,8 +2,15 @@ package org.apache.spark.sql.graftx
 
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.SparkContext
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.BaseJoinExec
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** private[spark] bridge for reading aggregate task metrics around a
   * block of Spark actions. Used by the scale-probe tests: wall-clock on a
@@ -20,9 +27,18 @@ object Metrics {
     * CPU-light — gate it together with `diskSpilledBytes` (host-noise-free
     * like CPU, and the signature of exactly that failure mode).
     * `shuffleRecordsRead` scales with the data actually moved between
-    * stages — at 10× input a linear plan reads ~10× shuffle records. */
+    * stages — at 10× input a linear plan reads ~10× shuffle records.
+    * `joinOutputRows` (round-6 verdict #2) sums the join operators'
+    * `numOutputRows` SQLMetrics across every plan executed in the block:
+    * the one quadratic the other three counters cannot see is a hash-join
+    * blow-up whose pairs collapse into an aggregate in the SAME stage —
+    * no extra shuffle records, no spill, plan shape sane — but the join
+    * node's own output-row metric counts every generated pair, and like
+    * the other gated quantities it is a property of the plan, not the
+    * host. Only populated by the SparkSession overload of
+    * [[withTaskWork]]; the bare-SparkContext form (Bench) leaves it 0. */
   final case class TaskWork(cpuSec: Double, shuffleRecordsRead: Long,
-      diskSpilledBytes: Long)
+      diskSpilledBytes: Long, joinOutputRows: Long = 0L)
 
   /** Runs `body`, returning (result, total executor CPU seconds of all
     * stages completed during it). */
@@ -32,7 +48,9 @@ object Metrics {
   }
 
   /** Runs `body`, returning (result, aggregate [[TaskWork]] of all stages
-    * completed during it). */
+    * completed during it). `joinOutputRows` stays 0 here — join metrics
+    * live on plan nodes, not task metrics; use the [[SparkSession]]
+    * overload to capture them. */
   def withTaskWork[T](sc: SparkContext)(body: => T): (T, TaskWork) = {
     val cpuNs = new AtomicLong
     val shuffleRecs = new AtomicLong
@@ -53,5 +71,97 @@ object Metrics {
       sc.listenerBus.waitUntilEmpty(30000)
       (result, TaskWork(cpuNs.get / 1e9, shuffleRecs.get, spilled.get))
     } finally sc.removeSparkListener(listener)
+  }
+
+  /** [[withTaskWork]] that ALSO fills `joinOutputRows`: a
+    * QueryExecutionListener captures every action's QueryExecution (the
+    * noop write the probes run is a NEW QueryExecution, not the measured
+    * frame's own — walking `df.queryExecution` would read never-executed
+    * zero metrics), and [[Sessions.drainSnapshotPlans]] contributes the
+    * executed plans of snapshots taken inside the block, whose joins run
+    * under their own QueryExecution that no action listener sees. The
+    * pre-body drain discards plans left by earlier, unmeasured work.
+    * Single-threaded by the same harness contract as
+    * [[Sessions.releaseSnapshots]]. */
+  def withTaskWork[T](spark: SparkSession)(body: => T): (T, TaskWork) = {
+    val (r, w, _) = withTaskWorkPlans(spark)(body)
+    (r, w)
+  }
+
+  /** [[withTaskWork]] (SparkSession form) that also returns the executed
+    * plans it captured, so a caller can run post-execution plan-shape
+    * checks (e.g. [[hasNestedLoop]]) on the plans that actually ran —
+    * including the FINAL adaptive plan after any AQE re-plan, which the
+    * pre-execution `queryExecution.sparkPlan` cannot show (round-6
+    * ADVICE). */
+  def withTaskWorkPlans[T](spark: SparkSession)(
+      body: => T): (T, TaskWork, Seq[SparkPlan]) = {
+    val qes = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]
+    val execListener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = qes.add(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = qes.add(qe)
+    }
+    Sessions.drainSnapshotPlans()
+    spark.listenerManager.register(execListener)
+    try {
+      // The inner call's waitUntilEmpty also flushes the execution-end
+      // events that drive QueryExecutionListener dispatch.
+      val (result, base) = withTaskWork(spark.sparkContext)(body)
+      val plans = qes.asScala.map(_.executedPlan).toSeq ++
+        Sessions.drainSnapshotPlans()
+      (result, base.copy(joinOutputRows = joinOutputRows(plans)), plans)
+    } finally spark.listenerManager.unregister(execListener)
+  }
+
+  /** True if any plan contains a BroadcastNestedLoopJoin or
+    * CartesianProduct node — STRUCTURAL, on the final adaptive plan (AQE
+    * roots descend through `executedPlan`, never the initial plan), so a
+    * runtime re-plan into a nested loop is visible and a replanned-away
+    * initial-plan node is not, unlike string-matching the tree dump. */
+  def hasNestedLoop(plans: Seq[SparkPlan]): Boolean = {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean])
+    def walk(p: SparkPlan): Boolean =
+      seen.add(p) && {
+        (p match {
+          case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+          case _ => false
+        }) || (p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case qs: QueryStageExec => walk(qs.plan)
+          case o => o.children.exists(walk)
+        })
+      }
+    plans.exists(walk)
+  }
+
+  /** Sum of `numOutputRows` over every join node (BaseJoinExec covers
+    * sort-merge, shuffled-hash, broadcast-hash, broadcast-nested-loop and
+    * cartesian) reachable from `plans`, descending through AQE roots
+    * (`executedPlan` is the FINAL adaptive plan post-execution) and query
+    * stages. Identity-dedup guards against a plan reachable twice (e.g.
+    * a stage reused under two parents) double-counting its metric. */
+  def joinOutputRows(plans: Seq[SparkPlan]): Long = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean])
+    def walk(p: SparkPlan): Long =
+      if (!seen.add(p)) 0L
+      else {
+        val self = p match {
+          case j: BaseJoinExec =>
+            j.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+          case _ => 0L
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case o => o.children
+        }
+        self + kids.iterator.map(walk).sum
+      }
+    plans.map(walk).sum
   }
 }

@@ -75,9 +75,18 @@ object Sessions {
     // snapshot for the JVM's life. Sweeping cleared refs every 64 adds
     // amortizes to O(1) per snapshot and bounds the queue by live
     // snapshots + 64.
-    if (snapCount.incrementAndGet() % 64 == 0)
+    if (snapCount.incrementAndGet() % 64 == 0) {
       tracked.removeIf(_.get == null)
+      snapshotPlans.removeIf(_.get == null)
+    }
     tracked.add(new java.lang.ref.WeakReference(rdd))
+    // The snapshot's joins execute under ITS QueryExecution — invisible
+    // to any action listener on the parent frame. Track the executed
+    // plan (weakly — the registry must never outlive the snapshot's own
+    // lifetime) so Metrics.withTaskWork(SparkSession) can include their
+    // numOutputRows in the measured block's join total.
+    snapshotPlans.add(
+      new java.lang.ref.WeakReference(df.queryExecution.executedPlan))
     val snap = classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[classic.SparkSession],
       LogicalRDD.fromDataset(rdd, df.asInstanceOf[classic.Dataset[Row]],
@@ -94,7 +103,24 @@ object Sessions {
     * registry exists to prevent. */
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[
     java.lang.ref.WeakReference[RDD[InternalRow]]]
+  private val snapshotPlans = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[org.apache.spark.sql.execution.SparkPlan]]
   private val snapCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Returns (and clears) the executed plans of every snapshot taken
+    * since the last drain — still-live ones only (GC'd entries drop off).
+    * Measurement plumbing for [[Metrics.withTaskWork]]; same
+    * single-threaded harness contract as [[releaseSnapshots]]. */
+  def drainSnapshotPlans(): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val out = Seq.newBuilder[org.apache.spark.sql.execution.SparkPlan]
+    var ref = snapshotPlans.poll()
+    while (ref != null) {
+      val p = ref.get()
+      if (p != null) out += p
+      ref = snapshotPlans.poll()
+    }
+    out.result()
+  }
 
   /** Unpersists (non-blocking) every snapshot taken since the last call
     * and returns how many were released (already-GC'd entries just drop

@@ -61,11 +61,21 @@ class RecallSpec extends SparkSpec {
   }
 
   test("planted near-dups: dedup_embedding_pairs (LSH) recovers >=0.9 of brute-force top-20") {
-    val lsh = DedupQueries.dedupEmbeddingPairs(spark, plantedDir)
+    // Declared form (4 planes, 2 tables) plus the probe-grown forms —
+    // (8, 3) at ScaleProbeSpec's 10x, (11, 4) at VolumeProbe's 100x: the
+    // (k, L) rule grows BOTH dials (planes for occupancy, one table per
+    // ~3 extra planes for recall — k=11 at the original L=2 measured
+    // 15/20 here, which is how the second dial earned its place), so it
+    // is recall-pinned everywhere it is volume-gated.
     val brute = DedupQueries.dedupEmbeddingPairsBrute(spark, plantedDir)
-    val (hit, total) = recall(lsh, brute.select("vec_a", "vec_b"), Seq("vec_a", "vec_b"))
-    assert(total == 20)
-    assert(hit >= math.ceil(0.9 * total).toLong, s"embedding LSH recall $hit/$total < 0.9")
+      .select("vec_a", "vec_b")
+    for ((planes, tables) <- Seq((4, 2), (8, 3), (11, 4))) {
+      val lsh = DedupQueries.dedupEmbeddingPairsPlanes(planes, tables)(spark, plantedDir)
+      val (hit, total) = recall(lsh, brute, Seq("vec_a", "vec_b"))
+      assert(total == 20)
+      assert(hit >= math.ceil(0.9 * total).toLong,
+        s"embedding LSH recall at ($planes planes, $tables tables): $hit/$total < 0.9")
+    }
   }
 
   test("planted near-dups: sim_ann_lsh recovers >=0.9 of exact top-5 per probe") {
@@ -91,17 +101,19 @@ class RecallSpec extends SparkSpec {
   }
 
   test("planted near-dups: sim_knn_graph keeps recall >= 0.9 as the plane count grows") {
-    // ScaleProbeSpec grows NPlanes by ceil(log2 10) = 4 at the 10x corpus
+    // ScaleProbeSpec grows NPlanes by ceil(log2 10) = 4 at the 10x
+    // corpus, and VolumeProbe by ceil(log2 100) = 7 at the 100x corpus
     // (the documented planes-track-log2(n) rule). Growing k lowers
     // per-table collision probability (p^k), so the rule is only safe for
     // the near-dup workload this operator exists for — at the planted
-    // cos ~0.993 (theta ~ 7 deg, p ~ 0.96 per plane) expected recall is
-    // ~0.97 at k+4 with L=3 tables, while isotropic-noise "neighbors"
-    // (theta ~ 60 deg) wash out at ANY k. This pins the safe domain for
-    // BOTH the declared (k=6) and the probe-grown (k=10) forms: each
-    // planted vector's exact nearest neighbor must appear in its top-3
-    // graph edges for >= 0.9 of the planted vectors. Hyperplanes are
-    // md5-derived constants, so the outcome is deterministic.
+    // cos ~0.993 (theta ~ 7 deg, p ~ 0.96 per plane) expected recall
+    // stays >= 0.9 through k = 13 with L=3 tables, while isotropic-noise
+    // "neighbors" (theta ~ 60 deg) wash out at ANY k. This pins the safe
+    // domain for the declared (k=6), the 10x-grown (k=10) AND the
+    // 100x-grown (k=13) forms: each planted vector's exact nearest
+    // neighbor must appear in its top-3 graph edges for >= 0.9 of the
+    // planted vectors. Hyperplanes are md5-derived constants, so the
+    // outcome is deterministic.
     val q = graft.sources.Tables.embeddings(spark, plantedDir)
       .select(col("vec_id"), graft.functions.ColFns.quantizeVec(col("embedding")).as("qv"))
       .withColumn("n2", graft.functions.ColFns.qnorm2(col("qv")))
@@ -116,7 +128,7 @@ class RecallSpec extends SparkSpec {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
       .select(col("vec_id"), col("other_id").as("neighbor"))
-    for (k <- Seq(6, 10)) {
+    for (k <- Seq(6, 10, 13)) {
       val graph = SimilarityQueries.simKnnGraphPlanes(k)(spark, plantedDir)
         .select("vec_id", "neighbor")
       val (hit, total) = recall(graph, top1, Seq("vec_id", "neighbor"))

@@ -48,7 +48,9 @@ import org.scalatest.BeforeAndAfterAll
   * The assertion is a triple gate — wall-time (10× ≤ 3× the 1× wall plus
   * slack) OR work (executor-CPU 10× ≤ 25× AND disk spill bounded) OR
   * volume (shuffle-records 10× ≤ 20× AND spill bounded AND no nested-loop
-  * join in the plan): a linear operator passes at least one on any host
+  * join in any executed plan AND join-output rows 10× ≤ 20× — the fourth
+  * arm that catches an in-stage hash-join quadratic which shuffles and
+  * spills nothing): a linear operator passes at least one on any host
   * (the volume gate is host-noise-free by construction), while an
   * all-pairs regression (e.g. the retired BroadcastNestedLoopJoin simhash
   * — ~1.25 B pairs at 50 k docs) fails all three — ≈100× CPU, and either
@@ -117,6 +119,23 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
         .withColumn("event_type", concat(col("event_type"), lit(s"_q$t"))))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$dir10/events.parquet")
+    // Sub-fixture for events_error_window_join (round-6 verdict #5): the
+    // shared 10× events fixture tags event_type per copy, which would
+    // make the declared `=== "error"` literal match nothing — round 6
+    // probe-gated a startswith variant instead of the declared query.
+    // Here event_type is PRESERVED and each copy's timestamps shift to a
+    // disjoint ~400-day epoch (the 100 TB shape for an event log: more
+    // data is more time span): every copy opens its own hourly incident
+    // windows exactly as the 1× corpus does, window count and join
+    // output both grow ~10×, and the probe runs the declared query
+    // verbatim against `$dir/ewj`.
+    val epochOff = 400L * 86400L * 1000000000L // 400 days in ns
+    ev.write.mode("overwrite").parquet(s"$dir1/ewj/events.parquet")
+    (0 until 10).map(t => ev
+        .withColumn("event_id", col("event_id") + t * keyOff)
+        .withColumn("ts", col("ts") + t * epochOff))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir10/ewj/events.parquet")
 
     // Embeddings: per-copy orthogonal ±1 diagonal (see class doc). The
     // flip pattern is murmur3(dim, copy) parity — deterministic, so the
@@ -159,7 +178,7 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
         SimilarityQueries.simKnnGraphPlanes(SimilarityQueries.NPlanes + 4)),
       ("dedup_embedding_pairs",
         DedupQueries.dedupEmbeddingPairsPlanes(4),
-        DedupQueries.dedupEmbeddingPairsPlanes(4 + 4)),
+        DedupQueries.dedupEmbeddingPairsPlanes(4 + 4, nTables = 3)),
       sym("sim_ann_lsh", SimilarityQueries.simAnnLsh),
       sym("sim_ann_ivf", SimilarityQueries.simAnnIvf),
       sym("dedup_source_overlap", DedupQueries.dedupSourceOverlap),
@@ -179,19 +198,18 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       sym("events_retention", graft.queries.ExtensionQueries.eventsRetention),
       // The custom join shapes: as-of (union + running-last window; the
       // quote side's (custkey, date) domain collapses to 1× under the
-      // aggregate, events grow 10×) and the binned range join (the 10×
-      // form matches tagged error types by prefix — see
-      // eventsErrorWindowJoinWhere — so every copy opens windows as the
-      // 1× corpus does). The guarded global window rides along: its
+      // aggregate, events grow 10×) and the binned range join (gated on
+      // its own `ewj` sub-fixture — event_type preserved, per-copy
+      // disjoint time epochs — so the DECLARED query runs verbatim;
+      // beforeAll explains). The guarded global window rides along: its
       // per-minute aggregate domain is scale-invariant here, so the
       // entry gates that the window input stays the COLLAPSED frame.
       sym("asof_last_order", graft.queries.ExtensionQueries.asofLastOrder),
       sym("events_lateness_histogram",
         graft.queries.ExtensionQueries.eventsLatenessHistogram),
-      ("events_error_window_join",
-        graft.queries.ExtensionQueries.eventsErrorWindowJoin,
-        graft.queries.ExtensionQueries.eventsErrorWindowJoinWhere(
-          col("event_type").startsWith("error"))))
+      sym("events_error_window_join",
+        (s, d) => graft.queries.ExtensionQueries
+          .eventsErrorWindowJoin(s, s"$d/ewj")))
   }
 
   /** Entries whose plan legitimately contains a nested-loop join, so the
@@ -213,21 +231,21 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
     * Snapshot caches release AFTER the timer: cleanup is harness
     * bookkeeping, and carrying a previous run's corpus-scale cached RDDs
     * into the next measurement is exactly the storage-hoarding ADVICE
-    * round 3 flagged. Plan-sane = the measured frame's physical plan has
-    * no BroadcastNestedLoopJoin/CartesianProduct — inspected after the
-    * run (the phases are planned anyway; the string check is free). */
+    * round 3 flagged. Plan-sane = no BroadcastNestedLoopJoin/
+    * CartesianProduct node in any EXECUTED plan of the block — the
+    * action QEs plus snapshot plans that [[Metrics.withTaskWorkPlans]]
+    * captures, checked structurally on the final adaptive plan (round-6
+    * ADVICE: the pre-execution sparkPlan cannot show an AQE runtime
+    * re-plan into a nested loop). */
   private def measureOnce(q: DedupQueries.Q, dir: String): (Double, Metrics.TaskWork, Boolean) = {
     val t0 = System.nanoTime()
-    var df: DataFrame = null
-    val (_, work) = Metrics.withTaskWork(spark.sparkContext) {
-      df = q(spark, dir)
+    val (_, work, plans) = Metrics.withTaskWorkPlans(spark) {
+      val df = q(spark, dir)
       df.write.mode("overwrite").format("noop").save()
     }
     val wall = (System.nanoTime() - t0) / 1e9
     Sessions.releaseSnapshots()
-    val plan = df.queryExecution.sparkPlan.toString
-    (wall, work,
-      !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    (wall, work, !Metrics.hasNestedLoop(plans))
   }
 
   // Best of two runs per metric: a single run is exposed to one-off JVM
@@ -239,7 +257,8 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
     (runs.map(_._1).min,
       Metrics.TaskWork(runs.map(_._2.cpuSec).min,
         runs.map(_._2.shuffleRecordsRead).min,
-        runs.map(_._2.diskSpilledBytes).min),
+        runs.map(_._2.diskSpilledBytes).min,
+        runs.map(_._2.joinOutputRows).min),
       runs.forall(_._3))
   }
 
@@ -268,21 +287,27 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
     *    aggregate. ANDed with the spill bound and a no-nested-loop plan
     *    check: a BroadcastNestedLoopJoin/CartesianProduct regression burns
     *    quadratic CPU WITHOUT shuffling (pairs are filtered in-stage), so
-    *    it is caught by plan shape, not volume. Residual blind spot: a
-    *    hash-join quadratic collapsed into an ungrouped aggregate in the
-    *    same stage — no query in this family has that shape, and the CPU
-    *    gate still catches it whenever the host is sane. */
+    *    it is caught by plan shape, not volume. The fourth arm (round-6
+    *    verdict #2) closes what was this gate's self-acknowledged blind
+    *    spot: a hash-join quadratic whose pairs collapse into an
+    *    ungrouped aggregate in the SAME stage shuffles nothing, spills
+    *    nothing and keeps a sane plan shape — but the join operators'
+    *    own numOutputRows SQLMetric counts every generated pair, is as
+    *    host-noise-free as the record counts, and is ANDed in here: a
+    *    linear plan's join output grows ~10× at 10× input, the collapsed
+    *    quadratic's ~100×. */
   private def gateOnce(name: String, q1: DedupQueries.Q,
       q10: DedupQueries.Q): (Boolean, String) = {
     val (w1, k1, _) = measure(q1, dir1)
     val (w10, k10, planRaw) = measure(q10, dir10)
     val plan10 = planRaw || boundedNestedLoop(name)
     info(f"$name: 1x wall=$w1%.2f s cpu=${k1.cpuSec}%.2f s spill=${k1.diskSpilledBytes / 1e6}%.0f MB " +
-      f"shufrec=${k1.shuffleRecordsRead}; " +
+      f"shufrec=${k1.shuffleRecordsRead} joinrows=${k1.joinOutputRows}; " +
       f"10x wall=$w10%.2f s cpu=${k10.cpuSec}%.2f s spill=${k10.diskSpilledBytes / 1e6}%.0f MB " +
-      f"shufrec=${k10.shuffleRecordsRead} " +
+      f"shufrec=${k10.shuffleRecordsRead} joinrows=${k10.joinOutputRows} " +
       f"(ratios wall ${w10 / w1}%.1f, cpu ${k10.cpuSec / k1.cpuSec}%.1f, " +
       f"shufrec ${k10.shuffleRecordsRead.toDouble / math.max(k1.shuffleRecordsRead, 1L)}%.1f, " +
+      f"joinrows ${k10.joinOutputRows.toDouble / math.max(k1.joinOutputRows, 1L)}%.1f, " +
       s"planSane=$plan10)")
     val wallOk = w10 <= 3.0 * math.max(w1, 2.0) + 5.0
     val cpuOk = k10.cpuSec <= 25.0 * math.max(k1.cpuSec, 2.0)
@@ -290,11 +315,14 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       25L * math.max(k1.diskSpilledBytes, 128L * 1024 * 1024)
     val volumeOk = k10.shuffleRecordsRead <=
       20L * math.max(k1.shuffleRecordsRead, 10000L)
-    (wallOk || (cpuOk && spillOk) || (volumeOk && spillOk && plan10),
+    val joinOk = k10.joinOutputRows <=
+      20L * math.max(k1.joinOutputRows, 10000L)
+    (wallOk || (cpuOk && spillOk) || (volumeOk && spillOk && plan10 && joinOk),
       f"$name at 10x: wall $w10%.2f s (1x $w1%.2f s), " +
         f"cpu ${k10.cpuSec}%.2f s (1x ${k1.cpuSec}%.2f s), " +
         f"spill ${k10.diskSpilledBytes / 1e6}%.0f MB (1x ${k1.diskSpilledBytes / 1e6}%.0f MB), " +
-        f"shuffle records ${k10.shuffleRecordsRead} (1x ${k1.shuffleRecordsRead}, planSane=$plan10) " +
+        f"shuffle records ${k10.shuffleRecordsRead} (1x ${k1.shuffleRecordsRead}), " +
+        f"join output rows ${k10.joinOutputRows} (1x ${k1.joinOutputRows}, planSane=$plan10) " +
         "— super-linear on all three gates")
   }
 

@@ -108,4 +108,105 @@ class SessionEquivalenceSpec extends SparkSpec {
       assert(streamed == batch,
         s"stream=$streamed\nbatch=$batch\n(seed $seed, ${events.size} events)")
     }
+
+  /** Mixed-type generator for the interval-join / dedup equivalences:
+    * per user a minute-granular random walk, ~1 in 5 events an error.
+    * Strictly increasing per-user times, minute granularity — no
+    * tie-breaking dependence in either engine. */
+  private def genMixed(seed: Long): Seq[Event] = {
+    val rnd = new scala.util.Random(seed)
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    var id = 0L
+    (1L to 5L).flatMap { user =>
+      var tMin = rnd.nextInt(60).toLong
+      (0 until 30).map { _ =>
+        tMin += 1 + rnd.nextInt(20)
+        id += 1
+        val typ = if (rnd.nextInt(5) == 0) "error"
+                  else if (rnd.nextBoolean()) "click" else "view"
+        Event(id, new Timestamp(base + tMin * 60000L), user, typ,
+          rnd.nextInt(100) / 10.0)
+      }
+    }
+  }
+
+  /** Events frame with ts as long nanos — the shape the streaming
+    * transforms (and the batch tables) declare. */
+  private def asNanos(events: Seq[Event]) =
+    events.toDF()
+      .withColumn("ts", col("ts").cast("long") * 1000000000L)
+
+  for (seed <- Seq(13L, 47L))
+    test(s"shuffled stream-stream interval join matches its batch run (seed $seed)") {
+      // The SAME errorContext declaration executes twice: once over a
+      // batch frame (watermarks are no-ops, the join is a plain interval
+      // join) and once over a MemoryStream with arrival order shuffled
+      // across 4 micro-batches. Within the (generous) watermark the
+      // emitted pair set may depend only on event time — equality, not
+      // the fixed-fixture subset check StreamingSpec does.
+      implicit val sqlCtx = spark.sqlContext
+      val events = genMixed(seed)
+      val batch = EventStreams.errorContext(asNanos(events), watermark = "30 days")
+        .select(col("error_id"), col("action_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val shuffled = new scala.util.Random(seed * 7).shuffle(events)
+      val mem = MemoryStream[Event]
+      val joined = EventStreams.errorContext(
+        mem.toDS().toDF().withColumn("ts", col("ts").cast("long") * 1000000000L),
+        watermark = "30 days")
+      val q = joined.writeStream.format("memory").queryName(s"ivj$seed")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        shuffled.grouped((shuffled.size + 3) / 4).foreach { chunk =>
+          mem.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        // Advance BOTH side watermarks (each is derived from its own
+        // filtered stream) past every pair; the flush pair is hours
+        // apart so it cannot join with itself, and user 999 is foreign.
+        mem.addData(
+          Event(9998, Timestamp.valueOf("2024-06-01 00:00:00"), 999L, "error", 0.0),
+          Event(9999, Timestamp.valueOf("2024-06-02 00:00:00"), 999L, "click", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val streamed = spark.table(s"ivj$seed")
+        .filter(col("user_id") =!= 999L)
+        .select(col("error_id"), col("action_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"stream-only=${streamed -- batch} batch-only=${batch -- streamed} (seed $seed)")
+    }
+
+  for (seed <- Seq(19L, 61L))
+    test(s"shuffled watermark dedup emits each planted duplicate exactly once (seed $seed)") {
+      // Input: the generated events plus a replay of every 3rd one (the
+      // upstream-retry shape dropDuplicatesWithinWatermark exists for),
+      // shuffled across 4 micro-batches, lateness far above the total
+      // disorder. The batch truth is simply the original event set: the
+      // streaming result must contain every event_id EXACTLY once —
+      // multiset equality, so both a swallowed id and a leaked duplicate
+      // fail.
+      implicit val sqlCtx = spark.sqlContext
+      val events = genMixed(seed)
+      val dups = events.zipWithIndex.collect { case (e, i) if i % 3 == 0 => e }
+      val shuffled = new scala.util.Random(seed * 7).shuffle(events ++ dups)
+      val mem = MemoryStream[Event]
+      val q = EventStreams.dedupEvents(
+          mem.toDS().toDF().withColumn("ts", col("ts").cast("long") * 1000000000L),
+          watermark = "30 days")
+        .writeStream.format("memory").queryName(s"dedup$seed")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        shuffled.grouped((shuffled.size + 3) / 4).foreach { chunk =>
+          mem.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamedIds = spark.table(s"dedup$seed")
+        .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(streamedIds == events.map(_.event_id).sorted,
+        s"seed $seed: ${streamedIds.size} rows for ${events.size} unique events")
+    }
 }
