@@ -17,7 +17,10 @@ import org.apache.spark.sql.graftx.{Metrics, Sessions}
   * (default 100×) the sf0.1 corpus. The embedding entries exercise the
   * documented planes-track-log₂(n) deployment rule at the probe factor:
   * ⌈log₂ factor⌉ extra hyperplanes hold bucket occupancy ≈ the candidate
-  * budget (RecallSpec pins the grown forms recall-safe at k = 10 and 13).
+  * budget — and for the pairs query, whose TABLE count also grows for
+  * recall, plane growth absorbs the table growth too (2^k tracks L·n;
+  * see the fixed-point computation below). RecallSpec pins every grown
+  * form recall-safe: kNN at k = 10 and 13, pairs at (8,3) and (12,5).
   *
   * ScaleProbeSpec's 10× gate runs every build; this main exists because a
   * single 100× point is the strongest linearity evidence this host can
@@ -99,37 +102,69 @@ object VolumeProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated query-name filter for iterating on one
+    // entry without paying the full ~25-min probe; the committed artifact
+    // must come from an unfiltered run (all 8 entries present).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_VOL_ONLY").map(_.split(",").map(_.trim).toSet)
+    def wanted(n: String): Boolean = only.forall(_.contains(n))
+
     val dir1 = Files.createTempDirectory("graft-vol1").toString
     val dirN = Files.createTempDirectory(s"graft-vol$factor").toString
     var exitCode = 0
     try {
-      val docs = spark.read.parquet(s"$sf/documents.parquet")
-      docs.write.mode("overwrite").parquet(s"$dir1/documents.parquet")
-      def salted(tag: Int): DataFrame = docs.select(
-        (col("doc_id") + tag * 100000000L).as("doc_id"),
-        concat_ws(" ",
-          transform(split(col("text"), " "), w => concat(w, lit(s"q$tag")))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-      (0 until factor).map(salted).reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$dirN/documents.parquet")
+      val embNames = Set("sim_knn_graph", "dedup_embedding_pairs")
+      val needDocs = only.forall(_.exists(n => !embNames.contains(n)))
+      val needEmb = only.forall(_.exists(embNames.contains))
+
+      if (needDocs) {
+        val docs = spark.read.parquet(s"$sf/documents.parquet")
+        docs.write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+        def salted(tag: Int): DataFrame = docs.select(
+          (col("doc_id") + tag * 100000000L).as("doc_id"),
+          concat_ws(" ",
+            transform(split(col("text"), " "), w => concat(w, lit(s"q$tag")))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        (0 until factor).map(salted).reduce(_ union _)
+          .write.mode("overwrite").parquet(s"$dirN/documents.parquet")
+      }
 
       // Embeddings: per-copy orthogonal ±1 diagonal (murmur3(dim, copy)
       // parity — deterministic), the same fixture rule as
       // ScaleProbeSpec's 10× family, at the probe factor.
-      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-      emb.write.mode("overwrite").parquet(s"$dir1/embeddings.parquet")
-      def saltedEmb(t: Int): DataFrame = emb.select(
-        (col("vec_id") + t * 100000000L).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(pmod(hash(i, lit(t)), lit(2)) === 1, negate(x)).otherwise(x))
-          .as("embedding"),
-        col("label"))
-      (0 until factor).map(saltedEmb).reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$dirN/embeddings.parquet")
+      if (needEmb) {
+        val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        emb.write.mode("overwrite").parquet(s"$dir1/embeddings.parquet")
+        def saltedEmb(t: Int): DataFrame = emb.select(
+          (col("vec_id") + t * 100000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(pmod(hash(i, lit(t)), lit(2)) === 1, negate(x)).otherwise(x))
+            .as("embedding"),
+          col("label"))
+        (0 until factor).map(saltedEmb).reduce(_ union _)
+          .write.mode("overwrite").parquet(s"$dirN/embeddings.parquet")
+      }
 
       // ⌈log₂ factor⌉ extra LSH planes at factor× vectors — the
       // deployment re-parameterization the embedding entries gate.
       val extraPlanes = math.ceil(math.log(factor) / math.log(2)).toInt
+      // The PAIRS query also grows hash tables for recall, and tables
+      // multiply candidate volume (~L·n²·s/2^k per the operator scaladoc),
+      // so ITS plane growth must absorb the table growth too:
+      // Δk = ⌈log₂(factor · L/L₀)⌉ solved as a fixed point with
+      // L = 2 + (Δk+1)/3. At factor 100: Δk=8, L=5 — the first probe run
+      // gated the naive Δk=7 (11 planes, 4 tables) and failed at 2.19×
+      // linear, exactly the un-absorbed 2× table factor.
+      val (pairPlanes, pairTables) = {
+        var dk = extraPlanes
+        var l = 2 + (dk + 1) / 3
+        var next = math.ceil(math.log(factor * l / 2.0) / math.log(2)).toInt
+        while (next != dk) {
+          dk = next; l = 2 + (dk + 1) / 3
+          next = math.ceil(math.log(factor * l / 2.0) / math.log(2)).toInt
+        }
+        (4 + dk, l)
+      }
 
       // (name, 1× query, factor× query). Same function at both scales
       // except the embedding family, whose factor× form grows the plane
@@ -161,11 +196,10 @@ object VolumeProbe {
               SimilarityQueries.NPlanes + extraPlanes)),
           ("dedup_embedding_pairs",
             DedupQueries.dedupEmbeddingPairsPlanes(4),
-            // Both (k, L) dials: one extra table per ~3 extra planes
-            // holds the miss rate (1-p^k)^L flat as planes grow — see
-            // the operator's scaladoc; RecallSpec pins (11, 4).
-            DedupQueries.dedupEmbeddingPairsPlanes(4 + extraPlanes,
-              nTables = 2 + (extraPlanes + 1) / 3)))
+            // Both (k, L) dials via the fixed-point rule above — (12, 5)
+            // at factor 100; RecallSpec pins that form at ≥0.9 recall.
+            DedupQueries.dedupEmbeddingPairsPlanes(pairPlanes, pairTables)))
+          .filter(t => wanted(t._1))
       }
 
       def measure(q: DedupQueries.Q, dir: String): (Double, Metrics.TaskWork, Boolean) = {

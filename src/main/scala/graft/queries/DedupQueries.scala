@@ -461,19 +461,24 @@ object DedupQueries {
 
   /** [[dedupEmbeddingPairs]] with explicit plane and table counts — the
     * two dials of the standard (k, L) LSH deployment rule, the same
-    * planes-track-log₂(n) knob as [[SimilarityQueries.simKnnGraphPlanes]]:
-    * at 10× vectors ScaleProbeSpec adds ⌈log₂ 10⌉ = 4 planes so bucket
-    * occupancy (and therefore the bucket self-join's output per input
-    * row) stays ≈ constant; a fixed 4-plane blocking at growing n
-    * densifies every bucket and goes quadratic by construction. Growing
-    * planes alone decays recall — per-table collision probability is p^k
-    * — so TABLES grow alongside, roughly one per 3 extra planes, holding
-    * the planted-near-dup miss rate (1−p^k)^L flat (at p ≈ 0.94 for
-    * cos ≈ 0.98 dups: k=4,L=2 → miss 0.05; k=8,L=3 → 0.06; k=11,L=4 →
-    * 0.06 — while k=11 at the original L=2 measured 0.75 recall, which
-    * is how round 7 found the rule needs both dials). Extra tables cost
-    * L/2× more bucket keys — a linear factor — never pair growth.
-    * RecallSpec pins ≥0.9 recall at (4,2), (8,3) and (11,4); the
+    * planes-track-log₂(n) knob as [[SimilarityQueries.simKnnGraphPlanes]].
+    * Candidate volume is ~L·n²·s/2^k (s ≥ 1 the bucket-skew factor), so
+    * holding it LINEAR in n needs 2^k ∝ L·n — the plane growth must
+    * absorb the TABLE growth too, not just the data: Δk =
+    * ⌈log₂(factor · L/L₀)⌉, solved as a fixed point with the table rule
+    * L = L₀ + (Δk+1)/3 (one extra table per ~3 extra planes keeps the
+    * planted-near-dup miss rate (1−p^k)^L flat: at p ≈ 0.94 for
+    * cos ≈ 0.98 dups, k=4,L=2 → miss 0.05; k=8,L=3 → 0.06; k=12,L=5 →
+    * 0.04 — while k=11 at the original L=2 measured 0.75 recall, which
+    * is how round 7 found the rule needs both dials). Fixed points:
+    * (8, 3) at 10× — log₂(10·1.5)=3.9→4 — and (12, 5) at 100× —
+    * log₂(100·2.5)=7.97→8. The first 100× VolumeProbe run gated the
+    * naive Δk=⌈log₂ factor⌉ form (11, 4) and FAILED at 2.19× linear:
+    * theory 2×(L growth)·156/200 plus measured bucket skew s₁₀₀/s₁ ≈ 1.4
+    * — exactly the un-absorbed L factor. Extra tables still cost only
+    * L/L₀× more bucket KEYS — map-side, linear — the quadratic term is
+    * per-bucket pair output, which 2^Δk ∝ factor·L/L₀ bounds.
+    * RecallSpec pins ≥0.9 recall at (4,2), (8,3) and (12,5); the
     * declared query is (4, 2). */
   private[graft] def dedupEmbeddingPairsPlanes(nPlanes: Int, nTables: Int = 2): Q = (s, d) => {
     val q = Tables.embeddings(s, d)

@@ -62,14 +62,17 @@ class RecallSpec extends SparkSpec {
 
   test("planted near-dups: dedup_embedding_pairs (LSH) recovers >=0.9 of brute-force top-20") {
     // Declared form (4 planes, 2 tables) plus the probe-grown forms —
-    // (8, 3) at ScaleProbeSpec's 10x, (11, 4) at VolumeProbe's 100x: the
+    // (8, 3) at ScaleProbeSpec's 10x, (12, 5) at VolumeProbe's 100x: the
     // (k, L) rule grows BOTH dials (planes for occupancy, one table per
     // ~3 extra planes for recall — k=11 at the original L=2 measured
-    // 15/20 here, which is how the second dial earned its place), so it
-    // is recall-pinned everywhere it is volume-gated.
+    // 15/20 here, which is how the second dial earned its place), and the
+    // plane growth absorbs the table growth (2^k tracks L*n, not n — the
+    // first 100x probe run failed (11, 4) at 2.19x linear, the
+    // un-absorbed L factor), so it is recall-pinned everywhere it is
+    // volume-gated.
     val brute = DedupQueries.dedupEmbeddingPairsBrute(spark, plantedDir)
       .select("vec_a", "vec_b")
-    for ((planes, tables) <- Seq((4, 2), (8, 3), (11, 4))) {
+    for ((planes, tables) <- Seq((4, 2), (8, 3), (12, 5))) {
       val lsh = DedupQueries.dedupEmbeddingPairsPlanes(planes, tables)(spark, plantedDir)
       val (hit, total) = recall(lsh, brute, Seq("vec_a", "vec_b"))
       assert(total == 20)
