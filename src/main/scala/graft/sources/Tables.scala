@@ -15,12 +15,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 only reads via
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in all session
-    * builders); the column arrives as `long` nanoseconds since epoch, which
-    * keeps every time computation pure integer arithmetic — deterministic
-    * and identical to the DuckDB oracle's `epoch()` on its µs-truncated
-    * TIMESTAMP. */
+  /** The engine-wide `events.ts` contract is `long` nanoseconds since epoch:
+    * every time computation downstream is pure integer arithmetic —
+    * deterministic and identical to the DuckDB oracle's `epoch()`/`epoch_us()`
+    * on its TIMESTAMP. The *physical* parquet encoding is the fixture
+    * producer's choice and has drifted before (TIMESTAMP(NANOS) through
+    * round 7, `timestamp[us]` from round 8), so [[events]] normalizes
+    * whatever arrives to that contract instead of assuming an encoding. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -31,25 +32,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  private val nanosFlagNoted = new java.util.concurrent.atomic.AtomicBoolean(false)
-
+  /** Events with `ts` normalized to long nanos since epoch (see [[table]]'s
+    * contract note). Handles every parquet encoding the fixture has shipped:
+    *
+    *   - `LongType`: TIMESTAMP(NANOS) read under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (the session builders
+    *     still set the flag so a legacy nanos fixture stays readable at all) —
+    *     already the contract, pass through.
+    *   - `TimestampType` / `TimestampNTZType`: µs-precision parquet
+    *     timestamps (`timestamp[us]`, TZ-adjusted or not). The session
+    *     timezone is forced to UTC in every builder, so casting NTZ through
+    *     `timestamp` is exact; `unix_micros * 1000` recovers integer nanos
+    *     losslessly (µs precision ⊂ ns).
+    *
+    * Anything else fails fast with the found schema rather than surfacing as
+    * scattered DATATYPE_MISMATCH analysis errors in each downstream query.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Defensive: a caller-supplied session without the flag would fail the
-    // scan with PARQUET_TYPE_ILLEGAL; it is a runtime SQL conf, so set it
-    // here rather than requiring every session builder to know. This is a
-    // session-wide side effect by design — Spark 4 cannot read NANOS
-    // parquet as TIMESTAMP at all, so no caller loses a capability; any
-    // nanos column in the session simply reads as long nanos. When the
-    // override actually changes a foreign session's conf, say so once in
-    // the log so the surprise is at least visible (round-2 advice).
-    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
-        && nanosFlagNoted.compareAndSet(false, true))
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "graft Tables.events is setting spark.sql.legacy.parquet.nanosAsLong=true " +
-          "session-wide: events.ts is parquet TIMESTAMP(NANOS), unreadable in " +
-          "Spark 4 without it; nanos columns in this session now read as BIGINT nanos.")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events requires spark.sql.session.timeZone=UTC to normalize " +
+            "a TIMESTAMP/TIMESTAMP_NTZ ts column exactly; found " +
+            s.conf.get("spark.sql.session.timeZone"))
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts at $d has unsupported type $other; expected long nanos, " +
+          s"TIMESTAMP or TIMESTAMP_NTZ. Full schema: ${df.schema.treeString}")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
