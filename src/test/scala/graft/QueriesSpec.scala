@@ -34,19 +34,39 @@ class QueriesSpec extends SparkSpec {
     // EquivalenceSpec, not on whatever shapes this SF's corpus happens to
     // contain.) This pins the two queries to one tokenization/digesting —
     // a drift in either breaks the join.
-    val ratio = SparkEntry.queries("text_dup_span_ratio")(spark, sfDir)
-      .select("doc_id", "dup_ratio")
-    val removal = SparkEntry.queries("text_dedup_spans")(spark, sfDir)
-    val joined = removal.join(ratio, Seq("doc_id"), "left").collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
-      val (nTok, nKept) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"))
-      assert(nKept <= nTok, s"doc ${r.get(0)}: kept $nKept > total $nTok")
-      val dup = if (r.isNullAt(r.fieldIndex("dup_ratio"))) 0.0
-                else r.getAs[Double]("dup_ratio")
-      if (dup == 0.0) assert(nKept == nTok,
-        s"doc ${r.get(0)}: no dup spans but ${nTok - nKept} tokens removed")
+    def check(dir: String): Int = {
+      val ratio = SparkEntry.queries("text_dup_span_ratio")(spark, dir)
+        .select("doc_id", "dup_ratio")
+      val removal = SparkEntry.queries("text_dedup_spans")(spark, dir)
+      val joined = removal.join(ratio, Seq("doc_id"), "left").collect()
+      joined.foreach { r =>
+        val (nTok, nKept) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"))
+        assert(nKept <= nTok, s"doc ${r.get(0)}: kept $nKept > total $nTok")
+        val dup = if (r.isNullAt(r.fieldIndex("dup_ratio"))) 0.0
+                  else r.getAs[Double]("dup_ratio")
+        if (dup == 0.0) assert(nKept == nTok,
+          s"doc ${r.get(0)}: no dup spans but ${nTok - nKept} tokens removed")
+      }
+      joined.length
     }
+    // Property sweep over the fixture: holds vacuously on an empty or
+    // reshaped corpus — no assert encodes what shapes the fixture contains.
+    check(sfDir)
+    // Branch coverage on a planted corpus (round-6 advice): a two-copy doc
+    // (canonical keeps all / copy loses all) and a no-dup doc, so both
+    // directions of the agreement are exercised regardless of fixture
+    // regeneration. EquivalenceSpec pins the removal-side values; this
+    // pins the cross-query join on the same shapes.
+    val dir = java.nio.file.Files.createTempDirectory("graft-span-agree").toString
+    import spark.implicits._
+    val boiler = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val unique = "unique words only here nothing repeats at all ever"
+    Seq((1L, boiler, "en", "src_a", boiler.length),
+        (2L, boiler, "en", "src_b", boiler.length),
+        (3L, unique, "en", "src_c", unique.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(check(dir) == 3, "planted corpus did not produce all three docs")
   }
 
   test("mr_sum_by_key groups to the 3 returnflags") {
