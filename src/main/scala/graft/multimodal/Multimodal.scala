@@ -6,13 +6,16 @@ import graft.sources.Tables
 
 /** Multimodal-column plumbing for a training-data pipeline.
   *
-  * Media payloads are opaque `binary` columns with typed metadata — the
-  * schema, partitioning, and per-partition batch processing are the real,
-  * tested engine surface; the actual image/audio decode is STUBBED (the
-  * decode libraries are not in this environment) behind deterministic
-  * fakes that are clearly marked. Swapping the stub for a real JNI/FFmpeg
-  * decoder changes no plan shape: decode stays a `mapPartitions` over
-  * batches of rows, exactly where a vectorized decode belongs.
+  * Media payloads are opaque `binary` columns with typed metadata. Decode
+  * is REAL for the formats a pure JVM can decode (PNG/JPEG/BMP/GIF via
+  * `javax.imageio`, WAV via a RIFF header walk — [[MediaDecode]], spec'd
+  * on true encoded bytes in MultimodalSpec) and falls back to a clearly
+  * marked deterministic derivation for payloads outside those formats —
+  * which includes this environment's synthetic text-as-bytes corpus, so
+  * the DuckDB oracle stays exact. Wider codecs (MP4, WebP, ...) would
+  * bind a JNI/FFmpeg decoder behind the same `decode` signature and
+  * change no plan shape: decode stays a `mapPartitions` over batches of
+  * rows, exactly where a vectorized decode belongs.
   *
   * At 100 TB: payload bytes never shuffle — every operator here is either
   * a map-side projection/flatMap or aggregates only extracted metadata.
@@ -38,29 +41,39 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       col("n_chars"))
 
-  /** STUB image/audio decode: a real implementation would parse the codec
-    * header and pixel/sample data here (e.g. via a JNI decoder bound per
-    * partition). The fake derives dimensions deterministically from the
-    * payload length so tests have stable goldens. Runs as mapPartitions:
-    * one decoder instance per partition, streaming over rows — the batch
-    * shape a vectorized decoder needs. */
+  /** Media decode over the `mapPartitions` seam. Payloads whose bytes are
+    * a format the JVM can really decode (PNG/JPEG/BMP/GIF pixel decode via
+    * `javax.imageio`, WAV header walk — see [[MediaDecode]]) yield their
+    * TRUE geometry; anything else (notably the synthetic text-as-bytes
+    * fixture corpus) falls back to a deterministic derivation from payload
+    * length so goldens and the DuckDB oracle stay exact. Swapping in a
+    * wider decoder (JNI/FFmpeg) extends `MediaDecode.decode` and changes
+    * no plan shape: decode stays one streaming pass per partition — the
+    * batch shape a vectorized decoder needs, with payload bytes never
+    * leaving their scan partition. */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("payload"), col("n_chars"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        // per-partition decoder setup would happen here (stub: none).
         // Null payloads (null source text) are skipped, matching
         // frameSample's behavior where length(null) drops the row — the
         // two operators must not diverge (one crashing, one skipping).
         rows.filter(_.payload != null).map { r =>
           val n = r.payload.length.toLong
-          // STUB decode: dimensions derived from payload size, not pixels.
-          val w = (n % 640 + 64).toInt
-          val h = (n % 480 + 48).toInt
-          val c = if (r.kind == "audio") 1 else 3
-          MediaFeatures(r.media_id, r.kind, w, h, c, n)
+          MediaDecode.decode(r.payload) match {
+            case Some(g) => MediaFeatures(r.media_id, r.kind, g.width, g.height, g.channels, n)
+            case None =>
+              // Deterministic fallback for undecodable payloads: derived
+              // from payload size, not pixels (the honest label for the
+              // synthetic corpus — a production ingest would instead
+              // route these to a quarantine sink).
+              val w = (n % 640 + 64).toInt
+              val h = (n % 480 + 48).toInt
+              val c = if (r.kind == "audio") 1 else 3
+              MediaFeatures(r.media_id, r.kind, w, h, c, n)
+          }
         }
       }
   }
@@ -100,12 +113,13 @@ object Multimodal {
       .agg(count(lit(1)).as("n_frames"))
       .orderBy("media_id")
 
-  /** Oracle-checkable DECODE+RESIZE query: the full stub pipeline —
+  /** Oracle-checkable DECODE+RESIZE query: the full pipeline —
     * mapPartitions decode → resize-geometry projection → per-kind exact
     * stats. This puts the mapPartitions decode seam itself under the
-    * driver's DuckDB gate (the stub's dimensions are deterministic
-    * arithmetic on payload length, so the oracle reproduces them
-    * exactly); a real decoder swaps in without changing this plan. */
+    * driver's DuckDB gate: on the synthetic corpus every payload takes
+    * the deterministic fallback (arithmetic on payload length), so the
+    * oracle reproduces the dimensions exactly; real encoded media takes
+    * the true-decode path, spec'd separately in MultimodalSpec. */
   def resizeGeometry(s: SparkSession, d: String): DataFrame =
     resizeStub(decodeFeatures(mediaTable(s, d)), 256, 256)
       .groupBy("kind")
@@ -175,8 +189,9 @@ object Multimodal {
         |       COUNT(*) AS n_distinct,
         |       CAST(SUM((n - 1) * bytes) AS BIGINT) AS dup_bytes
         |FROM grp GROUP BY kind ORDER BY kind""".stripMargin,
-    // The stub decode derives (w, h) from payload length; the resize
-    // scale is one IEEE min-of-divisions, identical in both engines.
+    // The fallback decode derives (w, h) from payload length (the whole
+    // synthetic corpus is undecodable-as-media by construction); the
+    // resize scale is one IEEE min-of-divisions, identical in both engines.
     "mm_resize_geometry" ->
       """WITH feat AS (
         |  SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,

@@ -1,11 +1,69 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaDecode, Multimodal}
 
-/** Multimodal plumbing specs: schema, deterministic stub decode, and
-  * plan-shape properties (payload bytes never fan out).
+/** Multimodal plumbing specs: schema, real decode on true encoded bytes,
+  * deterministic fallback decode, and plan-shape properties (payload
+  * bytes never fan out).
   */
 class MultimodalSpec extends SparkSpec {
+
+  /** True encoded bytes built with the JDK's own encoders — the decode
+    * path under test is the independent decode direction. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal canonical WAV: RIFF/WAVE + fmt chunk + empty data chunk. */
+  private def wavBytes(sampleRate: Int, bits: Int, channels: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * bits / 8)
+      .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(0)
+    bb.array()
+  }
+
+  test("MediaDecode extracts TRUE geometry from real PNG/BMP/WAV bytes") {
+    assert(MediaDecode.decode(pngBytes(17, 9)) == Some(MediaDecode.Geometry(17, 9, 3)))
+    assert(MediaDecode.decode(bmpBytes(33, 21)) == Some(MediaDecode.Geometry(33, 21, 3)))
+    assert(MediaDecode.decode(wavBytes(44100, 16, 2)) == Some(MediaDecode.Geometry(44100, 16, 2)))
+    // Text bytes (the synthetic corpus) and corrupt media must both be
+    // undecodable, not a crash.
+    assert(MediaDecode.decode("plain text payload".getBytes("UTF-8")).isEmpty)
+    assert(MediaDecode.decode(pngBytes(5, 5).take(20)).isEmpty)
+  }
+
+  test("decodeFeatures routes real media to true decode and text to the fallback") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image", pngBytes(40, 30), 0L),
+      (2L, "image", bmpBytes(12, 8), 0L),
+      (3L, "audio", wavBytes(16000, 16, 1), 0L),
+      (4L, "image", "not media at all".getBytes("UTF-8"), 16L))
+      .toDF("media_id", "kind", "payload", "n_chars")
+    val out = Multimodal.decodeFeatures(rows).collect().map(f => f.media_id -> f).toMap
+    assert((out(1L).width, out(1L).height, out(1L).channels) == ((40, 30, 3)))
+    assert((out(2L).width, out(2L).height, out(2L).channels) == ((12, 8, 3)))
+    assert((out(3L).width, out(3L).height, out(3L).channels) == ((16000, 16, 1)))
+    // row 4: 16-byte text payload → fallback arithmetic on length
+    assert((out(4L).width, out(4L).height, out(4L).channels) == ((16 % 640 + 64, 16 % 480 + 48, 3)))
+  }
 
   test("media table: schema and kind assignment") {
     val m = Multimodal.mediaTable(spark, sfDir)
@@ -15,7 +73,7 @@ class MultimodalSpec extends SparkSpec {
     assert(kinds == Set("image", "audio", "video"))
   }
 
-  test("stub decode is deterministic and preserves row count") {
+  test("fallback decode is deterministic and preserves row count") {
     val m = Multimodal.mediaTable(spark, sfDir)
     val f1 = Multimodal.decodeFeatures(m).collect().sortBy(_.media_id)
     val f2 = Multimodal.decodeFeatures(m).collect().sortBy(_.media_id)
