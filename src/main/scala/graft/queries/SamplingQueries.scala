@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColFns.{md5Long, normDigest}
+import graft.sources.Tables
+
+/** Deterministic train/val/test split assignment and its contamination
+  * audit — the corpus-carving stage of a training-data pipeline
+  * (TextQueries carries the sibling sampling trio: rate, fixed-k, and
+  * weighted). Both operators key decisions on a salted id-stable hash
+  * (the [[ColFns.md5Long]] convention, pinned cross-engine in
+  * FunctionsSpec) instead of `rand()`: re-running at any parallelism,
+  * partitioning, or scale reproduces the identical assignment — the
+  * property a 100 TB corpus rebuild needs, and what makes a DuckDB
+  * oracle possible at all. The reference has no sampling surface; the
+  * nearest analog is its bucket-level iteration (src/dist_hash_map.h
+  * get_target_dist — hash-addressed placement), which is the same
+  * hash-as-policy idea these queries apply to corpus membership.
+  */
+object SamplingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Salt is versioned so a deliberate re-split changes every
+    * assignment at once and an accidental drift changes none. */
+  private val splitSalt = ":graft-split-v1"
+
+  private def splitCol(idCol: String) = {
+    val bucket = pmod(md5Long(concat(col(idCol), lit(splitSalt))), lit(100L))
+    when(bucket < 90L, "train").when(bucket < 95L, "val").otherwise("test")
+  }
+
+  /** Hash-based train/val/test assignment (90/5/5) keyed on doc_id, with
+    * per-(source, split) counts and token mass. Pure map-side hashing
+    * into a 30-cell aggregate — no row ever shuffles, only partial
+    * aggregates, so the plan is flat at any scale. Keying on the stable
+    * id (not position or rand) means adding or removing OTHER documents
+    * never moves an existing document across splits — the property that
+    * keeps eval sets stable as the corpus grows. */
+  val sampleSplitAssign: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), splitCol("doc_id").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source", "split")
+
+  /** Split-leakage audit: exact-duplicate groups (the dedup family's
+    * [[ColFns.normDigest]] equivalence) that span more than one split are
+    * train/eval contamination — the test set is memorizable. Reports, per
+    * source, the duplicated-group count, how many leak across splits, and
+    * the number of documents sitting in a leaky group. Only 32-byte
+    * digests and split labels shuffle (the dedup family's invariant:
+    * text never moves); the group-level flags collapse in a second
+    * partial-aggregated pass. */
+  val splitLeakageAudit: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), normDigest(col("text")).as("dg"),
+              splitCol("doc_id").as("split"))
+      .groupBy(col("source"), col("dg"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_docs") > 1L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_dup_groups"),
+           sum(when(col("n_splits") > 1L, 1L).otherwise(0L)).as("n_leaky_groups"),
+           sum(when(col("n_splits") > 1L, col("n_docs")).otherwise(0L)).as("n_leaky_docs"))
+      .orderBy("source")
+
+  val queries: Map[String, Q] = Map(
+    "sample_split_assign" -> sampleSplitAssign,
+    "split_leakage_audit" -> splitLeakageAudit,
+  )
+
+  // DuckDB mirrors. md5Long convention: CAST('0x' || substring(md5(x),1,8)
+  // AS BIGINT) — non-negative 32-bit, so % 100 agrees without pmod care.
+  private val splitSqlExpr =
+    s"""CASE WHEN CAST('0x' || substring(md5(doc_id || '$splitSalt'), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+       |     WHEN CAST('0x' || substring(md5(doc_id || '$splitSalt'), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sample_split_assign" ->
+      s"""SELECT source, split, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM (SELECT source, n_chars, $splitSqlExpr AS split FROM documents)
+         |GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "split_leakage_audit" ->
+      s"""WITH grp AS (
+         |  SELECT source, md5(lower(trim(text))) AS dg, COUNT(*) AS n_docs,
+         |         COUNT(DISTINCT $splitSqlExpr) AS n_splits
+         |  FROM documents WHERE text IS NOT NULL
+         |  GROUP BY source, dg
+         |)
+         |SELECT source, COUNT(*) AS n_dup_groups,
+         |       CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups,
+         |       CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_leaky_docs
+         |FROM grp WHERE n_docs > 1
+         |GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SamplingQueries
+import graft.sources.Tables
+
+/** Sampling / split-assignment semantics: the hash-keyed decisions must
+  * partition the corpus, cap per-stratum admission, stay stable when
+  * unrelated rows change, and plan as a group-limit (not a full sort).
+  */
+class SamplingSpec extends SparkSpec {
+
+  test("split assignment partitions the corpus exactly") {
+    val total = Tables.documents(spark, sfDir).count()
+    val rows = SamplingQueries.sampleSplitAssign(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // 90/5/5 within tolerance on the aggregate (hash uniformity, not a
+    // fixture property: any id population approximates the quotas).
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val trainFrac = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"train fraction $trainFrac")
+  }
+
+  test("membership is id-stable: removing other documents never changes a kept document's split") {
+    // Same doc_ids through a different corpus shape: the split of a given
+    // id must not depend on what else is present (the property rand() or
+    // positional splits lack). Run the query on a half-corpus fixture and
+    // check its per-(source, split) counts equal the full run's counts
+    // restricted to the surviving ids — only possible if no survivor moved.
+    val docs = Tables.documents(spark, sfDir).limit(500).cache()
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val dirHalf = java.nio.file.Files.createTempDirectory("graft-split-half").toString
+    half.write.mode("overwrite").parquet(s"$dirHalf/documents.parquet")
+    val fromHalfDir = SamplingQueries.sampleSplitAssign(spark, dirHalf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
+    val expected = {
+      import graft.functions.ColFns.md5Long
+      val bucket = pmod(md5Long(concat(col("doc_id"), lit(":graft-split-v1"))), lit(100L))
+      half.select(col("source"),
+          when(bucket < 90L, "train").when(bucket < 95L, "val").otherwise("test").as("split"))
+        .groupBy("source", "split").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    assert(fromHalfDir == expected)
+    docs.unpersist()
+  }
+
+  test("fixed-k per-stratum sample plans as a group-limit, not a full per-stratum sort at the exchange") {
+    // Spark 4 rewrites row_number ≤ k to WindowGroupLimit with a partial
+    // mode BEFORE the exchange: each input partition forwards at most k
+    // rows per stratum, so the shuffle carries ≤ k·partitions rows per
+    // stratum regardless of corpus size — the declarative form IS the
+    // scalable top-k. Guarded here so a future rewrite of the sampling
+    // query cannot silently fall back to a full per-stratum sort.
+    val plan = graft.queries.TextQueries.sampleFixedPerSource(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in plan:\n$plan")
+  }
+}
