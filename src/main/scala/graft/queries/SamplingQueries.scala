@@ -61,11 +61,12 @@ object SamplingQueries {
       .groupBy(col("source"), col("dg"))
       .agg(count(lit(1)).as("n_docs"),
            countDistinct(col("split")).as("n_splits"))
-      .filter(col("n_docs") > 1L)
       .groupBy("source")
-      .agg(count(lit(1)).as("n_dup_groups"),
-           sum(when(col("n_splits") > 1L, 1L).otherwise(0L)).as("n_leaky_groups"),
-           sum(when(col("n_splits") > 1L, col("n_docs")).otherwise(0L)).as("n_leaky_docs"))
+      // Conditional sums rather than a pre-filter on duplicated groups: a
+      // clean source must still REPORT (zeros), not vanish from the audit.
+      .agg(sum(when(col("n_docs") > 1L, 1L).otherwise(0L)).as("n_dup_groups"),
+           sum(when(col("n_docs") > 1L && col("n_splits") > 1L, 1L).otherwise(0L)).as("n_leaky_groups"),
+           sum(when(col("n_docs") > 1L && col("n_splits") > 1L, col("n_docs")).otherwise(0L)).as("n_leaky_docs"))
       .orderBy("source")
 
   val queries: Map[String, Q] = Map(
@@ -93,10 +94,10 @@ object SamplingQueries {
          |  FROM documents WHERE text IS NOT NULL
          |  GROUP BY source, dg
          |)
-         |SELECT source, COUNT(*) AS n_dup_groups,
-         |       CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups,
-         |       CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_leaky_docs
-         |FROM grp WHERE n_docs > 1
-         |GROUP BY source ORDER BY source""".stripMargin,
+         |SELECT source,
+         |       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+         |       CAST(SUM(CASE WHEN n_docs > 1 AND n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups,
+         |       CAST(SUM(CASE WHEN n_docs > 1 AND n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_leaky_docs
+         |FROM grp GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -49,6 +49,41 @@ class SamplingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("leakage audit counts cross-split duplicate groups and reports zeros for clean sources") {
+    import spark.implicits._
+    // Recompute the engine's split rule host-side to PICK ids with known
+    // assignments (same md5Long convention FunctionsSpec pins), so the
+    // planted corpus exercises: a cross-split duplicate (leaky), a
+    // same-split duplicate (dup, not leaky), and a clean source (zeros).
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:graft-split-v1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val b = java.lang.Long.parseLong(hex, 16) % 100
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    val ids = (1L to 2000L)
+    val trainIds = ids.filter(splitOf(_) == "train")
+    val testIds = ids.filter(splitOf(_) == "test")
+    assert(trainIds.size >= 3 && testIds.nonEmpty, "id scan failed to cover splits")
+    val rows = Seq(
+      (trainIds(0), "leaky duplicate text", "en", "src_dup", 20L),
+      (testIds(0), "leaky duplicate text", "en", "src_dup", 20L),
+      (trainIds(1), "contained duplicate text", "en", "src_dup", 24L),
+      (trainIds(2), "contained duplicate text", "en", "src_dup", 24L),
+      (trainIds(0) + 0, "unique text a", "en", "src_clean", 13L), // id reuse across sources is fine
+      (testIds(0) + 0, "unique text b", "en", "src_clean", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-leak").toString
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SamplingQueries.splitLeakageAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_dup_groups"), r.getAs[Long]("n_leaky_groups"), r.getAs[Long]("n_leaky_docs"))))
+      .toMap
+    assert(out("src_dup") == ((2L, 1L, 2L)), s"got ${out("src_dup")}")
+    assert(out("src_clean") == ((0L, 0L, 0L)), s"got ${out("src_clean")}")
+  }
+
   test("fixed-k per-stratum sample plans as a group-limit, not a full per-stratum sort at the exchange") {
     // Spark 4 rewrites row_number ≤ k to WindowGroupLimit with a partial
     // mode BEFORE the exchange: each input partition forwards at most k
