@@ -30,8 +30,26 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** Date-typed columns normalize to TIMESTAMP_NTZ: the fixtures ship
+    * tz-naive timestamp[us] today, and a producer flipping the
+    * isAdjustedToUTC bit (read as TIMESTAMP under a UTC session) must not
+    * change any query result — the cast is exact under the forced UTC
+    * session timezone, same policy as [[events]]' nanos contract. */
+  private def tsToNtz(df: DataFrame, cols: String*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    cols.foldLeft(df) { (acc, c) =>
+      acc.schema(c).dataType match {
+        case TimestampType => acc.withColumn(c, col(c).cast(TimestampNTZType))
+        case _             => acc
+      }
+    }
+  }
+
+  def orders(s: SparkSession, d: String): DataFrame =
+    tsToNtz(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    tsToNtz(table(s, d, "lineitem"), "l_shipdate")
   /** Events with `ts` normalized to long nanos since epoch (see [[table]]'s
     * contract note). Handles every parquet encoding the fixture has shipped:
     *

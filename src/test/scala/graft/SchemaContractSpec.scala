@@ -48,9 +48,15 @@ class SchemaContractSpec extends SparkSpec {
     "embeddings" -> Seq("vec_id" -> LongType,
       "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
 
-  private def load(name: String) =
-    if (name == "events") Tables.events(spark, sfDir)
-    else Tables.table(spark, sfDir, name)
+  // Load through the NAMED accessors so the contract covers each table's
+  // normalization (events' nanos contract, orders/lineitem's NTZ cast),
+  // not the raw physical read.
+  private def load(name: String) = name match {
+    case "events"   => Tables.events(spark, sfDir)
+    case "orders"   => Tables.orders(spark, sfDir)
+    case "lineitem" => Tables.lineitem(spark, sfDir)
+    case other      => Tables.table(spark, sfDir, other)
+  }
 
   test("every fixture table matches its normalized schema contract") {
     assert(contract.keySet == Tables.names.toSet,
@@ -91,6 +97,20 @@ class SchemaContractSpec extends SparkSpec {
     assert(back.schema("ts").dataType == LongType)
     assert(back.select("ts").as[Long].collect().sorted.toSeq ==
       Seq(1700000000123456789L, 1700000001000000000L))
+  }
+
+  test("a tz-adjusted orders fixture normalizes to NTZ with identical wall-clock values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tz-orders").toString
+    import spark.implicits._
+    // Writing a TimestampType column produces isAdjustedToUTC=true parquet
+    // — the flipped-bit drift tsToNtz guards against.
+    val src = Seq((1L, 2L, "O", 10.0, java.sql.Timestamp.valueOf("2024-03-05 07:30:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    src.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val back = Tables.orders(spark, dir)
+    assert(back.schema("o_orderdate").dataType == TimestampNTZType)
+    assert(back.select(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as[String].head()
+      == "2024-03-05 07:30:00")
   }
 
   test("an unsupported ts encoding fails fast with the found schema, not a downstream analysis error") {
