@@ -170,6 +170,10 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       sym("dedup_ngram_jaccard_capped", DedupQueries.dedupNgramJaccardCapped),
       sym("text_dup_span_ratio", TextQueries.textDupSpanRatio),
       sym("text_dedup_spans", TextQueries.textDedupSpans),
+      // round 9: the leakage audit's risk mode is the count-distinct
+      // expansion over (source, digest) groups; salted copies grow dup
+      // groups linearly, so volume must track ~10×.
+      sym("split_leakage_audit", graft.queries.SamplingQueries.splitLeakageAudit),
       sym("dedup_clusters_raw", DedupQueries.dedupClustersRaw),
       sym("dedup_cluster_sizes_raw", DedupQueries.dedupClusterSizesRaw),
       sym("dedup_keep_canonical_raw", DedupQueries.dedupKeepCanonicalRaw),
