@@ -53,6 +53,9 @@ object MediaDecode {
     while (off + 8 <= b.length) {
       val id = new String(b, off, 4, "US-ASCII")
       val size = leInt(b, off + 4)
+      // A malformed negative/overflowing size would walk backwards and
+      // loop forever on hostile bytes — undecodable, not a hang.
+      if (size < 0) return None
       if (id == "fmt ") {
         if (off + 8 + 16 > b.length) return None
         val channels = leShort(b, off + 10)

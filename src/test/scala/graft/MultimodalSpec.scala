@@ -47,6 +47,11 @@ class MultimodalSpec extends SparkSpec {
     // undecodable, not a crash.
     assert(MediaDecode.decode("plain text payload".getBytes("UTF-8")).isEmpty)
     assert(MediaDecode.decode(pngBytes(5, 5).take(20)).isEmpty)
+    // Hostile RIFF: negative chunk size must return undecodable, not hang.
+    val evil = wavBytes(44100, 16, 2)
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    assert(MediaDecode.decode(evil).isEmpty)
   }
 
   test("decodeFeatures routes real media to true decode and text to the fallback") {
