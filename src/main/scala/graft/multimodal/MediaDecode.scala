@@ -3,10 +3,13 @@ package graft.multimodal
 import java.io.ByteArrayInputStream
 
 /** Real media decoding for the formats a pure JVM can decode without any
-  * external native library: PNG / JPEG / BMP / GIF via `javax.imageio`
-  * (full pixel decode, not just header sniffing) and WAV/RIFF via a direct
-  * chunk-walk of the format header. Formats beyond these (MP4, FLAC, WebP,
-  * ...) would bind a JNI decoder behind the same `decode` signature.
+  * external native library: PNG / JPEG / BMP / GIF via `javax.imageio`'s
+  * codec readers (true header parse by the format plugin — geometry and
+  * color model, with raster allocation deliberately avoided so a
+  * decompression-bomb payload cannot OOM an executor) and WAV/RIFF via a
+  * direct chunk-walk of the format header. Formats beyond these (MP4,
+  * FLAC, WebP, ...) would bind a JNI decoder behind the same `decode`
+  * signature.
   *
   * Stateless and referenced as a module from `mapPartitions`, so executors
   * get it without closure capture. ImageIO's reader registry is
@@ -47,37 +50,62 @@ object MediaDecode {
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
 
   /** RIFF chunk walk to the `fmt ` chunk. Tolerates extra chunks (LIST,
-    * fact, ...) before it; rejects truncated headers by returning None. */
+    * fact, ...) before it; rejects truncated or malformed headers by
+    * returning None. The offset is a Long and sizes are bounds-checked:
+    * hostile declared sizes must yield undecodable, never a wrap-around
+    * walk (backwards OR via Int overflow) or a cross-chunk read. */
   private def decodeWav(b: Array[Byte]): Option[Geometry] = {
-    var off = 12
+    var off = 12L
     while (off + 8 <= b.length) {
-      val id = new String(b, off, 4, "US-ASCII")
-      val size = leInt(b, off + 4)
-      // A malformed negative/overflowing size would walk backwards and
-      // loop forever on hostile bytes — undecodable, not a hang.
+      val o = off.toInt
+      val id = new String(b, o, 4, "US-ASCII")
+      val size = leInt(b, o + 4)
       if (size < 0) return None
       if (id == "fmt ") {
-        if (off + 8 + 16 > b.length) return None
-        val channels = leShort(b, off + 10)
-        val sampleRate = leInt(b, off + 12)
-        val bits = leShort(b, off + 22)
+        // PCM fmt payload is >= 16 bytes; a smaller declared size means
+        // the fields below would read the NEXT chunk's bytes as audio
+        // geometry — fabricated data, not a decode.
+        if (size < 16 || off + 8 + 16 > b.length) return None
+        val channels = leShort(b, o + 10)
+        val sampleRate = leInt(b, o + 12)
+        val bits = leShort(b, o + 22)
         return if (channels > 0 && sampleRate > 0 && bits > 0)
           Some(Geometry(sampleRate, bits, channels)) else None
       }
-      off += 8 + size + (size & 1) // chunks are word-aligned
+      off += 8L + size.toLong + (size & 1) // chunks are word-aligned
     }
     None
   }
 
   private def decodeImage(b: Array[Byte]): Option[Geometry] =
-    // ImageIO.read returns null (not an exception) for undecodable input;
-    // corrupt-but-recognized input can still throw — treat both as
-    // undecodable rather than failing the partition, the same policy a
-    // 100 TB ingest needs for the inevitable truncated file.
+    // Geometry comes from the codec's HEADER parse (ImageReader), not
+    // ImageIO.read's full raster decode: a decompression bomb (KB file
+    // declaring 60000x60000) would force a multi-GB allocation and an
+    // OutOfMemoryError no Exception catch can contain — the header read
+    // allocates nothing pixel-sized. Corrupt-but-recognized input can
+    // still throw; treat it as undecodable rather than failing the
+    // partition, the same policy a 100 TB ingest needs for the
+    // inevitable truncated file. Pixel-consuming stages (feature
+    // extraction) belong behind the same seam with bounded-buffer
+    // streaming, gated on these header dimensions first.
     try {
-      Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(b))).map { img =>
-        Geometry(img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
-      }
+      val iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            val types = r.getImageTypes(0)
+            val channels =
+              if (types.hasNext) types.next().getColorModel.getNumComponents else 3
+            if (w > 0 && h > 0) Some(Geometry(w, h, channels)) else None
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
     } catch { case _: Exception => None }
 
   /** Decode a payload to its geometry; None when the bytes are not a

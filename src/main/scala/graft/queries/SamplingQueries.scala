@@ -26,7 +26,10 @@ object SamplingQueries {
     * assignment at once and an accidental drift changes none. */
   private val splitSalt = ":graft-split-v1"
 
-  private def splitCol(idCol: String) = {
+  /** The single definition of the split rule — package-visible so specs
+    * verify properties AGAINST it rather than re-deriving the salt/quota
+    * arithmetic (which would silently diverge on a deliberate re-split). */
+  private[graft] def splitCol(idCol: String) = {
     val bucket = pmod(md5Long(concat(col(idCol), lit(splitSalt))), lit(100L))
     when(bucket < 90L, "train").when(bucket < 95L, "val").otherwise("test")
   }

@@ -66,15 +66,30 @@ object Tables {
     * Anything else fails fast with the found schema rather than surfacing as
     * scattered DATATYPE_MISMATCH analysis errors in each downstream query.
     */
+  /** True iff the zone id denotes fixed UTC (accepts "UTC", "Etc/UTC",
+    * "GMT", "Z", "+00:00", ... — string equality against "UTC" would
+    * hard-fail caller-built sessions on machines whose default zone id is
+    * an equivalent spelling). */
+  private def isUtc(tz: String): Boolean =
+    try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: java.time.DateTimeException => false }
+
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Best-effort self-heal for legacy TIMESTAMP(NANOS) fixtures: without
+    // the flag the SCAN itself throws PARQUET_TYPE_ILLEGAL before the
+    // type match below could ever see a LongType arm. Harmless for µs
+    // fixtures (the flag only affects NANOS columns), so set it
+    // unconditionally rather than requiring every caller-built session
+    // to know about an encoding the fixture may no longer even use.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df
       case TimestampType | TimestampNTZType =>
-        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
-          "Tables.events requires spark.sql.session.timeZone=UTC to normalize " +
+        require(isUtc(s.conf.get("spark.sql.session.timeZone")),
+          "Tables.events requires a UTC session timezone to normalize " +
             "a TIMESTAMP/TIMESTAMP_NTZ ts column exactly; found " +
             s.conf.get("spark.sql.session.timeZone"))
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)

@@ -10,21 +10,15 @@ class MultimodalSpec extends SparkSpec {
 
   /** True encoded bytes built with the JDK's own encoders — the decode
     * path under test is the independent decode direction. */
-  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, fmt, bos)
     bos.toByteArray
   }
-
-  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", bos)
-    bos.toByteArray
-  }
+  private def pngBytes(w: Int, h: Int): Array[Byte] = imageBytes("png", w, h)
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = imageBytes("bmp", w, h)
 
   /** Minimal canonical WAV: RIFF/WAVE + fmt chunk + empty data chunk. */
   private def wavBytes(sampleRate: Int, bits: Int, channels: Int): Array[Byte] = {
@@ -52,6 +46,17 @@ class MultimodalSpec extends SparkSpec {
     evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
     evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
     assert(MediaDecode.decode(evil).isEmpty)
+    // Hostile RIFF: a huge positive size must not wrap the walk offset.
+    val wrap = wavBytes(44100, 16, 2)
+    wrap(12) = 'j'; wrap(13) = 'u'; wrap(14) = 'n'; wrap(15) = 'k'
+    wrap(16) = 0xf5.toByte; wrap(17) = 0xff.toByte
+    wrap(18) = 0xff.toByte; wrap(19) = 0x7f.toByte
+    assert(MediaDecode.decode(wrap).isEmpty)
+    // Undersized fmt chunk (size < 16) must not read the next chunk's
+    // bytes as audio geometry.
+    val tiny = wavBytes(44100, 16, 2)
+    tiny(16) = 4; tiny(17) = 0; tiny(18) = 0; tiny(19) = 0
+    assert(MediaDecode.decode(tiny).isEmpty)
   }
 
   test("decodeFeatures routes real media to true decode and text to the fallback") {

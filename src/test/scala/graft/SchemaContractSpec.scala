@@ -71,6 +71,16 @@ class SchemaContractSpec extends SparkSpec {
   }
 
   test("events.ts normalization is exact: long nanos at µs granularity, matching the raw timestamps") {
+    // These asserts describe the TIMESTAMP-encoded fixture path; on a
+    // legacy long-nanos fixture (which Tables.events passes through
+    // verbatim — its own test below) they would fire spuriously:
+    // sub-µs residue is legitimate in nanos, and casting a raw long to
+    // TimestampType reinterprets it as SECONDS. Gate on the raw type so
+    // a fixture revert cannot redden a correct engine.
+    val raw = Tables.table(spark, sfDir, "events")
+    assume(raw.schema("ts").dataType == TimestampType ||
+           raw.schema("ts").dataType == TimestampNTZType,
+      s"fixture ts is ${raw.schema("ts").dataType}; µs-exactness asserts not applicable")
     val normalized = Tables.events(spark, sfDir)
     // µs-encoded fixtures can never populate sub-µs nanos; a violation means
     // the normalization multiplied or divided by a wrong factor.
@@ -78,10 +88,10 @@ class SchemaContractSpec extends SparkSpec {
       "normalized ts has sub-microsecond residue")
     // Cross-check against an independent read of the raw column: the
     // normalized long must equal unix_micros of the raw timestamp * 1000.
-    val raw = Tables.table(spark, sfDir, "events")
+    val rawUs = raw
       .select(col("event_id"), unix_micros(col("ts").cast(TimestampType)).as("us"))
     val joined = normalized.select(col("event_id"), col("ts"))
-      .join(raw, "event_id")
+      .join(rawUs, "event_id")
       .filter(col("ts") =!= col("us") * 1000L)
     assert(joined.isEmpty, "normalized ts disagrees with raw timestamp column")
   }
@@ -103,9 +113,13 @@ class SchemaContractSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-tz-orders").toString
     import spark.implicits._
     // Writing a TimestampType column produces isAdjustedToUTC=true parquet
-    // — the flipped-bit drift tsToNtz guards against.
-    val src = Seq((1L, 2L, "O", 10.0, java.sql.Timestamp.valueOf("2024-03-05 07:30:00"), "1-URGENT"))
-      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    // — the flipped-bit drift tsToNtz guards against. The literal parses
+    // under the UTC SESSION timezone (to_timestamp), not the JVM default
+    // zone (java.sql.Timestamp.valueOf would), so the round-trip assert
+    // is machine-independent.
+    val src = Seq((1L, 2L, "O", 10.0, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(lit("2024-03-05 07:30:00")))
     src.write.mode("overwrite").parquet(s"$dir/orders.parquet")
     val back = Tables.orders(spark, dir)
     assert(back.schema("o_orderdate").dataType == TimestampNTZType)
