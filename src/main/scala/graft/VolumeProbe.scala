@@ -182,6 +182,10 @@ object VolumeProbe {
           // universe at every factor) and the span-profiling equi-join.
           sym("dedup_ngram_jaccard_capped", DedupQueries.dedupNgramJaccardCapped),
           sym("text_dup_span_ratio", graft.queries.TextQueries.textDupSpanRatio),
+          // round 9: the split-leakage audit rides the same salted corpus;
+          // its risk mode is the count-distinct expansion over
+          // (source, digest) groups — dup groups grow ~factor×.
+          sym("split_leakage_audit", graft.queries.SamplingQueries.splitLeakageAudit),
           // Span REMOVAL: the token-level anti join is the heaviest
           // shuffle shape in the surface (every token moves once) —
           // exactly the plan whose 100x linearity needs a recorded point.
