@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
 object DocStreams {
 
   /** Stage 1+2: quality gate then watermarked exact dedup. Exposed
-    * separately so a sink can persist the clean corpus itself. */
+    * separately so a sink can persist the clean corpus itself — the
+    * output keeps `text` (and the `norm` digest, so downstream stages
+    * can hash-partition or sample without re-digesting); a sink that
+    * wants metadata only projects it away for free. */
   def cleanDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("w", graft.functions.ColFns.words(col("text")))
@@ -37,8 +40,8 @@ object DocStreams {
       .withColumn("norm", graft.functions.ColFns.normDigest(col("text")))
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("norm")
-      .select(col("doc_id"), col("lang"), col("ingest_ts"),
-              size(col("w")).as("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("text"), col("norm"),
+              col("ingest_ts"), size(col("w")).as("n_tokens"))
 
   /** Streaming benchmark decontamination — the incremental form of the
     * batch `text_decontaminate` query: each arriving doc's distinct word
@@ -59,16 +62,25 @@ object DocStreams {
       .withWatermark("ingest_ts", watermark)
       .select(col("doc_id"), col("ingest_ts"),
         explode(array_distinct(graft.functions.ColFns.shingles3(col("w")))).as("s"))
-      .join(broadcast(evalShingles), Seq("s"))
+      // distinct on the eval side, exactly as the batch text_decontaminate
+      // does: a duplicated benchmark shingle must not double-count
+      // n_shared.
+      .join(broadcast(evalShingles.select(col("s")).distinct()), Seq("s"))
       .groupBy(col("doc_id"), col("ingest_ts"))
       .agg(count(lit(1)).as("n_shared"))
       .select(col("doc_id"), col("n_shared"))
 
-  /** Full pipeline: gate → dedup → per-(window, lang) doc/token counts.
-    * Append mode emits each window once the watermark passes it. */
+  /** Full pipeline: gate → dedup → hash retention → per-(window, lang)
+    * doc/token counts. `retainPct` mirrors the batch
+    * `pipeline_clean_corpus` retention stage (keep docs whose normalized
+    * digest hashes under the threshold — 50 by default, identical
+    * arithmetic, so the same document survives in both engines); pass
+    * 100 to keep everything. Append mode emits each window once the
+    * watermark passes it. */
   def pipeline(docs: DataFrame, watermark: String = "1 hour",
-               window_ : String = "1 hour"): DataFrame =
+               window_ : String = "1 hour", retainPct: Int = 50): DataFrame =
     cleanDocs(docs, watermark)
+      .filter(graft.functions.ColFns.md5Long(col("norm")) % 100L < retainPct.toLong)
       .groupBy(window(col("ingest_ts"), window_), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_tokens").cast("long")).as("n_tokens"))

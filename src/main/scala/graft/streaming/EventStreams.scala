@@ -29,10 +29,16 @@ object EventStreams {
   case class SessionUpdate(user_id: Long, n_events: Long, sum_value: Double,
                            closed: Boolean)
 
-  /** Session state: running count/sum plus the max event time seen, so an
-    * out-of-order (but not watermark-late) event cannot move the timeout
-    * backward. */
-  case class SessionState(n: Long, sum: Double, maxTsMillis: Long)
+  /** One open session's summary: event-time span plus count/sum. */
+  case class SessionSpan(startMs: Long, endMs: Long, n: Long, sum: Double)
+
+  /** Per-user state: ALL sessions that are still extendable — a session
+    * is only immutable once the watermark passes `end + gap`, so any
+    * within-watermark disorder (late events landing in, bridging, or
+    * preceding earlier sessions) must find its session still here. The
+    * list length is bounded by the watermark horizon / gap, not by the
+    * stream length. */
+  case class SessionsState(sessions: Seq[SessionSpan])
 
   /** Long-nanos events frame → typed timestamp frame (micros precision). */
   def withEventTime(events: DataFrame): DataFrame =
@@ -48,7 +54,12 @@ object EventStreams {
     withEventTime(events)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // decSum2, not sum: the batch twin (eventsTumblingAgg) sums in
+      // decimal so the result is independent of partition/micro-batch
+      // addition order — double sums can differ in the last ulp and fail
+      // exact batch/stream comparison.
+      .agg(count(lit(1)).as("n"),
+           graft.functions.ColFns.decSum2(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
@@ -67,8 +78,12 @@ object EventStreams {
     * static side as a broadcast rebuilt per micro-batch — no streaming
     * state, the standard shape for dimension enrichment at scale. */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
+    // Drop the dimension's copy of the join key: when eventKey == dimKey
+    // the duplicate name would make every downstream col(key) reference
+    // ambiguous at analysis time.
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       events(eventKey) === dim(dimKey), "left_outer")
+      .drop(dim(dimKey))
 
   /** Stream-stream interval join — the streaming form of the batch
     * `events_error_window_join` (RangeJoin): each error event pairs with
@@ -97,60 +112,88 @@ object EventStreams {
               col("action_id"), col("action_type"), col("a_ts"))
   }
 
-  /** Stateful sessionization: per-user running session (count + value sum)
-    * that closes after `gapMinutes` of event-time inactivity —
-    * KeyValueGroupedDataset.flatMapGroupsWithState with explicit
-    * GroupState, the Spark-native form of custom keyed streaming state.
+  /** Stateful sessionization: per-user event-time gap sessions (count +
+    * value sum) via KeyValueGroupedDataset.flatMapGroupsWithState with
+    * explicit GroupState — the Spark-native form of custom keyed
+    * streaming state.
     *
-    * Gap splitting happens on BOTH paths: the event-time timeout closes a
-    * session when no data arrives for the key (watermark passes the gap),
-    * AND the data path splits when an arriving event's time is more than
-    * the gap past the session's max — a timeout alone would silently merge
-    * sessions whose events arrive in the same micro-batch, making results
-    * depend on trigger boundaries instead of event time (the batch
-    * `events_sessionized` query splits purely on event-time gaps; this
-    * matches it). Events are sorted by event time within the batch so
-    * splitting is deterministic.
+    * The state is the LIST of still-extendable sessions, not a single
+    * running one: within the watermark, events may arrive in ANY order
+    * across micro-batches, so an arriving event can land inside an
+    * earlier session, extend one, bridge two into one (merge), or open a
+    * new one — and the result must equal the batch `events_sessionized`
+    * gap rule regardless of arrival order or trigger boundaries. (The
+    * previous single-session state silently merged an earlier session
+    * into a later one whenever the earlier events arrived late — a
+    * confirmed order-dependence.)
     *
-    * Timeouts are event-time based: deterministic under replay and
-    * testable without a wall clock. The timeout is set from the maximum
-    * event time the session has EVER seen (carried in state), not the
-    * current batch's max — an out-of-order (but within-`lateness`) batch
-    * must not shrink the session's lifetime. `lateness` is the watermark
-    * delay: events older than the global max event time minus this are
-    * dropped by Spark before reaching the state function. */
+    * A session is emitted `closed` ONLY once the watermark passes
+    * `end + gap`: before that, a late-but-admissible event could still
+    * extend or bridge it, and an Update-mode closed row cannot be
+    * retracted. Closure happens on whichever comes first of the data
+    * path (watermark already past while other events arrive) or the
+    * event-time timeout set at min(end)+gap over open sessions —
+    * deterministic under replay, no wall clock. `lateness` is the
+    * watermark delay: events older than the global max event time minus
+    * this are dropped by Spark before reaching the state function, which
+    * is exactly what bounds the open-session list. Each data batch also
+    * emits a closed=false progress row for the user's latest open
+    * session. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
                  lateness: String = "10 minutes"): Dataset[SessionUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
+
+    def split(wm: Long, sessions: List[SessionSpan]) =
+      sessions.partition(s => wm > s.endMs + gapMs)
+
+    def finish(state: GroupState[SessionsState], wm: Long,
+               open: List[SessionSpan]): Unit =
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionsState(open))
+        // min over open ends: the earliest session to become immutable.
+        // Guard wm+1: setTimeoutTimestamp rejects ts <= current watermark
+        // (possible when end+gap == wm exactly); firing a tick late is
+        // harmless, closing early is not.
+        state.setTimeoutTimestamp(math.max(open.map(_.endMs).min + gapMs, wm + 1L))
+      }
+
     events.withWatermark("ts", lateness)
-      .as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionUpdate](
+      .flatMapGroupsWithState[SessionsState, SessionUpdate](
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionsState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var sessions = state.getOption.map(_.sessions.toList).getOrElse(Nil)
           if (state.hasTimedOut) {
-            val st = state.get
-            state.remove()
-            Iterator.single(SessionUpdate(userId, st.n, st.sum, closed = true))
+            val (done, open) = split(wm, sessions)
+            finish(state, wm, open)
+            done.iterator.map(s => SessionUpdate(userId, s.n, s.sum, closed = true))
           } else {
-            val out = Seq.newBuilder[SessionUpdate]
-            var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+            // Fold each event in: merge every session within `gap` of it
+            // (an event can bridge at most two, but folding the overlap
+            // set handles any chain). Event order within the batch does
+            // not matter — the final partition is the transitive closure
+            // of the within-gap relation — but sort for determinism of
+            // intermediate sums.
             rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val t = e.ts.getTime
-              if (st.maxTsMillis != Long.MinValue && t - st.maxTsMillis > gapMs) {
-                out += SessionUpdate(userId, st.n, st.sum, closed = true)
-                st = SessionState(0L, 0.0, Long.MinValue)
+              val (overlap, rest) =
+                sessions.partition(s => t >= s.startMs - gapMs && t <= s.endMs + gapMs)
+              val merged = overlap.foldLeft(SessionSpan(t, t, 1L, e.value)) { (a, s) =>
+                SessionSpan(math.min(a.startMs, s.startMs), math.max(a.endMs, s.endMs),
+                  a.n + s.n, a.sum + s.sum)
               }
-              st = SessionState(st.n + 1, st.sum + e.value,
-                math.max(st.maxTsMillis, t))
+              sessions = merged :: rest
             }
-            state.update(st)
-            if (st.maxTsMillis != Long.MinValue)
-              state.setTimeoutTimestamp(st.maxTsMillis + gapMs)
-            out += SessionUpdate(userId, st.n, st.sum, closed = false)
-            out.result().iterator
+            val (done, open) = split(wm, sessions)
+            finish(state, wm, open)
+            val progress = open.sortBy(_.endMs).lastOption
+              .map(s => SessionUpdate(userId, s.n, s.sum, closed = false))
+            (done.map(s => SessionUpdate(userId, s.n, s.sum, closed = true)) ++
+              progress).iterator
           }
       }
   }

@@ -109,6 +109,38 @@ class SessionEquivalenceSpec extends SparkSpec {
         s"stream=$streamed\nbatch=$batch\n(seed $seed, ${events.size} events)")
     }
 
+  test("late-arriving earlier session stays a separate session (cross-batch disorder regression)") {
+    // Round-9 review, CONFIRMED bug in the single-running-session state:
+    // S2's event arriving in an earlier micro-batch than S1's events made
+    // every `t - maxTs > gap` check negative, silently merging sessions
+    // separated by an hour into one. The list-of-open-sessions state must
+    // keep them apart under any within-watermark arrival order.
+    implicit val sqlCtx = spark.sqlContext
+    val s1a = Event(1, Timestamp.valueOf("2024-03-01 10:00:00"), 7L, "click", 1.0)
+    val s1b = Event(2, Timestamp.valueOf("2024-03-01 10:05:00"), 7L, "click", 2.0)
+    val s2 = Event(3, Timestamp.valueOf("2024-03-01 11:00:00"), 7L, "click", 4.0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30, lateness = "7 days")
+      .writeStream.format("memory").queryName("sessLate")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(s2)          // later session arrives FIRST
+      q.processAllAvailable()
+      mem.addData(s1a, s1b)    // earlier session arrives late, within watermark
+      q.processAllAvailable()
+      mem.addData(Event(9999, Timestamp.valueOf("2024-06-01 00:00:00"), 999L, "flush", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(10000, Timestamp.valueOf("2024-06-02 00:00:00"), 999L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("sessLate")
+      .filter(col("closed") && col("user_id") === 7L)
+      .select(col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(closed == Set((2L, 3.0), (1L, 4.0)),
+      s"expected two sessions {2 events/3.0, 1 event/4.0}, got $closed")
+  }
+
   /** Mixed-type generator for the interval-join / dedup equivalences:
     * per user a minute-granular random walk, ~1 in 5 events an error.
     * Strictly increasing per-user times, minute granularity — no

@@ -127,18 +127,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.subsetOf(pairs + ((98L, 99L))), s"batch=$batch stream=$pairs")
   }
 
-  test("streaming ingestion pipeline gates, dedups, and counts documents") {
+  test("streaming ingestion pipeline gates, dedups, hash-retains, and counts documents") {
     implicit val sqlCtx = spark.sqlContext
+    // Retention buckets (md5Long(normDigest(text)) % 100, threshold < 50)
+    // precomputed for these texts: `good` = 92 (retention-DROPPED),
+    // `kept` = 33 (kept), doc 5's de text = 39 (kept) — so the en window
+    // exercises all three drop reasons (gate, dedup, retention) and one
+    // survivor, matching the batch pipeline_clean_corpus stages.
     val good = "the quick brown fox jumps over the lazy dog again and again today"
-    val dupe = good // exact duplicate, must be dropped
+    val kept = "red orange yellow green blue indigo violet crimson amber teal navy plum"
     val short = "too short"
     val repet = Seq.fill(20)("spam").mkString(" ") // fails distinct-ratio gate
     case class Doc(doc_id: Long, lang: String, text: String, ingest_ts: Timestamp)
     val docs = Seq(
-      Doc(1, "en", good, ts(0, 10)),
-      Doc(2, "en", dupe, ts(0, 20)),
-      Doc(3, "en", short, ts(0, 25)),
-      Doc(4, "de", repet, ts(0, 30)),
+      Doc(1, "en", good, ts(0, 10)),  // survives gate+dedup, retention-dropped
+      Doc(6, "en", kept, ts(0, 15)),  // the en survivor
+      Doc(2, "en", kept, ts(0, 20)),  // exact duplicate of 6: dedup drop
+      Doc(3, "en", short, ts(0, 25)), // length gate
+      Doc(4, "de", repet, ts(0, 30)), // distinct-ratio gate
       Doc(5, "de", good + " und noch ein paar mehr deutsche worte dazu", ts(0, 40)))
     val mem = MemoryStream[(Long, String, String, Timestamp)]
     val streamDf = mem.toDF().toDF("doc_id", "lang", "text", "ingest_ts")
@@ -153,11 +159,10 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val rows = spark.table("doc_pipeline")
       .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
-    // en: doc 1 survives; dupe 2 dropped, short 3 gated
-    assert(rows("en")._1 == 1L, s"got $rows")
-    assert(rows("en")._2 == 13L) // token count of `good`
-    // de: doc 5 survives (distinct text); repetitive 4 gated
-    assert(rows("de")._1 == 1L)
+    // en: only doc 6 survives (1 retention-dropped, 2 deduped, 3 gated)
+    assert(rows("en") == ((1L, 12L)), s"got $rows")
+    // de: doc 5 survives (distinct text, kept bucket); repetitive 4 gated
+    assert(rows("de") == ((1L, 21L)), s"got $rows")
   }
 
   test("streaming decontamination flags only docs overlapping the eval set") {
