@@ -30,11 +30,6 @@ object Graft {
   def fromRange(spark: SparkSession, start: Long, end: Long, step: Long = 1L): Dataset[java.lang.Long] =
     spark.range(start, end, step)
 
-  /** The central operator: flat-map each pair through `mapper`, hash-shuffle
-    * by the emitted key, merge values with `reducer`
-    * (DistMap::mapreduce, src/dist_map.h:255-279). Spark plans map-side
-    * partial reduction (ReduceAggregator partials) before the exchange,
-    * matching hpmr's staging-map combine. */
   /** The shared shuffle-reduce tail of both mapreduce forms: hash-group
     * emitted pairs by key and merge values with `reducer` (partial
     * map-side combine comes from Spark's ReduceAggregator). */
@@ -44,6 +39,11 @@ object Graft {
       .reduceGroups((a: (KR, VR), b: (KR, VR)) => (a._1, reducer(a._2, b._2)))
       .map { case (_, (k, v)) => (k, v) }
 
+  /** The central operator: flat-map each pair through `mapper`, hash-shuffle
+    * by the emitted key, merge values with `reducer`
+    * (DistMap::mapreduce, src/dist_map.h:255-279). Spark plans map-side
+    * partial reduction (ReduceAggregator partials) before the exchange,
+    * matching hpmr's staging-map combine. */
   def mapreduce[K, V, KR, VR](in: Dataset[(K, V)], mapper: Mapper[K, V, KR, VR],
                               reducer: Reducer[VR])(
       implicit ekr: Encoder[(KR, VR)], ek: Encoder[KR]): Dataset[(KR, VR)] =
@@ -93,15 +93,29 @@ object Graft {
   def has[K, V](store: Dataset[(K, V)], key: K): Boolean =
     !keyFilter(store, key).isEmpty
 
+  /** NaN keys can never match: SQL `<=>`/`=` treat NaN = NaN as TRUE
+    * while the typed `==` of get/has (and the reference's C++ `==`, under
+    * which a NaN key is unfindable in any hash container) treat it as
+    * FALSE. Dropping NaN from the key SIDE makes the relational ops agree
+    * with the point ops: a NaN key is never a member and never deletes. */
+  private def dropNanKeys(keyDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    keyDf.schema("_k").dataType match {
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+        keyDf.filter(!isnan(col("_k")))
+      case _ => keyDf
+    }
+
   /** Set-membership as a relational op: keep pairs whose key appears in
     * `keys` (left-semi join — the distributed form of `has`). Keys wrap
     * in Tuple1 so product-typed keys stay a single struct column.
     * Null-safe equality (`<=>`): plain `===` evaluates to NULL for null
     * keys (or struct keys with a null field), silently never matching —
-    * diverging from the typed `==` semantics of get/has. */
+    * diverging from the typed `==` semantics of get/has. NaN keys are
+    * excluded via [[dropNanKeys]] for the same consistency. */
   def hasAll[K, V](store: Dataset[(K, V)], keys: Dataset[K])(
       implicit ekv: Encoder[(K, V)], ek1: Encoder[Tuple1[K]]): Dataset[(K, V)] =
-    store.join(keys.map(Tuple1(_)).select(col("_1").as("_k")), col("_1") <=> col("_k"), "left_semi").as[(K, V)]
+    store.join(dropNanKeys(keys.map(Tuple1(_)).select(col("_1").as("_k"))),
+      col("_1") <=> col("_k"), "left_semi").as[(K, V)]
 
   /** Approximate distributed membership — [[hasAll]] at 100 TB: the key
     * set ships as a bloom-filter broadcast (graft.functions.Bloom, the
@@ -122,10 +136,12 @@ object Graft {
 
   /** Delete keys (`unset`, src/bare_hash_container.h:150-179) as a
     * left-anti join. Null-safe equality for the same reason as hasAll —
-    * a null key must actually delete the null-keyed row. */
+    * a null key must actually delete the null-keyed row; NaN keys delete
+    * nothing, matching get/has reporting them absent. */
   def remove[K, V](store: Dataset[(K, V)], keys: Dataset[K])(
       implicit ekv: Encoder[(K, V)], ek1: Encoder[Tuple1[K]]): Dataset[(K, V)] =
-    store.join(keys.map(Tuple1(_)).select(col("_1").as("_k")), col("_1") <=> col("_k"), "left_anti").as[(K, V)]
+    store.join(dropNanKeys(keys.map(Tuple1(_)).select(col("_1").as("_k"))),
+      col("_1") <=> col("_k"), "left_anti").as[(K, V)]
 
   /** Set insert / dedup (HashSet::set, src/bare_set.h:34-52). */
   def distinctKeys[K, V](store: Dataset[(K, V)])(implicit ek: Encoder[K]): Dataset[K] =

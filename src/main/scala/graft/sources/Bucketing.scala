@@ -32,16 +32,24 @@ object Bucketing {
   val buckets: Int =
     sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(8).max(8)
 
+  /** Canonical form of a source dir — the ONE spelling every tag, memo
+    * key, and table property uses, so "./x", "x", and a symlinked
+    * spelling all share one materialization. Falls back to absolute when
+    * the filesystem refuses canonicalization (dangling path). */
+  private def canon(dir: String): String =
+    try new java.io.File(dir).getCanonicalPath
+    catch { case _: java.io.IOException => new java.io.File(dir).getAbsolutePath }
+
   /** Collision-resistant tag for a source dir: md5 hex (first 16 chars)
-    * of the ABSOLUTE path. The previous 32-bit `String.hashCode` tag
+    * of the CANONICAL path. The previous 32-bit `String.hashCode` tag
     * could collide two distinct dirs and silently serve one dir's
     * materialization for the other (ADVICE round 4); 64 bits of md5 over
-    * the absolute path makes that practically impossible, and the
-    * absolute form means "./x" and "x" share one materialization. */
+    * the canonical path makes that practically impossible, and the
+    * canonical form means "./x", "x", and symlinked spellings share one
+    * materialization instead of double-ingesting (round-9 review). */
   private[graft] def dirTag(dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
     java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8"))
+      .digest(canon(dir).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
   }
 
@@ -51,18 +59,18 @@ object Bucketing {
     * tag + dir property cannot see (same dir, new contents → stale memo
     * served silently). File CONTENTS are not read: a rewrite preserving
     * every name, size AND mtime is indistinguishable, which no real
-    * writer does. The walk is paid ONCE per (session, dir) via
+    * writer does. The walk is paid ONCE per (JVM, dir) via
     * [[fingerprintCached]] (round-6 verdict #4): per query construction
     * it was a recursive listing of the whole source dir — microseconds at
     * sf0.1 but a real driver-side cost on an object store with millions
     * of files, paid even when the answer is "not stale" every time. The
     * memo's staleness window is the JVM lifetime the memo itself exists
-    * for; an in-place rewrite within one session is surfaced by
-    * [[invalidateFingerprints]] (or a new session). */
+    * for; an in-place rewrite within that window is surfaced by
+    * [[invalidateFingerprints]]. */
   private[graft] def dirFingerprint(dir: String): String = {
     import scala.jdk.CollectionConverters._
     fingerprintWalks.incrementAndGet()
-    val root = java.nio.file.Paths.get(new java.io.File(dir).getAbsolutePath)
+    val root = java.nio.file.Paths.get(canon(dir))
     val stream = java.nio.file.Files.walk(root)
     val lines =
       try stream.iterator().asScala
@@ -81,16 +89,19 @@ object Bucketing {
     * touch the filesystem (the done-criterion of round-6 verdict #4). */
   private[graft] val fingerprintWalks = new java.util.concurrent.atomic.AtomicLong
 
-  /** Fingerprint memo, keyed per (session, absolute dir). Weak session
-    * keys: a stopped session's entries become collectable instead of
-    * pinning the map for the JVM lifetime. Guarded by the same object
-    * lock [[ensureTable]] already holds. */
-  private val fpMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]
+  /** Fingerprint memo, keyed by canonical dir — JVM-GLOBAL, not
+    * per-session: the fingerprint is a property of the directory's
+    * contents, while the table (and its fingerprint property) lives in
+    * the catalog SHARED by every session of the context. A per-session
+    * memo let two sessions with divergent cached fingerprints ping-pong
+    * drop/rebuild the shared table and stamp a stale fingerprint onto
+    * fresh data (round-9 review). Entries are a path and a 32-char
+    * digest, bounded by distinct source dirs per JVM. Guarded by the
+    * same object lock [[ensureTable]] already holds. */
+  private val fpMemo = scala.collection.mutable.Map.empty[String, String]
 
-  private def fingerprintCached(s: SparkSession, abs: String): String = synchronized {
-    fpMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-      .getOrElseUpdate(abs, dirFingerprint(abs))
+  private def fingerprintCached(abs: String): String = synchronized {
+    fpMemo.getOrElseUpdate(abs, dirFingerprint(abs))
   }
 
   /** Explicit staleness hook: drops the memoized fingerprint of `dir` in
@@ -99,8 +110,7 @@ object Bucketing {
     * rewrites a source dir mid-session calls this; everyone else gets
     * walk-free reuse. */
   def invalidateFingerprints(dir: String): Unit = synchronized {
-    val abs = new java.io.File(dir).getAbsolutePath
-    fpMemo.values.forEach(_.remove(abs))
+    fpMemo.remove(canon(dir))
   }
 
   /** Ensures managed table `tbl` materialized from `srcDir` exists and
@@ -112,15 +122,15 @@ object Bucketing {
     * reuse; and a `graft.source.fingerprint` property records the source
     * files' (name, size, mtime) digest so an in-place rewrite of the dir
     * within one JVM drops and rebuilds rather than serving the old
-    * materialization (ADVICE round 5; fingerprint memoized per
-    * (session, dir) — see [[dirFingerprint]] — so steady-state reuse is a
-    * map lookup, and rewrite detection within one session rides
-    * [[invalidateFingerprints]]). Synchronized: one materialization
-    * per (process, dir). BucketingSpec pins all the rebuild branches. */
+    * materialization (ADVICE round 5; fingerprint memoized JVM-wide per
+    * dir — see [[dirFingerprint]] — so steady-state reuse is a map
+    * lookup, and rewrite detection rides [[invalidateFingerprints]]).
+    * Synchronized: one materialization per (process, dir). BucketingSpec
+    * pins all the rebuild branches. */
   private[graft] def ensureTable(s: SparkSession, tbl: String, srcDir: String)(
       write: => Unit): DataFrame = synchronized {
-    val abs = new java.io.File(srcDir).getAbsolutePath
-    val fp = fingerprintCached(s, abs)
+    val abs = canon(srcDir)
+    val fp = fingerprintCached(abs)
     if (s.catalog.tableExists(tbl)) {
       val props = s.sql(s"SHOW TBLPROPERTIES $tbl")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -133,17 +143,18 @@ object Bucketing {
       // previous process's warehouse directory survives on disk — and
       // saveAsTable CREATE throws LOCATION_ALREADY_EXISTS rather than
       // reuse it. Stale locations are dead data (no catalog entry can
-      // reference them), so remove them before materializing.
-      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")) match {
-        case u if u.getScheme == "file" => java.nio.file.Paths.get(u)
-        case u => java.nio.file.Paths.get(u.toString.stripPrefix("file:"))
-      }
-      val p = wh.resolve(tbl)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      }
+      // reference them), so remove them before materializing. The
+      // location is derived from the CURRENT database's locationUri via
+      // the Hadoop FS API (round-9 review): java.net.URI parsing threw
+      // on warehouse paths containing spaces, and resolving against the
+      // warehouse root missed <db>.db subdirectories for non-default
+      // databases, leaving the very LOCATION_ALREADY_EXISTS failure this
+      // block exists to prevent.
+      val dbLoc = new org.apache.hadoop.fs.Path(
+        s.catalog.getDatabase(s.catalog.currentDatabase).locationUri)
+      val tblDir = new org.apache.hadoop.fs.Path(dbLoc, tbl.toLowerCase)
+      val fs = tblDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(tblDir)) fs.delete(tblDir, true)
       write
       // Single-quote escape: a path containing ' must not break the DDL.
       val lit = abs.replace("'", "''")

@@ -35,21 +35,37 @@ object Tables {
     * isAdjustedToUTC bit (read as TIMESTAMP under a UTC session) must not
     * change any query result — the cast is exact under the forced UTC
     * session timezone, same policy as [[events]]' nanos contract. */
-  private def tsToNtz(df: DataFrame, cols: String*): DataFrame = {
+  private def tsToNtz(s: SparkSession, df: DataFrame, cols: String*): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     cols.foldLeft(df) { (acc, c) =>
       acc.schema(c).dataType match {
-        case TimestampType => acc.withColumn(c, col(c).cast(TimestampNTZType))
-        case _             => acc
+        case TimestampType =>
+          // Same precondition as events(): under any non-UTC session the
+          // cast renders local wall-clock and silently shifts every
+          // timestamp — fail fast instead.
+          require(isUtc(s.conf.get("spark.sql.session.timeZone")),
+            s"Tables requires a UTC session timezone to normalize $c " +
+              "(TIMESTAMP -> TIMESTAMP_NTZ) exactly; found " +
+              s.conf.get("spark.sql.session.timeZone"))
+          acc.withColumn(c, col(c).cast(TimestampNTZType))
+        case _ => acc
       }
     }
   }
 
   def orders(s: SparkSession, d: String): DataFrame =
-    tsToNtz(table(s, d, "orders"), "o_orderdate")
+    tsToNtz(s, table(s, d, "orders"), "o_orderdate")
   def lineitem(s: SparkSession, d: String): DataFrame =
-    tsToNtz(table(s, d, "lineitem"), "l_shipdate")
+    tsToNtz(s, table(s, d, "lineitem"), "l_shipdate")
+  /** True iff the zone id denotes fixed UTC (accepts "UTC", "Etc/UTC",
+    * "GMT", "Z", "+00:00", ... — string equality against "UTC" would
+    * hard-fail caller-built sessions on machines whose default zone id is
+    * an equivalent spelling). */
+  private def isUtc(tz: String): Boolean =
+    try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: java.time.DateTimeException => false }
+
   /** Events with `ts` normalized to long nanos since epoch (see [[table]]'s
     * contract note). Handles every parquet encoding the fixture has shipped:
     *
@@ -66,14 +82,6 @@ object Tables {
     * Anything else fails fast with the found schema rather than surfacing as
     * scattered DATATYPE_MISMATCH analysis errors in each downstream query.
     */
-  /** True iff the zone id denotes fixed UTC (accepts "UTC", "Etc/UTC",
-    * "GMT", "Z", "+00:00", ... — string equality against "UTC" would
-    * hard-fail caller-built sessions on machines whose default zone id is
-    * an equivalent spelling). */
-  private def isUtc(tz: String): Boolean =
-    try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
-    catch { case _: java.time.DateTimeException => false }
-
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

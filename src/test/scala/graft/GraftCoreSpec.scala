@@ -219,6 +219,20 @@ class GraftCoreSpec extends SparkSpec {
     assert(back == Set(("aa", 1L, Seq(1L, 2L)), ("bb", 2L, Seq(3L))))
   }
 
+  test("NaN keys: point and relational ops agree the key is absent") {
+    // C++ == makes a NaN key unfindable in any hash container, and the
+    // typed get/has filter matches that; SQL's NaN = NaN = TRUE must not
+    // make hasAll/remove disagree (round-9 review: remove deleted a key
+    // the facade said did not exist).
+    import spark.implicits._
+    val store = Seq((Double.NaN, 1L), (1.5, 2L)).toDS()
+    val nanKey = Seq(Double.NaN).toDS()
+    assert(!Graft.has(store, Double.NaN))
+    assert(Graft.get(store, Double.NaN, -1L) == -1L)
+    assert(Graft.hasAll(store, nanKey).isEmpty, "hasAll must not match NaN")
+    assert(Graft.remove(store, nanKey).count() == 2L, "remove must not delete NaN-keyed rows")
+  }
+
   test("partition-count invariance (reference runs -n 1 and -n 4, Makefile:53-58)") {
     val n = 10000L
     def run(parts: Int): Map[Long, Long] =
