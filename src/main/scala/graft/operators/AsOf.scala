@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   * anyway): the result is "latest non-null quote at or before t". This
   * differs from a native as-of join against a nullable value column —
   * which would match the null row and return null — so quote values
-  * should be non-null by construction.
+  * should be non-null by construction. NULL quote TIMESTAMPS are dropped
+  * too: under ASC NULLS FIRST a null-t quote would sort before every row
+  * and silently match every early probe, where a native as-of join
+  * (probe_t >= NULL is never true) matches nothing. A null-t PROBE keeps
+  * the native semantics for free: it sorts before all quotes, the
+  * running last sees nothing, and the joined value is null.
   */
 object AsOf {
 
@@ -46,16 +51,16 @@ object AsOf {
       require(!probes.columns.contains(reserved),
         s"probes must not contain the reserved as-of working column '$reserved'")
     val probeCols = probes.columns.filter(c => c != key && c != t)
-    val q = quotes.filter(col(valueCol).isNotNull).select(
-      Seq(col(key), col(t), lit(0).as("__tag"), col(valueCol)) ++
-        probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
+    val q = quotes.filter(col(valueCol).isNotNull && col(t).isNotNull)
+      .select(col(key), col(t), lit(0).as("__tag"), col(valueCol))
     val p = probes.select(
-      Seq(col(key), col(t), lit(1).as("__tag"),
-        lit(null).cast(quotes.schema(valueCol).dataType).as(valueCol)) ++
-        probeCols.map(c => col(c)): _*)
+      col(key) +: col(t) +: lit(1).as("__tag") +: probeCols.map(col): _*)
     val w = Window.partitionBy(key).orderBy(col(t), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    q.unionByName(p)
+    // allowMissingColumns null-fills each side's absent columns with the
+    // other side's type — the hand-built lit(null).cast(...) padding this
+    // replaces had to mirror both schemas by hand.
+    q.unionByName(p, allowMissingColumns = true)
       .withColumn("__asof", last(col(valueCol), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
       .select(col(key) +: col(t) +: probeCols.map(col) :+ col("__asof").as(valueCol): _*)

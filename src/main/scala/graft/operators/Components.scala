@@ -76,7 +76,12 @@ object Components {
     val p = Sessions.rebind(p0, s)
     val undirected = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val verts = undirected.select(col("src").as("v")).distinct()
+    // Snapshot the vertex set once: it feeds BOTH the self-looped edges
+    // and the initial labels, and as a plain subtree the union+distinct
+    // shuffle over the full vertex set would execute twice at startup
+    // (round-9 review).
+    val (vRdd, verts) = Sessions.snapshot(
+      undirected.select(col("src").as("v")).distinct())
     val (edgesRdd, edges) = Sessions.snapshot(
       undirected
         .union(verts.select(col("v").as("src"), col("v").as("dst")))
@@ -86,6 +91,12 @@ object Components {
         .repartition(loopParts, col("v")))
     var round = 0
     var converged = false
+    // Track the round's in-flight snapshots so a mid-round failure (task
+    // error, cancellation) releases them in the finally block — they are
+    // vertex-set-sized and a catch-and-retry caller would otherwise leak
+    // two cached RDDs per failed attempt (round-9 review).
+    var inFlightProp: org.apache.spark.rdd.RDD[_] = null
+    var inFlightNext: org.apache.spark.rdd.RDD[_] = null
     try {
       while (round < maxRounds && !converged) {
         val t0 = System.nanoTime()
@@ -93,9 +104,11 @@ object Components {
           edges.join(prev, col("dst") === col("v"))
             .groupBy(col("src")).agg(min(col("rep")).as("rep"))
             .select(col("src").as("v"), col("rep")))
+        inFlightProp = propRdd
         val (nextRdd, next) = Sessions.snapshot(
           prop.as("a").join(prop.as("b"), col("a.rep") === col("b.v"))
             .select(col("a.v").as("v"), col("b.rep").as("rep")))
+        inFlightNext = nextRdd
         // The ONE action of the round: materializes prop + next snapshots
         // and compares against the cached prev in the same job.
         val changed = next.join(
@@ -105,10 +118,15 @@ object Components {
         if (debug)
           println(f"[cc] round $round changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
         propRdd.unpersist(blocking = false)
+        inFlightProp = null
         prevRdd.unpersist(blocking = false)
-        if (round == 0) pRdd.unpersist(blocking = false) // edges + labels are materialized now
+        if (round == 0) { // edges + labels are materialized now
+          pRdd.unpersist(blocking = false)
+          vRdd.unpersist(blocking = false)
+        }
         prev = next
         prevRdd = nextRdd
+        inFlightNext = null
         converged = changed == 0
         round += 1
       }
@@ -116,8 +134,12 @@ object Components {
         throw new IllegalStateException(
           s"connectedComponents did not converge within $maxRounds rounds")
     } finally {
+      if (inFlightProp != null) inFlightProp.unpersist(blocking = false)
+      if ((inFlightNext != null) && (inFlightNext ne prevRdd))
+        inFlightNext.unpersist(blocking = false)
       edgesRdd.unpersist(blocking = false)
       pRdd.unpersist(blocking = false)
+      vRdd.unpersist(blocking = false)
       if (!converged) prevRdd.unpersist(blocking = false)
     }
     // The final labels stay persisted because the returned plan reads that

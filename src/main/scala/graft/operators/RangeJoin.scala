@@ -29,9 +29,24 @@ object RangeJoin {
                 intervals: DataFrame, start: String, end: String,
                 binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val iv = intervals.withColumn("__ibin",
-      explode(sequence(call_function("div", col(start), lit(binWidth)),
-                       call_function("div", col(end), lit(binWidth)))))
+    // Fail fast on reserved working columns, the AsOf convention: a
+    // caller's __pbin/__ibin would be silently clobbered or surface as
+    // an ambiguous-reference error downstream.
+    require(!points.columns.contains("__pbin"),
+      "points must not contain the reserved range-join column '__pbin'")
+    require(!intervals.columns.contains("__ibin"),
+      "intervals must not contain the reserved range-join column '__ibin'")
+    val iv = intervals
+      // A corrupted interval with start > end would make sequence()
+      // generate a DESCENDING bin range — potentially hundreds of
+      // thousands of exploded rows per bad row that the residual filter
+      // then discards (or an outright array-size error). An inequality
+      // join would simply match nothing for such rows, so drop them
+      // (this also drops null-bounded intervals, which can never match).
+      .filter(col(start) <= col(end))
+      .withColumn("__ibin",
+        explode(sequence(call_function("div", col(start), lit(binWidth)),
+                         call_function("div", col(end), lit(binWidth)))))
     val pt = points.withColumn("__pbin",
       call_function("div", col(t), lit(binWidth)))
     pt.join(iv, col("__pbin") === col("__ibin") &&
