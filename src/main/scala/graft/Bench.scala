@@ -38,21 +38,24 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = LocalSpark.session(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // NonFatal only: after an OutOfMemoryError the JVM's numbers are
+    // garbage — better to die loudly than record a plausible-looking
+    // artifact from a broken heap (round-9 review).
     def runOnce(name: String): Boolean =
       try { SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] $name: $e"); false }
     // Warm the JVM (JIT, codegen compiler, parquet reader, shuffle paths)
     // on a few representative queries so the first timed query doesn't
     // absorb cold-start costs that belong to no query in particular.
     Seq("mr_sum_by_key", "sim_cosine_topk", "text_wordcount_topk").foreach(runOnce)
+    // Flush warmup's straggler listener events and drop its snapshot
+    // caches so rep 1 of the first query absorbs neither (round-9
+    // review: the first metered block otherwise attributed late warmup
+    // stage events and warmup cache pressure to the first query).
+    Metrics.flushListeners(spark.sparkContext)
+    org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
     // noop sink forces full query execution (count() would let Catalyst
     // prune ordering/projections and under-measure).
     // A failed query must not silently shrink the total: it is recorded

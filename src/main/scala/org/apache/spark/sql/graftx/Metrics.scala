@@ -68,20 +68,35 @@ object Metrics {
     sc.addSparkListener(listener)
     try {
       val result = body
-      sc.listenerBus.waitUntilEmpty(30000)
+      flushListeners(sc)
       (result, TaskWork(cpuNs.get / 1e9, shuffleRecs.get, spilled.get))
     } finally sc.removeSparkListener(listener)
   }
+
+  /** Drains the listener bus so async stage/execution events posted by
+    * the preceding actions are delivered. A backlogged bus (this host's
+    * stall episodes last minutes) makes `waitUntilEmpty` THROW
+    * TimeoutException; slightly-incomplete metrics are strictly better
+    * than killing a whole bench/probe run at its last step, so the
+    * timeout is swallowed with a stderr note (round-9 review). Public so
+    * harness mains outside org.apache.spark can flush between phases
+    * (warmup → first metered rep). */
+  def flushListeners(sc: SparkContext, timeoutMs: Long = 30000): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println(
+          s"[graftx] listener bus not drained within $timeoutMs ms; metrics may be incomplete")
+    }
 
   /** [[withTaskWork]] that ALSO fills `joinOutputRows`: a
     * QueryExecutionListener captures every action's QueryExecution (the
     * noop write the probes run is a NEW QueryExecution, not the measured
     * frame's own — walking `df.queryExecution` would read never-executed
-    * zero metrics), and [[Sessions.drainSnapshotPlans]] contributes the
-    * executed plans of snapshots taken inside the block, whose joins run
-    * under their own QueryExecution that no action listener sees. The
-    * pre-body drain discards plans left by earlier, unmeasured work.
-    * Single-threaded by the same harness contract as
+    * zero metrics), and the [[Sessions.beginPlanCapture]] window
+    * contributes the executed plans of snapshots taken inside the block,
+    * whose joins run under their own QueryExecution that no action
+    * listener sees. Single-threaded by the same harness contract as
     * [[Sessions.releaseSnapshots]]. */
   def withTaskWork[T](spark: SparkSession)(body: => T): (T, TaskWork) = {
     val (r, w, _) = withTaskWorkPlans(spark)(body)
@@ -103,16 +118,24 @@ object Metrics {
       override def onFailure(funcName: String, qe: QueryExecution,
           exception: Exception): Unit = qes.add(qe)
     }
-    Sessions.drainSnapshotPlans()
+    Sessions.beginPlanCapture()
     spark.listenerManager.register(execListener)
     try {
-      // The inner call's waitUntilEmpty also flushes the execution-end
+      // The inner call's listener flush also delivers the execution-end
       // events that drive QueryExecutionListener dispatch.
       val (result, base) = withTaskWork(spark.sparkContext)(body)
-      val plans = qes.asScala.map(_.executedPlan).toSeq ++
-        Sessions.drainSnapshotPlans()
+      // onFailure enqueues QEs whose lazy executedPlan may RETHROW the
+      // original failure when forced — a caller that handled its own
+      // per-query error must not lose the whole measured block at
+      // readout (round-9 review), so undecodable plans are skipped.
+      val plans = qes.asScala
+        .flatMap(qe => scala.util.Try(qe.executedPlan).toOption).toSeq ++
+        Sessions.endPlanCapture()
       (result, base.copy(joinOutputRows = joinOutputRows(plans)), plans)
-    } finally spark.listenerManager.unregister(execListener)
+    } finally {
+      spark.listenerManager.unregister(execListener)
+      Sessions.endPlanCapture() // idempotent; ensures the flag is off on failure
+    }
   }
 
   /** True if any plan contains a BroadcastNestedLoopJoin or
@@ -129,11 +152,17 @@ object Metrics {
         (p match {
           case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
           case _ => false
-        }) || (p match {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case qs: QueryStageExec => walk(qs.plan)
-          case o => o.children.exists(walk)
-        })
+        }) || {
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case qs: QueryStageExec => Seq(qs.plan)
+            case o => o.children
+          }
+          // p.subqueries: scalar/IN-subquery plans hang off EXPRESSIONS,
+          // not children — without descending them a nested loop inside a
+          // subquery is invisible to the gate (round-9 review).
+          (kids ++ p.subqueries).exists(walk)
+        }
       }
     plans.exists(walk)
   }
@@ -155,11 +184,11 @@ object Metrics {
             j.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
           case _ => 0L
         }
-        val kids = p match {
+        val kids = (p match {
           case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
           case qs: QueryStageExec => Seq(qs.plan)
           case o => o.children
-        }
+        }) ++ p.subqueries // join nodes inside subquery plans count too
         self + kids.iterator.map(walk).sum
       }
     plans.map(walk).sum

@@ -75,18 +75,20 @@ object Sessions {
     // snapshot for the JVM's life. Sweeping cleared refs every 64 adds
     // amortizes to O(1) per snapshot and bounds the queue by live
     // snapshots + 64.
-    if (snapCount.incrementAndGet() % 64 == 0) {
+    if (snapCount.incrementAndGet() % 64 == 0)
       tracked.removeIf(_.get == null)
-      snapshotPlans.removeIf(_.get == null)
-    }
     tracked.add(new java.lang.ref.WeakReference(rdd))
     // The snapshot's joins execute under ITS QueryExecution — invisible
-    // to any action listener on the parent frame. Track the executed
-    // plan (weakly — the registry must never outlive the snapshot's own
-    // lifetime) so Metrics.withTaskWork(SparkSession) can include their
-    // numOutputRows in the measured block's join total.
-    snapshotPlans.add(
-      new java.lang.ref.WeakReference(df.queryExecution.executedPlan))
+    // to any action listener on the parent frame. While a measurement
+    // window is open ([[beginPlanCapture]]), retain the executed plan
+    // STRONGLY so Metrics.withTaskWork(SparkSession) can include its
+    // numOutputRows in the measured block's join total — a weak
+    // reference here lost plans to GC under exactly the corpus-scale
+    // memory pressure the probes create, silently corrupting the
+    // join-rows and plan-shape gates (round-9 review). Outside a capture
+    // window nothing is retained, so library callers pay nothing.
+    if (planCaptureActive.get())
+      capturedPlans.add(df.queryExecution.executedPlan)
     val snap = classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[classic.SparkSession],
       LogicalRDD.fromDataset(rdd, df.asInstanceOf[classic.Dataset[Row]],
@@ -103,21 +105,32 @@ object Sessions {
     * registry exists to prevent. */
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[
     java.lang.ref.WeakReference[RDD[InternalRow]]]
-  private val snapshotPlans = new java.util.concurrent.ConcurrentLinkedQueue[
-    java.lang.ref.WeakReference[org.apache.spark.sql.execution.SparkPlan]]
   private val snapCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Returns (and clears) the executed plans of every snapshot taken
-    * since the last drain — still-live ones only (GC'd entries drop off).
-    * Measurement plumbing for [[Metrics.withTaskWork]]; same
-    * single-threaded harness contract as [[releaseSnapshots]]. */
-  def drainSnapshotPlans(): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+  private val planCaptureActive = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val capturedPlans = new java.util.concurrent.ConcurrentLinkedQueue[
+    org.apache.spark.sql.execution.SparkPlan]
+
+  /** Opens a plan-capture window: subsequent snapshots retain their
+    * executed plans (strongly) until [[endPlanCapture]]. Measurement
+    * plumbing for [[Metrics.withTaskWorkPlans]]; same single-threaded
+    * harness contract as [[releaseSnapshots]]. Discards anything left by
+    * earlier, unmeasured work. */
+  def beginPlanCapture(): Unit = {
+    capturedPlans.clear()
+    planCaptureActive.set(true)
+  }
+
+  /** Closes the capture window, returning (and releasing) the executed
+    * plans of every snapshot taken inside it. Idempotent: a second call
+    * returns empty. */
+  def endPlanCapture(): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    planCaptureActive.set(false)
     val out = Seq.newBuilder[org.apache.spark.sql.execution.SparkPlan]
-    var ref = snapshotPlans.poll()
-    while (ref != null) {
-      val p = ref.get()
-      if (p != null) out += p
-      ref = snapshotPlans.poll()
+    var p = capturedPlans.poll()
+    while (p != null) {
+      out += p
+      p = capturedPlans.poll()
     }
     out.result()
   }
