@@ -481,15 +481,22 @@ object DedupQueries {
     * RecallSpec pins ≥0.9 recall at (4,2), (8,3) and (12,5); the
     * declared query is (4, 2). */
   private[graft] def dedupEmbeddingPairsPlanes(nPlanes: Int, nTables: Int = 2): Q = (s, d) => {
-    val q = Tables.embeddings(s, d)
-      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
-      .withColumn("n2", qnorm2(col("qv")))
+    // Snapshot both multiply-read frames, the simKnnGraphPlanes pattern:
+    // q is read THREE times (bucketing + the two rescoring sides) and
+    // keyed twice (self-join) — unsnapshotted, each reader re-executes
+    // the embeddings scan + quantize + qnorm2 (and the nTables×nPlanes
+    // qdot bucketing) lineage from scratch.
+    val q = org.apache.spark.sql.graftx.Sessions.snapshot(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+        .withColumn("n2", qnorm2(col("qv"))))._2
     def bucket(tbl: Int): Column =
       (0 until nPlanes).map(p =>
         when(qdot(col("qv"), typedlit(lshWeights(tbl * nPlanes + p))) > 0L, lit(1L << p))
           .otherwise(lit(0L))).reduce(_ + _)
-    val keyed = q.select(col("vec_id"),
-      posexplode(array((0 until nTables).map(bucket): _*)).as(Seq("tbl", "bucket")))
+    val keyed = org.apache.spark.sql.graftx.Sessions.snapshot(
+      q.select(col("vec_id"),
+        posexplode(array((0 until nTables).map(bucket): _*)).as(Seq("tbl", "bucket"))))._2
     // Narrow candidate pairs first (16-byte rows through the join +
     // distinct), then join the 64-long vectors back by vec_id — carrying
     // qv through the bucket join would shuffle ~40× the bytes.
@@ -583,12 +590,20 @@ object DedupQueries {
     * scan it already gets as the standing index. */
   val dedupIncremental: Q = (s, d) => {
     val isInc = (c: Column) => c % 10 === 0
-    val adj = minhashCandidates(s, d)
-    val both = adj.select(col("doc_a").as("x"), col("doc_b").as("p"))
-      .union(adj.select(col("doc_b").as("x"), col("doc_a").as("p")))
+    // explode, not union-of-projections: each Union branch would
+    // instantiate the whole candidate self-join + distinct again (the
+    // graphDegreeStats trap), doubling the dominant LSH stage; the
+    // explode emits both directed edges in one pass.
+    val both = minhashCandidates(s, d)
+      .select(explode(array(
+        struct(col("doc_a").as("x"), col("doc_b").as("p")),
+        struct(col("doc_b").as("x"), col("doc_a").as("p")))).as("e"))
+      .select(col("e.x").as("x"), col("e.p").as("p"))
     val dropped = both
-      .filter(isInc(col("x")) &&
-        (!isInc(col("p")) || (isInc(col("p")) && col("p") < col("x"))))
+      // p drops x when p is historical, or an earlier increment member
+      // (!isInc(p) || p < x in minimal form; the oracle carries the same
+      // two-term rule).
+      .filter(isInc(col("x")) && (!isInc(col("p")) || col("p") < col("x")))
       .select(col("x").as("doc_id")).distinct()
     Tables.documents(s, d).select(col("doc_id"), col("source"))
       .filter(isInc(col("doc_id")))
@@ -638,7 +653,7 @@ object DedupQueries {
         |  UNION ALL SELECT doc_b, doc_a FROM cand
         |), dropped AS (
         |  SELECT DISTINCT x AS doc_id FROM adj
-        |  WHERE x % 10 = 0 AND (p % 10 <> 0 OR (p % 10 = 0 AND p < x))
+        |  WHERE x % 10 = 0 AND (p % 10 <> 0 OR p < x)
         |)
         |SELECT d.doc_id, d.source FROM documents d
         |LEFT JOIN dropped USING (doc_id)
@@ -940,9 +955,12 @@ object DedupQueries {
         |WHERE inter / (na.nsh + nb.nsh - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     // The oracle is the all-pairs computation: the banded form is provably
-    // the identical result set (pigeonhole over 5 bands for Hamming ≤ 4),
-    // so this oracle IS the equivalence check. The Spark-side all-pairs
-    // twin (dedupSimhash) is spec-only ground truth in EquivalenceSpec.
+    // the identical result set (6 disjoint 10-bit blocks joined on all
+    // C(6,2)=15 block pairs — Hamming ≤ 4 touches at most 4 blocks, so
+    // ≥ 2 blocks are identical and hence one block PAIR matches; see the
+    // dedupSimhashBanded scaladoc), so this oracle IS the equivalence
+    // check. The Spark-side all-pairs twin (dedupSimhash) is spec-only
+    // ground truth in EquivalenceSpec.
     "dedup_simhash_banded" ->
       """WITH tok AS (
         |  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS wd

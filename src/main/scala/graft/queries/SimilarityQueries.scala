@@ -120,12 +120,16 @@ object SimilarityQueries {
       .withColumn("dist", dist)
       .withColumn("rk", row_number().over(wN))
       .filter(col("rk") === 1)
-      .select(col("probe_id"), col("pv"), col("c_label"))
+      // pn2 computed ONCE per probe here: inlining qnorm2(pv) in the
+      // cosine below would re-run the 64-wide self-dot per joined
+      // candidate pair (the exact trap simCosineTopk documents).
+      .select(col("probe_id"), col("pv"), qnorm2(col("pv")).as("pn2"),
+              col("c_label"))
     // exact cosine search within the assigned partition
     val cand = q3.select(col("vec_id"), col("label"), col("qv"),
                          qnorm2(col("qv")).as("n2"))
     val cos: Column = qdot(col("pv"), col("qv")) /
-      (sqrt(qnorm2(col("pv"))) * sqrt(col("n2")))
+      (sqrt(col("pn2")) * sqrt(col("n2")))
     val scored = cand.join(broadcast(assigned),
         col("label") === col("c_label") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"), cos.as("cos"))

@@ -237,6 +237,14 @@ object TextQueries {
     * rows ever shuffle; an equi-shuffle join on shingle strings would
     * move the whole corpus. */
   val textDecontaminate: Q = (s, d) => {
+    // Deliberately NOT snapshotted despite two readers: the is_eval
+    // filter references only doc_id, so Catalyst pushes each side's
+    // filter BELOW the explode — the eval branch shingles only the ~1/20
+    // eval docs and the probe branch the rest, so the two
+    // instantiations together do ~one corpus of shingle work. A
+    // snapshot would materialize the full exploded shingle stream
+    // (larger than the compressed corpus scan it saves) — measured
+    // slower at sf0.1 (0.90 s → 1.41 s).
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
