@@ -263,7 +263,8 @@ object VolumeProbe {
           f""""wall_1x":$w1%.3f,"wall_${factor}x":$wN%.3f,""" +
           f""""cpu_1x":${k1.cpuSec}%.3f,"cpu_${factor}x":${kN.cpuSec}%.3f,""" +
           s""""gate_records":$recOk,"gate_joinrows":$joinOk,"gate_spill":$spillOk,""" +
-          s""""floor_admitted":$floorAdmitted,"pass":$pass}"""
+          s""""floor_admitted":$floorAdmitted,""" +
+          s""""metrics_incomplete":${k1.incomplete || kN.incomplete},"pass":$pass}"""
       }
       val json = s"""{"probe":"volume","factor":$factor,"sf":${Jsons.q(sf)},""" +
         s""""gate":"shuffle_records<=2x_linear AND join_output_rows<=2x_linear AND spill_bounded AND plan_sane",""" +

@@ -69,7 +69,15 @@ object MediaDecode {
         val channels = leShort(b, o + 10)
         val sampleRate = leInt(b, o + 12)
         val bits = leShort(b, o + 22)
-        return if (channels > 0 && sampleRate > 0 && bits > 0)
+        // Plausibility bounds, not just positivity: the RIFF magic is
+        // printable ASCII ("RIFF..WAVE"), so a text payload that happens
+        // to start with it walks this code with letter bytes in the fmt
+        // fields — which land far outside any real PCM encoding
+        // (ASCII-pair leShorts are >= 0x2020 = 8224) and must read as
+        // undecodable, not as fabricated geometry (round-9 ADVICE).
+        return if (channels >= 1 && channels <= 64 &&
+            sampleRate >= 1 && sampleRate <= 10000000 &&
+            bits >= 1 && bits <= 64)
           Some(Geometry(sampleRate, bits, channels)) else None
       }
       off += 8L + size.toLong + (size & 1) // chunks are word-aligned
@@ -77,7 +85,20 @@ object MediaDecode {
     None
   }
 
-  private def decodeImage(b: Array[Byte]): Option[Geometry] =
+  /** True iff the ImageIO reader's self-declared format agrees with the
+    * magic-byte sniff. The SPI pick is content-based too, but the
+    * cross-check catches the disagreement case (e.g. a text payload
+    * starting "BM" claimed by some lenient reader as another format)
+    * cheaply and explicitly. */
+  private def formatAgrees(sniffed: String, readerFormat: String): Boolean = {
+    val f = readerFormat.toLowerCase(java.util.Locale.ROOT)
+    sniffed match {
+      case "jpeg" => f == "jpeg" || f == "jpg"
+      case other  => f == other
+    }
+  }
+
+  private def decodeImage(b: Array[Byte], sniffed: String): Option[Geometry] =
     // Geometry comes from the codec's HEADER parse (ImageReader), not
     // ImageIO.read's full raster decode: a decompression bomb (KB file
     // declaring 60000x60000) would force a multi-GB allocation and an
@@ -102,7 +123,18 @@ object MediaDecode {
             val types = r.getImageTypes(0)
             val channels =
               if (types.hasNext) types.next().getColorModel.getNumComponents else 3
-            if (w > 0 && h > 0) Some(Geometry(w, h, channels)) else None
+            // Sanity-bound the claimed geometry (round-9 ADVICE): the BMP
+            // and GIF magics are printable ASCII, so synthetic text bytes
+            // starting "BM"/"GIF8" can reach a real header parse whose
+            // dimension fields are letter bytes — little-endian ASCII
+            // quads decode to ~5·10⁸, far past any real raster (bounded
+            // here at 2²⁴ px per side / 16 components). Garbage headers
+            // must read as undecodable, never as positive geometry.
+            if (w >= 1 && h >= 1 && w <= (1 << 24) && h <= (1 << 24) &&
+                channels >= 1 && channels <= 16 &&
+                formatAgrees(sniffed, r.getFormatName))
+              Some(Geometry(w, h, channels))
+            else None
           } finally r.dispose()
         }
       } finally if (iis != null) iis.close()
@@ -114,8 +146,8 @@ object MediaDecode {
     */
   def decode(payload: Array[Byte]): Option[Geometry] =
     sniff(payload) match {
-      case "png" | "jpeg" | "bmp" | "gif" => decodeImage(payload)
-      case "wav"                          => decodeWav(payload)
-      case _                              => None
+      case k @ ("png" | "jpeg" | "bmp" | "gif") => decodeImage(payload, k)
+      case "wav"                                => decodeWav(payload)
+      case _                                    => None
     }
 }

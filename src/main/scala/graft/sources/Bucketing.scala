@@ -130,6 +130,14 @@ object Bucketing {
   private[graft] def ensureTable(s: SparkSession, tbl: String, srcDir: String)(
       write: => Unit): DataFrame = synchronized {
     val abs = canon(srcDir)
+    // No catalog table ⇒ this session has no materialization it could
+    // serve stale, and a (re)build is about to pay a full write anyway —
+    // so drop the memo and re-walk (round-9 ADVICE: the JVM-global memo
+    // otherwise served a pre-rewrite fingerprint to a brand-new session
+    // after an in-place rewrite, stamping stale onto fresh data). The
+    // walk-free steady state — table present, fingerprint memoized — is
+    // untouched.
+    if (!s.catalog.tableExists(tbl)) fpMemo.remove(abs)
     val fp = fingerprintCached(abs)
     if (s.catalog.tableExists(tbl)) {
       val props = s.sql(s"SHOW TBLPROPERTIES $tbl")

@@ -73,12 +73,15 @@ object DocStreams {
   /** Full pipeline: gate → dedup → hash retention → per-(window, lang)
     * doc/token counts. `retainPct` mirrors the batch
     * `pipeline_clean_corpus` retention stage (keep docs whose normalized
-    * digest hashes under the threshold — 50 by default, identical
-    * arithmetic, so the same document survives in both engines); pass
-    * 100 to keep everything. Append mode emits each window once the
-    * watermark passes it. */
+    * digest hashes under the threshold — identical arithmetic, so the
+    * same document survives in both engines). The DEFAULT is 100 (keep
+    * everything): retention is opt-in, so adding the dial did not
+    * silently halve existing callers' output (round-9 ADVICE); pass 50
+    * explicitly for batch `pipeline_clean_corpus` parity. */
   def pipeline(docs: DataFrame, watermark: String = "1 hour",
-               window_ : String = "1 hour", retainPct: Int = 50): DataFrame =
+               window_ : String = "1 hour", retainPct: Int = 100): DataFrame = {
+    require(retainPct >= 0 && retainPct <= 100,
+      s"retainPct must be in [0, 100], got $retainPct")
     cleanDocs(docs, watermark)
       .filter(graft.functions.ColFns.md5Long(col("norm")) % 100L < retainPct.toLong)
       .groupBy(window(col("ingest_ts"), window_), col("lang"))
@@ -86,4 +89,5 @@ object DocStreams {
            sum(col("n_tokens").cast("long")).as("n_tokens"))
       .select(col("window.start").as("window_start"), col("lang"),
               col("n_docs"), col("n_tokens"))
+  }
 }

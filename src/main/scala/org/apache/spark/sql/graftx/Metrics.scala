@@ -37,8 +37,15 @@ object Metrics {
     * the other gated quantities it is a property of the plan, not the
     * host. Only populated by the SparkSession overload of
     * [[withTaskWork]]; the bare-SparkContext form (Bench) leaves it 0. */
+  /** `incomplete` is true when the post-body listener-bus drain timed
+    * out: some stage/execution events may not have been delivered, so
+    * every counter is a LOWER bound. Consumers that gate on these
+    * numbers must surface the flag in their artifact (round-9 ADVICE: a
+    * silently partial rep read as complete) so the rep can be discounted
+    * or re-run instead of trusted. */
   final case class TaskWork(cpuSec: Double, shuffleRecordsRead: Long,
-      diskSpilledBytes: Long, joinOutputRows: Long = 0L)
+      diskSpilledBytes: Long, joinOutputRows: Long = 0L,
+      incomplete: Boolean = false)
 
   /** Runs `body`, returning (result, total executor CPU seconds of all
     * stages completed during it). */
@@ -68,25 +75,30 @@ object Metrics {
     sc.addSparkListener(listener)
     try {
       val result = body
-      flushListeners(sc)
-      (result, TaskWork(cpuNs.get / 1e9, shuffleRecs.get, spilled.get))
+      val drained = flushListeners(sc)
+      (result, TaskWork(cpuNs.get / 1e9, shuffleRecs.get, spilled.get,
+        incomplete = !drained))
     } finally sc.removeSparkListener(listener)
   }
 
   /** Drains the listener bus so async stage/execution events posted by
-    * the preceding actions are delivered. A backlogged bus (this host's
-    * stall episodes last minutes) makes `waitUntilEmpty` THROW
-    * TimeoutException; slightly-incomplete metrics are strictly better
-    * than killing a whole bench/probe run at its last step, so the
-    * timeout is swallowed with a stderr note (round-9 review). Public so
-    * harness mains outside org.apache.spark can flush between phases
-    * (warmup → first metered rep). */
-  def flushListeners(sc: SparkContext, timeoutMs: Long = 30000): Unit =
-    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    * the preceding actions are delivered, returning true iff the bus
+    * fully drained. A backlogged bus (this host's stall episodes last
+    * minutes) makes `waitUntilEmpty` THROW TimeoutException;
+    * slightly-incomplete metrics are strictly better than killing a
+    * whole bench/probe run at its last step, so the timeout is swallowed
+    * with a stderr note — but the `false` return propagates into
+    * [[TaskWork.incomplete]] so downstream artifacts record the rep as
+    * partial rather than trusting it (round-9 ADVICE). Public so harness
+    * mains outside org.apache.spark can flush between phases (warmup →
+    * first metered rep). */
+  def flushListeners(sc: SparkContext, timeoutMs: Long = 30000): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
     catch {
       case _: java.util.concurrent.TimeoutException =>
         System.err.println(
           s"[graftx] listener bus not drained within $timeoutMs ms; metrics may be incomplete")
+        false
     }
 
   /** [[withTaskWork]] that ALSO fills `joinOutputRows`: a
@@ -118,9 +130,14 @@ object Metrics {
       override def onFailure(funcName: String, qe: QueryExecution,
           exception: Exception): Unit = qes.add(qe)
     }
-    Sessions.beginPlanCapture()
-    spark.listenerManager.register(execListener)
+    // Both the capture window and the listener registration sit INSIDE
+    // the try: if either throws, the finally still pairs
+    // endPlanCapture/unregister with whatever did happen, so a failed
+    // setup can't leave the JVM-global capture window open (round-9
+    // ADVICE). Both cleanup calls are safe no-ops when setup never ran.
     try {
+      Sessions.beginPlanCapture()
+      spark.listenerManager.register(execListener)
       // The inner call's listener flush also delivers the execution-end
       // events that drive QueryExecutionListener dispatch.
       val (result, base) = withTaskWork(spark.sparkContext)(body)

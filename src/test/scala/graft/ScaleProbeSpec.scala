@@ -262,7 +262,8 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       Metrics.TaskWork(runs.map(_._2.cpuSec).min,
         runs.map(_._2.shuffleRecordsRead).min,
         runs.map(_._2.diskSpilledBytes).min,
-        runs.map(_._2.joinOutputRows).min),
+        runs.map(_._2.joinOutputRows).min,
+        incomplete = runs.exists(_._2.incomplete)),
       runs.forall(_._3))
   }
 

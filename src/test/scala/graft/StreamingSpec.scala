@@ -148,7 +148,9 @@ class StreamingSpec extends SparkSpec {
       Doc(5, "de", good + " und noch ein paar mehr deutsche worte dazu", ts(0, 40)))
     val mem = MemoryStream[(Long, String, String, Timestamp)]
     val streamDf = mem.toDF().toDF("doc_id", "lang", "text", "ingest_ts")
-    val q = DocStreams.pipeline(streamDf).writeStream
+    // retainPct = 50 opts into the batch pipeline_clean_corpus retention
+    // stage (the library default 100 keeps everything).
+    val q = DocStreams.pipeline(streamDf, retainPct = 50).writeStream
       .format("memory").queryName("doc_pipeline")
       .outputMode(OutputMode.Append()).start()
     try {
