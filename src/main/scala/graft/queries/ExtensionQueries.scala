@@ -230,10 +230,19 @@ object ExtensionQueries {
     * another's; StreamingSpec cross-validates the rule against actual
     * watermark drops). The histogram's tail quantile is the watermark
     * delay to configure. Scale shape: the global running max is NEVER a
-    * raw-event window — arrivals aggregate to per-minute maxima first and
-    * the prefix max runs over that tiny frame (a year of ingest is ~525k
-    * minute rows), then equi-joins back; the aggregate-then-window
-    * pattern. The fixture's event_id order is perfectly time-sorted, so
+    * raw-event window — arrivals aggregate to per-minute maxima first,
+    * and the prefix max over minutes is TWO-LEVEL (round-9 verdict watch
+    * item #1): a per-DAY-partitioned window computes the within-day
+    * prefix, a second prefix max over the per-day maxima (one row per
+    * calendar day — bounded by elapsed time, not data volume; a global
+    * window only in the formal sense) carries earlier days forward, and
+    * `greatest` of the two (null-skipping) reassembles the exact global
+    * prefix — max is associative, so the decomposition is bit-identical
+    * to the single running max, while the largest window partition is
+    * now ≤ 1440 minute rows whatever the ingest history. Then the
+    * per-minute HWM equi-joins back to arrivals (the day table rides the
+    * same join broadcast-small). WindowGuardSpec pins both collapse
+    * levels. The fixture's event_id order is perfectly time-sorted, so
     * arrival is simulated as sec + md5-derived jitter (same device as the
     * hash-based sampling queries); the 1 h jitter bound caps observable
     * lateness at 12 buckets — a simulation artifact, gone with a real
@@ -245,10 +254,20 @@ object ExtensionQueries {
         col("sec") + md5Long(col("event_id").cast("string")) % 3600L)
       .withColumn("arr_min", call_function("div", col("arr"), lit(60L)))
     val buckets = arr.groupBy("arr_min").agg(max(col("sec")).as("max_sec"))
-    val w = Window.orderBy("arr_min").rowsBetween(Window.unboundedPreceding, -1)
-    val prefix = buckets
-      .withColumn("hwm_before", max(col("max_sec")).over(w))
-      .select(col("arr_min"), col("hwm_before"))
+      .withColumn("arr_day", call_function("div", col("arr_min"), lit(1440L)))
+    val wDay = Window.partitionBy("arr_day").orderBy("arr_min")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inDay = buckets.withColumn("in_day_before", max(col("max_sec")).over(wDay))
+    val wDays = Window.orderBy("arr_day").rowsBetween(Window.unboundedPreceding, -1)
+    val dayPrefix = buckets.groupBy("arr_day").agg(max(col("max_sec")).as("day_max"))
+      .withColumn("day_hwm_before", max(col("day_max")).over(wDays))
+      .select(col("arr_day"), col("day_hwm_before"))
+    // greatest skips nulls: null only when BOTH levels are empty, i.e.
+    // the first minute of the first day — exactly the single-window
+    // semantics the filter below expects.
+    val prefix = inDay.join(broadcast(dayPrefix), "arr_day")
+      .select(col("arr_min"),
+        greatest(col("in_day_before"), col("day_hwm_before")).as("hwm_before"))
     arr.join(prefix, "arr_min")
       .filter(col("hwm_before").isNotNull)
       .select(call_function("div",

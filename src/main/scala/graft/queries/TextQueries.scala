@@ -264,21 +264,41 @@ object TextQueries {
     * stream in deterministic (doc_id) order and cut every C=512 tokens.
     * Reports chunks produced and docs split across a chunk boundary
     * (the packing-efficiency signal; too many splits → shuffle doc
-    * order or pad). The running total is a window sum over the SAME
-    * per-source partitioning any per-group op uses — one shuffle on
-    * source, integer-only math, so the oracle hash is exact. At 100 TB
-    * the stream is packed per source shard exactly like this, with C
-    * the model context length. */
+    * order or pad). The running total is a SUB-BUCKETED window sum
+    * (round-9 verdict watch item #2 — previously one window partition
+    * per source, which serializes a pathological 50 TB mega-source onto
+    * one core): the doc_id order domain splits into contiguous ranges of
+    * 4096 ids, a (source, bucket)-partitioned window computes the
+    * within-bucket prefix, and the per-bucket totals (one tiny row per
+    * bucket) take a (source)-partitioned prefix over buckets to carry
+    * earlier ranges forward — the classic two-level distributed prefix
+    * sum, exact because + is associative, with the largest window
+    * partition bounded by the bucket width instead of the source size
+    * (the bucket-level window carries source_docs/4096 three-long rows;
+    * a third level applies the same split again if that ever matters).
+    * Integer-only math, so the oracle hash is exact. SkewSpec gates the
+    * mega-source shape. At 100 TB the stream is packed per source shard
+    * exactly like this, with C the model context length. */
   val textPackChunks: Q = (s, d) => {
     val C = 512L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
               size(words(col("text"))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bkt", call_function("div", col("doc_id"), lit(4096L)))
+    val wIn = W.partitionBy("source", "bkt").orderBy("doc_id")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wBkt = W.partitionBy("source").orderBy("bkt")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bktBefore = toks.groupBy("source", "bkt")
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn("bkt_before", coalesce(sum(col("bkt_tokens")).over(wBkt), lit(0L)))
+      .select(col("source"), col("bkt"), col("bkt_before"))
+    toks
+      .withColumn("in_bkt_before", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(bktBefore), Seq("source", "bkt"))
+      .withColumn("cum_before", col("bkt_before") + col("in_bkt_before"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_tokens")).as("n_tokens"),
@@ -366,13 +386,22 @@ object TextQueries {
     * allocation. Everything stays exact integers (floor division), so the
     * allocation is bit-identical in any engine. Scale shape: two 1-row
     * global aggregates broadcast into a per-source allocation table; the
-    * greedy fill is a running sum windowed PER SOURCE (sort is distributed
-    * across sources — a pathologically huge single source would sub-bucket
-    * the order key, same recipe as the skew salting operator). */
+    * greedy fill is a SUB-BUCKETED running sum (round-9 verdict watch
+    * item #2 — the documented mega-source recipe, now implemented): the
+    * content-hash order key's first two hex chars split each source's
+    * order domain into 256 contiguous, hash-balanced ranges, the
+    * within-bucket prefix runs (source, bucket)-partitioned, and the
+    * 256-row-per-source bucket totals take a per-source prefix to carry
+    * earlier buckets forward — exact (＋ is associative; the bucket is a
+    * PREFIX of the order key, so bucket order extends the full order),
+    * with the largest window partition ~source/256 instead of the whole
+    * source (deeper prefixes sub-bucket further if one level isn't
+    * enough). SkewSpec gates the mega-source shape. */
   val mixSourcesBudget: Q = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(col("source"), col("doc_id"), md5(col("text")).as("ord"),
         size(words(col("text"))).cast("long").as("nt"))
+      .withColumn("bkt", substring(col("ord"), 1, 2))
     // Bounded 10-char slice + NULL-on-failure cast, mirrored by the
     // oracle's substring(source, 4, 10) + TRY_CAST so the two engines stay
     // formula-identical beyond the srcNN fixture domain (ColFns doctrine).
@@ -384,10 +413,17 @@ object TextQueries {
     val alloc = srcw.crossJoin(broadcast(tot)).crossJoin(broadcast(wsum))
       .select(col("source"), col("weight"),
         call_function("div", col("t") * col("weight"), lit(2L) * col("ws")).as("alloc_tokens"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("ord", "doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val kept = toks.withColumn("cum", sum(col("nt")).over(win))
+    val W = org.apache.spark.sql.expressions.Window
+    val wIn = W.partitionBy("source", "bkt").orderBy("ord", "doc_id")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wBkt = W.partitionBy("source").orderBy("bkt")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bktBefore = toks.groupBy("source", "bkt").agg(sum(col("nt")).as("bt"))
+      .withColumn("bkt_before", coalesce(sum(col("bt")).over(wBkt), lit(0L)))
+      .select(col("source"), col("bkt"), col("bkt_before"))
+    val kept = toks.withColumn("in_cum", sum(col("nt")).over(wIn))
+      .join(broadcast(bktBefore), Seq("source", "bkt"))
+      .withColumn("cum", col("bkt_before") + col("in_cum"))
       .join(alloc.select("source", "alloc_tokens"), "source")
       .filter(col("cum") <= col("alloc_tokens"))
       .groupBy("source")
