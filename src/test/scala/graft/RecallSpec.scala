@@ -81,8 +81,7 @@ class RecallSpec extends SparkSpec {
     }
   }
 
-  test("planted near-dups: sim_ann_lsh recovers >=0.9 of exact top-5 per probe") {
-    val ann = SimilarityQueries.simAnnLsh(spark, plantedDir)
+  test("planted near-dups: sim_ann_lsh recovers >=0.9 of exact top-5 per probe at every gated plane count") {
     // Exact top-5 per probe (vec_id < 5), brute-forced on the tiny corpus.
     val q = graft.sources.Tables.embeddings(spark, plantedDir)
       .select(col("vec_id"), graft.functions.ColFns.quantizeVec(col("embedding")).as("qv"))
@@ -98,9 +97,19 @@ class RecallSpec extends SparkSpec {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("probe_id", "cand_id")
-    val (hit, total) = recall(ann, truth, Seq("probe_id", "cand_id"))
-    assert(total == 25)
-    assert(hit >= math.ceil(0.9 * total).toLong, s"ANN LSH recall $hit/$total < 0.9")
+    // k = 6 is the declared form; 10 and 13 are the ⌈log₂ factor⌉-grown
+    // deployments the 10×/100× probes run (round-9 verdict #2) — the
+    // growth rule is only admissible where recall stays pinned. The
+    // 3-table Hamming-1 multiprobe absorbs the p^k decay at the planted
+    // θ ≈ 8–18°; hyperplanes are md5-derived constants, so this is
+    // deterministic.
+    for (k <- Seq(6, 10, 13)) {
+      val ann = SimilarityQueries.simAnnLshPlanes(k)(spark, plantedDir)
+      val (hit, total) = recall(ann, truth, Seq("probe_id", "cand_id"))
+      assert(total == 25)
+      assert(hit >= math.ceil(0.9 * total).toLong,
+        s"ANN LSH recall at $k planes: $hit/$total < 0.9")
+    }
   }
 
   test("planted near-dups: sim_knn_graph keeps recall >= 0.9 as the plane count grows") {
