@@ -103,6 +103,60 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  test("DECLARED mm_resize_geometry over a real-media source dir decodes true pixels") {
+    // Round-9 verdict #6: the javax.imageio path exercised by the GATED
+    // query, not only unit asserts. A test-local source dir whose
+    // documents.parquet carries REAL encoded media in a BINARY `text`
+    // column (mediaTable's cast("binary") is then the identity, so the
+    // declared query runs verbatim); doc_id mod 3 picks the kind slot
+    // (0=image, 1=audio, 2=video). Expected aggregates are computed from
+    // the TRUE pixel/PCM geometries through the same resize arithmetic —
+    // and shown to DIFFER from what the length-based fallback would
+    // produce, so a silent regression to the fallback (e.g. a sniffing
+    // bug) fails the assert rather than passing vacuously.
+    import spark.implicits._
+    val media: Seq[(Long, Array[Byte], (Int, Int, Int))] = Seq(
+      (3L, pngBytes(640, 400), (640, 400, 3)),   // image: downscaled
+      (6L, bmpBytes(100, 80), (100, 80, 3)),     // image: untouched
+      (9L, imageBytes("gif", 300, 299), (300, 299, 3)), // image (gif path)
+      (4L, wavBytes(16000, 16, 1), (16000, 16, 1)),     // audio
+      (5L, pngBytes(512, 256), (512, 256, 3)))   // video slot, real pixels
+    val dir = java.nio.file.Files.createTempDirectory("graft-realmedia").toString
+    media.map { case (id, bytes, _) => (id, bytes, "xx", "media", bytes.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("mm_resize_geometry")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def resized(w: Int, h: Int): (Long, Long, Boolean) = {
+      val scale = math.min(math.min(256.0 / w, 256.0 / h), 1.0)
+      (math.floor(w * scale).toLong, math.floor(h * scale).toLong, scale < 1.0)
+    }
+    def expect(rows: Seq[(Int, Int, Int)]): (Long, Long, Long, Long) = {
+      val rs = rows.map { case (w, h, _) => resized(w, h) }
+      (rows.size.toLong, rs.map(_._1).sum, rs.map(_._2).sum,
+        rs.map(r => if (r._3) 1L else 0L).sum)
+    }
+    val kinds = media.groupBy { case (id, _, _) =>
+      Seq("image", "audio", "video")((id % 3).toInt)
+    }.view.mapValues(_.map(_._3)).toMap
+    assert(got.keySet == Set("image", "audio", "video"))
+    for ((kind, geoms) <- kinds)
+      assert(got(kind) == expect(geoms), s"$kind: got ${got(kind)}")
+    // Anti-vacuity: the fallback would have produced different sums.
+    val fallback = media.map { case (id, bytes, _) =>
+      val n = bytes.length
+      (id, ((n % 640 + 64), (n % 480 + 48),
+        if ((id % 3) == 1L) 1 else 3))
+    }
+    val fallbackByKind = fallback.groupBy { case (id, _) =>
+      Seq("image", "audio", "video")((id % 3).toInt)
+    }.view.mapValues(_.map(_._2)).toMap
+    for ((kind, geoms) <- fallbackByKind)
+      assert(got(kind) != expect(geoms),
+        s"$kind: true-decode aggregate coincides with the fallback — test is vacuous")
+  }
+
   test("frame sample emits only video rows with bounded fan-out") {
     val m = Multimodal.mediaTable(spark, sfDir)
     val frames = Multimodal.frameSample(m)
