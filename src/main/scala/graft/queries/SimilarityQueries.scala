@@ -233,6 +233,17 @@ object SimilarityQueries {
       Tables.embeddings(s, d)
         .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
         .withColumn("n2", qnorm2(col("qv"))))._2
+    // The bucket cap stays a count-over-window: unlike the ngram df cut
+    // (whose window sorted the whole corpus stream on a single key and
+    // was rebuilt as an aggregate + semi join for −36% CPU at 100×),
+    // this window partitions on (tbl, bucket) — every partition is ≤ a
+    // few hundred rows by construction, the sort is noise, and the same
+    // aggregate + semi-join rebuild MEASURED 18% slower here at the
+    // 100× point (extra exchange + snapshot outweigh a tiny sort;
+    // round-10 probe). The 5.1 GB 100× spill lives downstream in the
+    // candidate self-join's distinct over ~70 M narrow (src, cand)
+    // pairs — the operator's honest candidate volume at 16 bytes/row,
+    // nothing left to narrow.
     val wB = Window.partitionBy("tbl", "bucket")
     val keyed = org.apache.spark.sql.graftx.Sessions.snapshot(
       q.select(col("vec_id"),
