@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{DedupQueries, ExtensionQueries, OlapQueries, ParityQueries, SamplingQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, ExtensionQueries, LinkageQueries, OlapQueries, ParityQueries, SamplingQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ ExtensionQueries.queries ++ OlapQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries ++
-      SamplingQueries.queries ++ Multimodal.queries
+      SamplingQueries.queries ++ LinkageQueries.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ ExtensionQueries.oracles ++ OlapQueries.oracles ++
       DedupQueries.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
-      SamplingQueries.oracles ++ Multimodal.oracles
+      SamplingQueries.oracles ++ LinkageQueries.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Sessions
+
+import graft.sources.Tables
+
+/** Corpus linkage & structure: approximate string matching, posting-list
+  * construction, and co-occurrence graph analytics — three operator
+  * classes a large-scale curation pipeline needs beyond containment
+  * dedup (entity resolution across catalogs, retrieval-index builds,
+  * basket/citation graph structure).
+  *
+  * All three follow the engine's blocking discipline (the same idea as
+  * the reference's hash-addressed bucket placement,
+  * /root/reference/src/dist_hash_map.h get_target_dist): never an
+  * all-pairs anything — candidate generation is an equi-join on a
+  * blocking key with an explicit hot-block cap, exactly the LSH family's
+  * defense in [[DedupQueries]].
+  */
+object LinkageQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Blocks larger than this are skipped by the fuzzy join (the
+    * hot-bucket cap precedent from dedup_minhash_capped): a degenerate
+    * blocking key must degrade recall, never blow up the self-join. */
+  private[graft] val MaxBlock = 1000L
+
+  /** Edit-distance threshold for a fuzzy name match. */
+  private[graft] val MaxEdit = 3
+
+  /** Orders with more than this many distinct items are excluded from
+    * the co-order graph — bounds the per-order pair fan-out at
+    * C(cap, 2) regardless of corpus scale (a single pathological
+    * 10⁶-item order would otherwise emit 5·10¹¹ pairs). */
+  private[graft] val MaxOrderItems = 12L
+
+  /** Minimum co-occurrence support for a co-order edge. The support
+    * threshold is what keeps the graph sparse as the corpus grows:
+    * noise pairs (one shared order) dominate the raw pair set but
+    * carry no basket signal. */
+  private[graft] val MinSupport = 2L
+
+  /** Posting-list shard width: one output row holds at most this many
+    * doc ids, so row width is bounded by construction at any corpus
+    * size (a planet-scale term like "the" becomes many bounded rows,
+    * never one unbounded array). */
+  private[graft] val PostingShard = 256L
+
+  /** Blocked fuzzy (approximate-string) self-join over part names —
+    * entity resolution for near-identical catalog entries. Names dedupe
+    * to a vocabulary first (corpus → distinct strings + multiplicity:
+    * at 100 TB the vocabulary is orders of magnitude smaller than the
+    * row count, and the expensive edit-distance never touches raw
+    * rows). Candidates come from an equi-join on a blocking key (last
+    * token), oversized blocks are skipped ([[MaxBlock]]), and the
+    * in-block comparison uses the banded `levenshtein(a, b, threshold)`
+    * form — O(len·k) per pair with early exit, not O(len²). Output is
+    * the matched pairs with their edit distance and how many raw rows
+    * each name represents.
+    *
+    * In production the blocking key would be a cheap canonical form
+    * (phonetic code, sorted token prefix, length bucket) or several in
+    * union — the plan shape (dedupe → block → equi-join → banded
+    * verify) is identical for any choice.
+    */
+  val textFuzzyJoinBlocked: Q = (s, d) => textFuzzyJoinBlockedCapped(MaxBlock)(s, d)
+
+  /** [[textFuzzyJoinBlocked]] with an explicit block cap — the spec dial
+    * (same pattern as the dedup family's capped variants): LinkageSpec
+    * pins that an over-cap block is skipped wholesale, not partially
+    * joined. */
+  private[graft] def textFuzzyJoinBlockedCapped(cap: Long): Q = (s, d) => {
+    val names = Tables.part(s, d)
+      .groupBy("p_name").agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    // names is read three times (block sizing + both join sides) — one
+    // bounded snapshot (vocabulary-sized) instead of three corpus scans.
+    val snap = Sessions.snapshot(names)._2
+    val okBlocks = snap.groupBy("blk")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= cap)
+      .select("blk")
+    val vocab = snap.join(broadcast(okBlocks), "blk")
+    val lv = levenshtein(col("a.p_name"), col("b.p_name"), MaxEdit + 1)
+    vocab.as("a").join(vocab.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .withColumn("dist", lv.cast("long"))
+      // banded form returns -1 beyond the threshold: keep 0..MaxEdit
+      .filter(col("dist") >= 0L && col("dist") <= MaxEdit)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+              col("dist"), col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Sharded inverted index (term → bounded posting lists) over the
+    * document corpus — the retrieval-side artifact a decontamination or
+    * attribution pass queries. (term, doc_id) pairs distinct first (df
+    * semantics, not tf), then group by (term, shard) where shard =
+    * doc_id div [[PostingShard]]: every posting row is ≤ 256 ids no
+    * matter how common the term, so the collect_list is bounded by
+    * construction — the unbounded-array failure mode of a naive
+    * `groupBy(term)` index build cannot occur at any scale. Postings
+    * are sorted within the shard (sort_array — a per-row O(n log n)
+    * over ≤ 256 elements, never a global sort). */
+  val textInvertedIndex: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select("term", "doc_id").distinct()
+      .groupBy(col("term"),
+               call_function("div", col("doc_id"), lit(PostingShard)).as("shard"))
+      .agg(count(lit(1)).as("df_shard"),
+           sort_array(collect_list(col("doc_id"))).as("postings"))
+      .orderBy("term", "shard")
+
+  /** Distributed triangle counting over the co-order part graph —
+    * basket-structure analytics (the triangle/clustering-coefficient
+    * family). Pipeline: per-order distinct item sets, orders above
+    * [[MaxOrderItems]] dropped (pair fan-out bound), weighted pair
+    * aggregation with a [[MinSupport]] floor (sparsity bound), then the
+    * classic degree-ordered orientation: every edge points from the
+    * (degree, id)-smaller endpoint, so each triangle is counted exactly
+    * once as a wedge at its smallest vertex closed by one equi-join —
+    * and the wedge join's fan-out per vertex is bounded by the oriented
+    * out-degree, O(√|E|) worst case instead of the max raw degree. No
+    * OR-joins, no global window (orientation compares the (degree, id)
+    * struct carried on the edge, not a rank relabeling). Output: the 20
+    * most triangle-dense parts. */
+  val graphTriangleCount: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // items feeds the size filter and both self-join sides.
+    val snap = Sessions.snapshot(items)._2
+    val okOrders = snap.groupBy("o").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= MaxOrderItems).select("o")
+    val kept = snap.join(okOrders, "o")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= MinSupport)
+      .select("pa", "pb")
+    // pairs feeds deg, orient, and the per-node report — snapshot once
+    // (support-thresholded edge set: small by construction).
+    val eSnap = Sessions.snapshot(pairs)._2
+    val deg = eSnap.select(col("pa").as("p")).union(eSnap.select(col("pb").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("deg"))
+    val dSnap = Sessions.snapshot(deg)._2
+    val withDeg = eSnap
+      .join(dSnap.select(col("p").as("pa"), col("deg").as("da")), "pa")
+      .join(dSnap.select(col("p").as("pb"), col("deg").as("db")), "pb")
+    val aFirst = struct(col("da"), col("pa")) < struct(col("db"), col("pb"))
+    val orient = withDeg.select(
+      when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
+      when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dstd"))
+    val oSnap = Sessions.snapshot(orient)._2
+    val wedges = oSnap.as("e1").join(oSnap.as("e2"),
+      col("e1.src") === col("e2.src") &&
+        struct(col("e1.dstd"), col("e1.dst")) < struct(col("e2.dstd"), col("e2.dst")))
+    val tri = wedges.join(oSnap.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("tri_cnt"))
+      .join(dSnap, "p")
+      .select(col("p").as("p_partkey"), col("tri_cnt"), col("deg").as("degree"))
+      .orderBy(desc("tri_cnt"), asc("p_partkey"))
+      .limit(20)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_fuzzy_join_blocked" -> textFuzzyJoinBlocked,
+    "text_inverted_index" -> textInvertedIndex,
+    "graph_triangle_count" -> graphTriangleCount,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_fuzzy_join_blocked" ->
+      s"""WITH names AS (
+         |  SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY p_name
+         |), blocked AS (
+         |  SELECT p_name, cnt, string_split(p_name, ' ')[-1] AS blk FROM names
+         |), ok AS (
+         |  SELECT blk FROM blocked GROUP BY blk HAVING COUNT(*) <= $MaxBlock
+         |), vocab AS (
+         |  SELECT b.* FROM blocked b JOIN ok USING (blk)
+         |)
+         |SELECT a.p_name AS name_a, c.p_name AS name_b,
+         |       CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist,
+         |       a.cnt AS cnt_a, c.cnt AS cnt_b
+         |FROM vocab a JOIN vocab c ON a.blk = c.blk AND a.p_name < c.p_name
+         |WHERE levenshtein(a.p_name, c.p_name) <= $MaxEdit
+         |ORDER BY name_a, name_b""".stripMargin,
+    "text_inverted_index" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT term, doc_id FROM (
+         |    SELECT doc_id,
+         |           UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+         |    FROM documents WHERE text IS NOT NULL)
+         |)
+         |SELECT term, doc_id // $PostingShard AS shard, COUNT(*) AS df_shard,
+         |       list(doc_id ORDER BY doc_id) AS postings
+         |FROM toks GROUP BY term, doc_id // $PostingShard
+         |ORDER BY term, shard""".stripMargin,
+    "graph_triangle_count" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+         |), ok AS (
+         |  SELECT o FROM items GROUP BY o HAVING COUNT(*) <= $MaxOrderItems
+         |), pairs AS (
+         |  SELECT a.p AS pa, b.p AS pb
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+         |  JOIN ok ON ok.o = a.o
+         |  GROUP BY a.p, b.p HAVING COUNT(*) >= $MinSupport
+         |), deg AS (
+         |  SELECT p, COUNT(*) AS deg FROM (
+         |    SELECT pa AS p FROM pairs UNION ALL SELECT pb AS p FROM pairs)
+         |  GROUP BY p
+         |), orient AS (
+         |  SELECT CASE WHEN (da.deg, e.pa) < (db.deg, e.pb) THEN e.pa ELSE e.pb END AS src,
+         |         CASE WHEN (da.deg, e.pa) < (db.deg, e.pb) THEN e.pb ELSE e.pa END AS dst,
+         |         CASE WHEN (da.deg, e.pa) < (db.deg, e.pb) THEN db.deg ELSE da.deg END AS dstd
+         |  FROM pairs e
+         |  JOIN deg da ON da.p = e.pa
+         |  JOIN deg db ON db.p = e.pb
+         |), tri AS (
+         |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+         |  FROM orient e1
+         |  JOIN orient e2 ON e1.src = e2.src
+         |    AND (e1.dstd, e1.dst) < (e2.dstd, e2.dst)
+         |  JOIN orient e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+         |)
+         |SELECT p AS p_partkey, CAST(COUNT(*) AS BIGINT) AS tri_cnt,
+         |       CAST(MIN(deg) AS BIGINT) AS degree
+         |FROM (SELECT x AS p FROM tri UNION ALL SELECT y AS p FROM tri
+         |      UNION ALL SELECT z AS p FROM tri) t
+         |JOIN deg USING (p)
+         |GROUP BY p ORDER BY tri_cnt DESC, p_partkey LIMIT 20""".stripMargin,
+  )
+}

@@ -72,9 +72,48 @@ object SamplingQueries {
            sum(when(col("n_docs") > 1L && col("n_splits") > 1L, col("n_docs")).otherwise(0L)).as("n_leaky_docs"))
       .orderBy("source")
 
+  /** Salt for the temperature-mix admission hash — versioned separately
+    * from the split salt so re-mixing never moves split membership. */
+  private val mixSalt = ":graft-tmix-v1"
+
+  /** α = 0.5 temperature-weighted source mixing — the standard LLM
+    * data-mixing step: sampling mass p_s ∝ n_s^α flattens the source
+    * distribution (big sources down-weighted, small sources kept near
+    * verbatim), here with α = ½ and a 50 % total-token budget. All
+    * arithmetic is engine-portable by construction: the per-source
+    * weight is floor(sqrt(n_s)) (IEEE sqrt is correctly rounded, floor
+    * exact), global sums are integer, and the final acceptance rate
+    * becomes a 32-bit integer threshold compared against the salted
+    * id-stable [[ColFns.md5Long]] hash — per-document admission is one
+    * map-side compare, so the mix is reproducible at any parallelism
+    * and a document's fate never depends on scan order. Plan: one
+    * column-pruned pass for per-source counts (tiny aggregate →
+    * broadcast back), one pass for admission — no corpus-sized shuffle
+    * anywhere. */
+  val sampleTemperatureMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val globals = stats.agg(sum(col("w")).as("sw"), sum(col("n_docs")).as("total"))
+    val rate = least(lit(1.0d),
+      (call_function("div", col("total"), lit(2L)).cast("double") * col("w").cast("double")) /
+        (col("sw").cast("double") * col("n_docs").cast("double")))
+    val thr = stats.crossJoin(broadcast(globals))
+      .withColumn("thr", floor(lit(4294967296.0d) * rate).cast("long"))
+      .select("source", "n_docs", "w", "thr")
+    docs.select(col("source"), col("n_chars"),
+        md5Long(concat(col("doc_id"), lit(mixSalt))).as("u"))
+      .join(broadcast(thr), "source")
+      .groupBy("source", "n_docs", "w", "thr")
+      .agg(sum(when(col("u") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("u") < col("thr"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_split_assign" -> sampleSplitAssign,
     "split_leakage_audit" -> splitLeakageAudit,
+    "sample_temperature_mix" -> sampleTemperatureMix,
   )
 
   // DuckDB mirrors. md5Long convention: CAST('0x' || substring(md5(x),1,8)
@@ -102,5 +141,30 @@ object SamplingQueries {
          |       CAST(SUM(CASE WHEN n_docs > 1 AND n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups,
          |       CAST(SUM(CASE WHEN n_docs > 1 AND n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_leaky_docs
          |FROM grp GROUP BY source ORDER BY source""".stripMargin,
+    "sample_temperature_mix" ->
+      s"""WITH stats AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+         |  FROM documents GROUP BY source
+         |), g AS (
+         |  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+         |         CAST(SUM(n_docs) AS BIGINT) AS total
+         |  FROM stats
+         |), thr AS (
+         |  SELECT source, n_docs, w,
+         |         CAST(FLOOR(4294967296.0 * LEAST(1.0,
+         |           (CAST(total // 2 AS DOUBLE) * CAST(w AS DOUBLE)) /
+         |           (CAST(sw AS DOUBLE) * CAST(n_docs AS DOUBLE)))) AS BIGINT) AS thr
+         |  FROM stats, g
+         |)
+         |SELECT t.source, t.n_docs, t.w, t.thr,
+         |       CAST(SUM(CASE WHEN doc.u < t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(SUM(CASE WHEN doc.u < t.thr THEN doc.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM (SELECT source, n_chars,
+         |             CAST('0x' || substring(md5(doc_id || '$mixSalt'), 1, 8) AS BIGINT) AS u
+         |      FROM documents) doc
+         |JOIN thr t ON t.source = doc.source
+         |GROUP BY t.source, t.n_docs, t.w, t.thr
+         |ORDER BY t.source""".stripMargin,
   )
 }

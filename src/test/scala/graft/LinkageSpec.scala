@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.LinkageQueries
+
+/** Properties for the linkage/structure family (fuzzy join, inverted
+  * index, triangle count) and the temperature mix. The DuckDB oracle is
+  * the authoritative value check; these pin the invariants a refactor
+  * could silently break (blocking discipline, shard bounds, orientation
+  * correctness on a planted graph, budget semantics).
+  */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val sf01 = "/root/testdata/sf0.01"
+
+  test("fuzzy join: pairs share a block, distance within threshold, no self-pairs") {
+    val rows = SparkEntry.queries("text_fuzzy_join_blocked")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      assert(a < b, s"pair not canonically ordered: $a / $b")
+      assert(a.split(' ').last == b.split(' ').last, s"pair crosses blocks: $a / $b")
+      val dist = r.getAs[Long]("dist")
+      assert(dist >= 1L && dist <= LinkageQueries.MaxEdit,
+        s"distance $dist out of (0, ${LinkageQueries.MaxEdit}] for $a / $b")
+      assert(r.getAs[Long]("cnt_a") > 0L && r.getAs[Long]("cnt_b") > 0L)
+    }
+    // canonical pairs are unique
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+  }
+
+  test("fuzzy join: an over-cap block is skipped wholesale") {
+    // every block in the fixture exceeds a cap of 1 (the 64-name
+    // vocabulary has 8 names per noun block), so capping at 1 must
+    // produce the empty result, not a partial join.
+    val capped = LinkageQueries.textFuzzyJoinBlockedCapped(1L)(spark, sf01)
+    assert(capped.count() == 0L)
+    // and the default cap is a no-op on this fixture (all blocks small)
+    val dflt = SparkEntry.queries("text_fuzzy_join_blocked")(spark, sf01).count()
+    val wide = LinkageQueries.textFuzzyJoinBlockedCapped(1000000L)(spark, sf01).count()
+    assert(dflt == wide)
+  }
+
+  test("inverted index: shard bounds, sorted postings, df consistency") {
+    val rows = SparkEntry.queries("text_inverted_index")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    val shardW = LinkageQueries.PostingShard
+    rows.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      val postings = r.getAs[scala.collection.Seq[Long]]("postings").toSeq
+      assert(postings.length.toLong == r.getAs[Long]("df_shard"))
+      assert(postings == postings.sorted, s"postings not sorted for ${r.getString(0)}")
+      assert(postings.distinct.length == postings.length, "duplicate doc in posting")
+      postings.foreach(id => assert(id / shardW == shard,
+        s"doc $id outside shard $shard"))
+    }
+    // per-term df across shards == distinct (term, doc) pairs of the corpus
+    val byTerm = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getAs[Long]("df_shard")).sum)
+    val expect = graft.sources.Tables.documents(spark, sf01)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select("term", "doc_id").distinct()
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTerm.toMap == expect)
+  }
+
+  test("triangle count: planted graph yields exactly the planted triangle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    // baskets (each listed twice so every pair clears MinSupport = 2):
+    //   {1,2,3}            -> triangle on 1,2,3
+    //   {4,5}              -> an edge with no closing wedge
+    //   {6,7,8} once only  -> support 1, below MinSupport: no edges
+    //   {10..23} twice     -> 14 items > MaxOrderItems: excluded wholesale
+    val baskets = Seq(
+      100L -> Seq(1L, 2L, 3L), 101L -> Seq(1L, 2L, 3L),
+      102L -> Seq(4L, 5L), 103L -> Seq(4L, 5L),
+      104L -> Seq(6L, 7L, 8L),
+      105L -> (10L to 23L), 106L -> (10L to 23L))
+    val rows = for ((o, ps) <- baskets; p <- ps) yield (o, p)
+    rows.toDF("l_orderkey", "l_partkey")
+      .withColumn("l_shipdate", to_timestamp_ntz(lit("2020-01-01")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("graph_triangle_count")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("tri_cnt"), r.getAs[Long]("degree")))
+    // only the planted triangle's nodes appear, each in exactly 1 triangle
+    // with degree 2; the support-1 basket and the oversized basket
+    // contribute nothing.
+    assert(got.toSeq == Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L)), got.toSeq.toString)
+  }
+
+  test("triangle count on the fixture: counts positive, ordered, bounded") {
+    val rows = SparkEntry.queries("graph_triangle_count")(spark, sf01).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val cnts = rows.map(_.getAs[Long]("tri_cnt"))
+    assert(cnts.forall(_ > 0L))
+    assert(cnts.sameElements(cnts.sortBy(-_)), "not ordered by tri_cnt desc")
+    rows.foreach(r => assert(r.getAs[Long]("degree") >= 2L,
+      "a triangle member needs degree >= 2"))
+  }
+
+  test("temperature mix: budget semantics and id-stable determinism") {
+    val df = SparkEntry.queries("sample_temperature_mix")(spark, sf01)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    var total = 0L; var kept = 0L
+    rows.foreach { r =>
+      val (n, k, thr) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"), r.getAs[Long]("thr"))
+      assert(k <= n)
+      assert(thr >= 0L && thr <= (1L << 32))
+      // rate-1 sources keep everything (thr saturated at 2^32 > any u)
+      if (thr == (1L << 32)) assert(k == n, s"saturated source dropped docs: $k/$n")
+      total += n; kept += k
+    }
+    // α=0.5 at a 50% budget: the hash admission tracks the target within
+    // sampling noise — pin a generous band, not the exact draw.
+    val frac = kept.toDouble / total
+    assert(frac > 0.30 && frac < 0.70, s"kept fraction $frac far from budget")
+    // deterministic: a rerun is bit-identical
+    assert(df.collect().map(_.toString).toSeq == rows.map(_.toString).toSeq)
+  }
+}
