@@ -137,6 +137,34 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$dir10/ewj/events.parquet")
 
+    // Sub-fixture for graph_triangle_count (round 10): the shared 10×
+    // lineitem offsets only l_orderkey, so the copies would pile
+    // co-occurrence SUPPORT onto the same part pairs — every support-1
+    // noise pair would clear the ≥2 floor at 10×, densifying the graph
+    // ~30× as a pure duplication artifact (the SimHash-salting lesson:
+    // growth must come from NEW entities, not replayed ones). Offsetting
+    // BOTH keys gives 10 disjoint copies of the graph — the 100 TB shape
+    // for basket data: more orders over a wider catalog.
+    li.write.mode("overwrite").parquet(s"$dir1/tri/lineitem.parquet")
+    (0 until 10).map(t => li
+        .withColumn("l_orderkey", col("l_orderkey") + t * keyOff)
+        .withColumn("l_partkey", col("l_partkey") + t * keyOff))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir10/tri/lineitem.parquet")
+
+    // Sub-fixture for text_fuzzy_join_blocked: per-copy suffix on the
+    // name (last token = the blocking key) keeps blocks disjoint across
+    // copies — vocabulary, blocks, and matched pairs all grow 10× while
+    // in-block edit distances are untouched (a shared suffix adds zero
+    // cost to levenshtein's band).
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    part.write.mode("overwrite").parquet(s"$dir1/fz/part.parquet")
+    (0 until 10).map(t => part
+        .withColumn("p_partkey", col("p_partkey") + t * keyOff)
+        .withColumn("p_name", concat(col("p_name"), lit(s"q$t"))))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir10/fz/part.parquet")
+
     // Embeddings: per-copy orthogonal ±1 diagonal (see class doc). The
     // flip pattern is murmur3(dim, copy) parity — deterministic, so the
     // fixture is reproducible run to run.
@@ -213,7 +241,19 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
         graft.queries.ExtensionQueries.eventsLatenessHistogram),
       sym("events_error_window_join",
         (s, d) => graft.queries.ExtensionQueries
-          .eventsErrorWindowJoin(s, s"$d/ewj")))
+          .eventsErrorWindowJoin(s, s"$d/ewj")),
+      // round 10: the linkage family. Triangles and the fuzzy join run
+      // verbatim against their disjoint-copy sub-fixtures (see
+      // beforeAll); the index and the mix run on the shared salted docs
+      // (salted words = 10× vocabulary with per-copy posting lists;
+      // shared sources = 10× per-source counts through the same
+      // broadcast-threshold plan).
+      sym("graph_triangle_count",
+        (s, d) => graft.queries.LinkageQueries.graphTriangleCount(s, s"$d/tri")),
+      sym("text_fuzzy_join_blocked",
+        (s, d) => graft.queries.LinkageQueries.textFuzzyJoinBlocked(s, s"$d/fz")),
+      sym("text_inverted_index", graft.queries.LinkageQueries.textInvertedIndex),
+      sym("sample_temperature_mix", graft.queries.SamplingQueries.sampleTemperatureMix))
   }
 
   /** Entries whose plan legitimately contains a nested-loop join, so the
