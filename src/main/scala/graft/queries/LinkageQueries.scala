@@ -130,43 +130,53 @@ object LinkageQueries {
     * struct carried on the edge, not a rank relabeling). Output: the 20
     * most triangle-dense parts. */
   val graphTriangleCount: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    // items feeds the size filter and both self-join sides.
-    val snap = Sessions.snapshot(items)._2
-    val okOrders = snap.groupBy("o").agg(count(lit(1)).as("sz"))
-      .filter(col("sz") <= MaxOrderItems).select("o")
-    val kept = snap.join(okOrders, "o")
-    val pairs = kept.as("a").join(kept.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+    // One shuffle builds the per-order item sets: collect_set dedups
+    // within the order (subsuming a separate distinct) and the size cap
+    // applies to the collapsed set — the raw (o, p) rows shuffle once,
+    // by o, and never again. Pair expansion is then a map-side
+    // array comprehension over ≤ MaxOrderItems elements (bounded HOF —
+    // fine interpreted at ≤ C(12,2) = 66 structs/order), which replaces
+    // the self-join shape: no second corpus shuffle, no join whose
+    // output IS the pair multiset, no multi-read snapshot of items.
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("arr"))
+      .filter(size(col("arr")) <= MaxOrderItems)
+    val pairCombos = flatten(transform(col("arr"), (x, i) =>
+      transform(slice(col("arr"), i + lit(2), size(col("arr"))),
+        y => struct(x.as("pa"), y.as("pb")))))
+    val pairs = baskets
+      .select(explode(pairCombos).as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= MinSupport)
       .select("pa", "pb")
-    // pairs feeds deg, orient, and the per-node report — snapshot once
-    // (support-thresholded edge set: small by construction).
+    // pairs is the one lineage worth materializing (its input is the
+    // corpus-sized basket expansion); everything downstream — degrees,
+    // orientation, the wedge joins — recomputes from this
+    // support-thresholded edge set, which is small by construction, so
+    // the extra lineage re-runs are trivial shuffles and the query
+    // avoids two more job barriers.
     val eSnap = Sessions.snapshot(pairs)._2
     val deg = eSnap.select(col("pa").as("p")).union(eSnap.select(col("pb").as("p")))
       .groupBy("p").agg(count(lit(1)).as("deg"))
-    val dSnap = Sessions.snapshot(deg)._2
     val withDeg = eSnap
-      .join(dSnap.select(col("p").as("pa"), col("deg").as("da")), "pa")
-      .join(dSnap.select(col("p").as("pb"), col("deg").as("db")), "pb")
+      .join(deg.select(col("p").as("pa"), col("deg").as("da")), "pa")
+      .join(deg.select(col("p").as("pb"), col("deg").as("db")), "pb")
     val aFirst = struct(col("da"), col("pa")) < struct(col("db"), col("pb"))
     val orient = withDeg.select(
       when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
       when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
       when(aFirst, col("db")).otherwise(col("da")).as("dstd"))
-    val oSnap = Sessions.snapshot(orient)._2
-    val wedges = oSnap.as("e1").join(oSnap.as("e2"),
+    val wedges = orient.as("e1").join(orient.as("e2"),
       col("e1.src") === col("e2.src") &&
         struct(col("e1.dstd"), col("e1.dst")) < struct(col("e2.dstd"), col("e2.dst")))
-    val tri = wedges.join(oSnap.as("e3"),
+    val tri = wedges.join(orient.as("e3"),
         col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
       .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("p"))
       .groupBy("p").agg(count(lit(1)).as("tri_cnt"))
-      .join(dSnap, "p")
+      .join(deg, "p")
       .select(col("p").as("p_partkey"), col("tri_cnt"), col("deg").as("degree"))
       .orderBy(desc("tri_cnt"), asc("p_partkey"))
       .limit(20)

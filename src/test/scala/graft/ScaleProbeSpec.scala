@@ -267,7 +267,10 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
     * spill still gate the entry's actual data volume. text_tfidf_top_terms
     * is the other instance: its crossJoin(broadcast(nDocs)) is the 1-row
     * corpus-size scalar. */
-  private val boundedNestedLoop = Set("sim_ann_ivf", "text_tfidf_top_terms")
+  private val boundedNestedLoop =
+    // sample_temperature_mix: crossJoin(broadcast(globals)) — the 1-row
+    // corpus-total scalar, same class as text_tfidf_top_terms's.
+    Set("sim_ann_ivf", "text_tfidf_top_terms", "sample_temperature_mix")
 
   /** One measured run: (wall seconds, [[Metrics.TaskWork]], plan-sane).
     * The query is CONSTRUCTED inside the metered block — the iterative
