@@ -367,20 +367,66 @@ object DedupQueries {
     * (~1e-6) collision is mirrored bit-for-bit. private[graft]:
     * EquivalenceSpec drives a synthetic boilerplate corpus through the
     * drop branch. */
-  private[graft] def ngramJaccardCapped(shRaw: DataFrame, cap: Int): DataFrame = {
+  /** The df-capped, 60-bit-digested shingle universe as one snapshot —
+    * shared by the exact-Jaccard and containment scorers (see
+    * [[ngramJaccardCapped]]'s scaladoc for why the cut is an aggregate +
+    * SHUFFLE_HASH semi join, not a window). */
+  private def dfCappedShingles(shRaw: DataFrame, cap: Int): DataFrame = {
     val dig = shRaw.select(col("doc_id"), md5Long60(col("s")).as("s"))
     val keptS = dig.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap)
       .select("s")
-    val kept = Sessions.snapshot(
+    Sessions.snapshot(
       dig.join(keptS.hint("SHUFFLE_HASH"), Seq("s"), "leftsemi"))._2
-    jaccardScored(kept)
   }
+
+  private[graft] def ngramJaccardCapped(shRaw: DataFrame, cap: Int): DataFrame =
+    jaccardScored(dfCappedShingles(shRaw, cap))
 
   /** Declared form of the df-capped exact Jaccard (cap = 64; fixtures'
     * max shingle df is 7 at sf0.01 / 25 at sf0.1, so this equals the
     * uncapped truth there — asserted by EquivalenceSpec). */
   val dedupNgramJaccardCapped: Q = (s, d) => ngramJaccardCapped(shingleSet(s, d), 64)
+
+  /** Asymmetric shingle containment, C_max(A,B) = |A∩B| / min(|A|,|B|)
+    * — the doc-in-doc detector symmetric Jaccard is blind to: a quote
+    * page embedded in a long article shares nearly ALL of its own
+    * shingles (containment ≈ 1) while Jaccard ≈ |small|/|big| ≈ 0
+    * (Broder's containment measure, the boilerplate/quotation analog of
+    * resemblance). Same plan skeleton as [[jaccardScored]] over the same
+    * df-capped universe ([[dfCappedShingles]]): narrow (doc, digest)
+    * intersection join + 16-byte-key aggregate, per-doc sizes broadcast
+    * in afterwards, then one integer-ratio filter. Output orients each
+    * pair as (contained=smaller set, container=larger; ties keep id
+    * order) and reports both scores so a consumer can separate true
+    * near-dups (high Jaccard) from embeddings (high containment, low
+    * Jaccard). */
+  private[graft] def ngramContainment(shRaw: DataFrame, cap: Int): DataFrame = {
+    val sh = dfCappedShingles(shRaw, cap)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val aSmall = col("na") <= col("nb")
+    inter
+      .join(broadcast(sizes.select(col("doc_id"), col("nsh").as("na"))), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(broadcast(sizes.select(col("doc_id"), col("nsh").as("nb"))), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("containment", col("inter") / least(col("na"), col("nb")))
+      .filter(col("containment") >= 0.8)
+      .select(
+        when(aSmall, col("doc_a")).otherwise(col("doc_b")).as("doc_contained"),
+        when(aSmall, col("doc_b")).otherwise(col("doc_a")).as("doc_container"),
+        when(aSmall, col("na")).otherwise(col("nb")).as("n_contained"),
+        when(aSmall, col("nb")).otherwise(col("na")).as("n_container"),
+        round(col("containment"), 6).as("containment"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .orderBy("doc_contained", "doc_container")
+  }
+
+  /** Declared containment detector (same cap-64 universe as the exact
+    * Jaccard baseline). */
+  val dedupContainment: Q = (s, d) => ngramContainment(shingleSet(s, d), 64)
 
   /** 60-bit SimHash near-dup pairs (Hamming ≤ 4) via an ALL-PAIRS Hamming
     * scan — spec-only ground truth, never declared as a query (mirrors
@@ -702,6 +748,7 @@ object DedupQueries {
     "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_keep_canonical" -> dedupKeepCanonical,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
+    "dedup_containment" -> dedupContainment,
     "dedup_simhash_banded" -> dedupSimhashBanded,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
   )
@@ -1034,6 +1081,35 @@ object DedupQueries {
         |JOIN sizes nb ON nb.doc_id = doc_b
         |WHERE inter / (na.nsh + nb.nsh - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), shd AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS s FROM sh0
+        |), sh AS (
+        |  SELECT doc_id, s FROM shd
+        |  QUALIFY COUNT(*) OVER (PARTITION BY s) <= 64
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT CASE WHEN na.nsh <= nb.nsh THEN doc_a ELSE doc_b END AS doc_contained,
+        |       CASE WHEN na.nsh <= nb.nsh THEN doc_b ELSE doc_a END AS doc_container,
+        |       CASE WHEN na.nsh <= nb.nsh THEN na.nsh ELSE nb.nsh END AS n_contained,
+        |       CASE WHEN na.nsh <= nb.nsh THEN nb.nsh ELSE na.nsh END AS n_container,
+        |       round(inter / LEAST(na.nsh, nb.nsh), 6) AS containment,
+        |       round(inter / (na.nsh + nb.nsh - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = doc_a
+        |JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE inter / LEAST(na.nsh, nb.nsh) >= 0.8
+        |ORDER BY doc_contained, doc_container""".stripMargin,
     // The oracle is the all-pairs computation: the banded form is provably
     // the identical result set (6 disjoint 10-bit blocks joined on all
     // C(6,2)=15 block pairs — Hamming ≤ 4 touches at most 4 blocks, so

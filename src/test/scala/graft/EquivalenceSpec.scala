@@ -144,4 +144,32 @@ class EquivalenceSpec extends SparkSpec {
     assert(rows(2L) == ((12L, 0L, emptyMd5)), s"second copy not removed: ${rows(2L)}")
     assert(rows(3L)._1 == rows(3L)._2, s"unique doc lost tokens: ${rows(3L)}")
   }
+
+  test("containment flags a doc-in-doc pair that Jaccard misses, oriented small-into-big") {
+    import spark.implicits._
+    // A 60-token article, a 12-token quote lifted verbatim from its
+    // middle, and an unrelated doc. Every 3-shingle of the quote appears
+    // in the article → containment = 1.0, while Jaccard = 10/58 ≈ 0.17
+    // sits far below the near-dup threshold — the asymmetric case the
+    // operator exists for. The pair must orient (contained=quote,
+    // container=article) regardless of id order, so ids are chosen with
+    // the CONTAINER first (a (na<=nb ⇒ doc_a) tie-break bug would flip
+    // it). The unrelated doc shares no shingle and must not pair.
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val article = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (25 to 36).map(i => s"w$i").mkString(" ")
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    Seq((1L, article, "en", "src_a", article.length),
+        (2L, quote, "en", "src_b", quote.length),
+        (3L, other, "en", "src_c", other.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.DedupQueries.dedupContainment(spark, dir).collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    val r = rows.head
+    assert(r.getAs[Long]("doc_contained") == 2L && r.getAs[Long]("doc_container") == 1L)
+    assert(r.getAs[Long]("n_contained") == 10L && r.getAs[Long]("n_container") == 58L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Double]("jaccard") < 0.5, s"jaccard ${r.getAs[Double]("jaccard")}")
+  }
 }

@@ -196,6 +196,10 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       sym("dedup_simhash_banded", DedupQueries.dedupSimhashBanded),
       sym("dedup_jaccard_on_lsh", DedupQueries.dedupJaccardOnLsh),
       sym("dedup_ngram_jaccard_capped", DedupQueries.dedupNgramJaccardCapped),
+      // round 10: containment shares the ngram plan class (same df-capped
+      // universe, same intersection join) — probe it independently since
+      // its ratio filter keeps a different pair population.
+      sym("dedup_containment", DedupQueries.dedupContainment),
       sym("text_dup_span_ratio", TextQueries.textDupSpanRatio),
       sym("text_dedup_spans", TextQueries.textDedupSpans),
       // round 9: the leakage audit's risk mode is the count-distinct
