@@ -104,7 +104,7 @@ object VolumeProbe {
 
     // Optional comma-separated query-name filter for iterating on one
     // entry without paying the full ~25-min probe; the committed artifact
-    // must come from an unfiltered run (all 11 entries present).
+    // must come from an unfiltered run (all 13 entries present).
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_VOL_ONLY").map(_.split(",").map(_.trim).toSet)
     def wanted(n: String): Boolean = only.forall(_.contains(n))
@@ -114,8 +114,11 @@ object VolumeProbe {
     var exitCode = 0
     try {
       val embNames = Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh")
-      val needDocs = only.forall(_.exists(n => !embNames.contains(n)))
+      val triName = "graph_triangle_count"
+      val needDocs =
+        only.forall(_.exists(n => !embNames.contains(n) && n != triName))
       val needEmb = only.forall(_.exists(embNames.contains))
+      val needTri = wanted(triName)
 
       if (needDocs) {
         val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -143,6 +146,24 @@ object VolumeProbe {
           col("label"))
         (0 until factor).map(saltedEmb).reduce(_ union _)
           .write.mode("overwrite").parquet(s"$dirN/embeddings.parquet")
+      }
+
+      // Co-order graph fixture: factor× disjoint copies via offsets on
+      // BOTH keys (the ScaleProbeSpec `tri` rationale: offsetting only
+      // the orderkey would pile co-occurrence SUPPORT onto the same part
+      // pairs and densify the graph as a duplication artifact; disjoint
+      // copies are the honest "more orders over a wider catalog" shape).
+      if (needTri) {
+        // Full columns: Tables.lineitem normalizes l_shipdate at the
+        // source boundary and fails fast on a missing column.
+        val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        li.write.mode("overwrite").parquet(s"$dir1/tri/lineitem.parquet")
+        val keyOff = 1000000000L
+        (0 until factor).map(t => li
+            .withColumn("l_orderkey", col("l_orderkey") + t * keyOff)
+            .withColumn("l_partkey", col("l_partkey") + t * keyOff))
+          .reduce(_ union _)
+          .write.mode("overwrite").parquet(s"$dirN/tri/lineitem.parquet")
       }
 
       // ⌈log₂ factor⌉ extra LSH planes at factor× vectors — the
@@ -185,6 +206,21 @@ object VolumeProbe {
           // document frequency, so the df≤64 cap drops the same shingle
           // universe at every factor) and the span-profiling equi-join.
           sym("dedup_ngram_jaccard_capped", DedupQueries.dedupNgramJaccardCapped),
+          // round 10: containment rides the same df-capped shingle
+          // universe and intersection join (word salting preserves each
+          // shingle's df per copy, and Jaccard/containment are invariant
+          // under the injective per-copy renaming, so true pairs grow
+          // exactly linearly — same argument as the Jaccard entries).
+          sym("dedup_containment", DedupQueries.dedupContainment),
+          // round 10: the co-order triangle pipeline on its disjoint-copy
+          // lineitem fixture — the one corpus-scale shuffle is the basket
+          // collect_set; edges/wedges/triangles all grow factor× by
+          // construction.
+          (triName,
+            (s: SparkSession, dd: String) =>
+              graft.queries.LinkageQueries.graphTriangleCount(s, s"$dd/tri"),
+            (s: SparkSession, dd: String) =>
+              graft.queries.LinkageQueries.graphTriangleCount(s, s"$dd/tri")),
           // round 10 (r9 verdict #1): the banded SimHash join, whose
           // 20-bit block-pair keys approach birthday saturation near the
           // 100× corpus (~500 k docs vs the (6,2) rule bound of ~140 k).
