@@ -43,6 +43,35 @@ object TextQueries {
       .orderBy("lang", "pred_lang")
   }
 
+  /** Per-document n-gram novelty against everything ingested BEFORE it
+    * (doc_id as the ingest-order proxy): the fraction of a doc's distinct
+    * 3-shingles whose FIRST corpus occurrence is this doc. The
+    * incremental-crawl curation signal — a feed whose novelty collapses
+    * toward 0 is re-serving known content and can be throttled before
+    * dedup pays for it. Exact and linear: one min-aggregate over the
+    * 60-bit-digested shingle set (map-side partial min — only
+    * (digest, min-doc) rows shuffle), one equi-join back on the same
+    * digest key, one per-doc count aggregate; no windows, no ordering by
+    * ingest time anywhere (min over doc_id is order-free). Digest
+    * collisions (~1e-6 at 60 bits) are mirrored bit-for-bit by the
+    * oracle's identical digesting. */
+  val textNgramNovelty: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles3(col("w")))).as("s0"))
+      .select(col("doc_id"), md5Long60(col("s0")).as("s"))
+    val snap = org.apache.spark.sql.graftx.Sessions.snapshot(sh)._2
+    val first = snap.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    snap.join(first, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document quality score from length, stopword ratio, and lexical
     * diversity — all ratios of exact integers, so the double arithmetic is
     * bit-identical in both engines. */
@@ -595,6 +624,7 @@ object TextQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "text_ngram_novelty" -> textNgramNovelty,
     "text_vocab_coverage" -> textVocabCoverage,
     "text_dup_span_ratio" -> textDupSpanRatio,
     "text_dedup_spans" -> textDedupSpans,
@@ -621,6 +651,23 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_novelty" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), shd AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS s FROM sh0
+        |), first AS (
+        |  SELECT s, MIN(doc_id) AS first_doc FROM shd GROUP BY s
+        |)
+        |SELECT shd.doc_id, COUNT(*) AS n_shingles,
+        |       CAST(SUM(CASE WHEN first.first_doc = shd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       round(CAST(SUM(CASE WHEN first.first_doc = shd.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |             / COUNT(*), 6) AS novelty
+        |FROM shd JOIN first USING (s)
+        |GROUP BY shd.doc_id ORDER BY shd.doc_id""".stripMargin,
     "text_vocab_coverage" ->
       s"""WITH counts AS (
         |  SELECT lang, wd, COUNT(*) AS n

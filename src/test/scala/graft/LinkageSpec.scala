@@ -101,6 +101,59 @@ class LinkageSpec extends SparkSpec {
       "a triangle member needs degree >= 2"))
   }
 
+  test("ngram novelty: duplicate copies score 0, the first occurrence scores 1, short docs drop") {
+    import spark.implicits._
+    // doc 1 introduces every shingle (novelty 1.0); doc 2 is a verbatim
+    // copy (novelty 0.0 — all shingles first seen at doc 1); doc 3 is
+    // half-copied from doc 1 and half new; doc 4 is under 3 tokens and
+    // must be excluded, not scored NaN.
+    val dir = java.nio.file.Files.createTempDirectory("graft-novel").toString
+    val base = (1 to 12).map(i => s"n$i").mkString(" ")
+    val mixed = ((7 to 12) ++ (100 to 105)).map(i => s"n$i").mkString(" ")
+    Seq((1L, base, "en", "s1", base.length.toLong),
+        (2L, base, "en", "s2", base.length.toLong),
+        (3L, mixed, "en", "s3", mixed.length.toLong),
+        (4L, "too short", "en", "s4", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_ngram_novelty")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty")))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), rows.toString)
+    assert(rows(1L) == ((10L, 10L, 1.0)))
+    assert(rows(2L) == ((10L, 0L, 0.0)))
+    // mixed: 10 shingles; the window n7..n12 re-uses 4 of doc 1's
+    // (n7 n8 n9 .. n10 n11 n12), the n12→n100 boundary and the n100+
+    // tail are new: 6 novel.
+    assert(rows(3L) == ((10L, 6L, 0.6)), rows(3L).toString)
+  }
+
+  test("edge inputs: null names, sub-support graphs, and shingle-free corpora stay empty, not broken") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge").toString
+    // part: one null name, two names too far apart to match (dist > 3)
+    Seq((1L, Option.empty[String], "b", "t", 1, 1.0),
+        (2L, Option("aaaa bolt"), "b", "t", 1, 1.0),
+        (3L, Option("zzzzzzzz bolt"), "b", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    assert(SparkEntry.queries("text_fuzzy_join_blocked")(spark, dir).count() == 0L)
+    // lineitem: every co-order pair occurs once — below MinSupport
+    Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_shipdate", to_timestamp_ntz(lit("2020-01-01")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(SparkEntry.queries("graph_triangle_count")(spark, dir).count() == 0L)
+    // documents: null text and sub-3-token docs only
+    Seq((1L, Option.empty[String], "en", "s", 0L), (2L, Option("one two"), "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("text_inverted_index")(spark, dir).count() == 2L,
+      "the two-token doc still indexes one row per term")
+    assert(SparkEntry.queries("text_ngram_novelty")(spark, dir).count() == 0L)
+    assert(SparkEntry.queries("dedup_containment")(spark, dir).count() == 0L)
+  }
+
   test("temperature mix: budget semantics and id-stable determinism") {
     val df = SparkEntry.queries("sample_temperature_mix")(spark, sf01)
     val rows = df.collect()

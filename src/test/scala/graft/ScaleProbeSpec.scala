@@ -201,6 +201,10 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       // its ratio filter keeps a different pair population.
       sym("dedup_containment", DedupQueries.dedupContainment),
       sym("text_dup_span_ratio", TextQueries.textDupSpanRatio),
+      // round 10: novelty shares the digested-shingle min-agg + equi-join
+      // class; per-copy word salting keeps every copy's first-occurrence
+      // structure intact, so output and volume track ~10×.
+      sym("text_ngram_novelty", TextQueries.textNgramNovelty),
       sym("text_dedup_spans", TextQueries.textDedupSpans),
       // round 9: the leakage audit's risk mode is the count-distinct
       // expansion over (source, digest) groups; salted copies grow dup
