@@ -400,7 +400,19 @@ object DedupQueries {
     * pair as (contained=smaller set, container=larger; ties keep id
     * order) and reports both scores so a consumer can separate true
     * near-dups (high Jaccard) from embeddings (high containment, low
-    * Jaccard). */
+    * Jaccard).
+    *
+    * Why this does NOT ride the MinHash-LSH candidates the way
+    * [[dedupJaccardOnLsh]] does: symmetric MinHash collides docs with
+    * probability = their JACCARD — exactly the quantity that is ≈ 0 for
+    * the asymmetric pairs this operator exists to find (a 10-shingle
+    * quote in a 10 000-shingle article has Jaccard ≈ 0.001; its band
+    * collision probability is negligible at any sane (k, bands)). The
+    * recall-complete form at scale is this df-capped exact join — its
+    * cost tracks the ngram-Jaccard baseline's (shared 100× point,
+    * VOLPROBE_r10: 104.8× records, same 3.7 GB spill floor) — or an
+    * asymmetric sketch (e.g. small-side-anchored sampling) that changes
+    * the candidate generator, not this scorer. */
   private[graft] def ngramContainment(shRaw: DataFrame, cap: Int): DataFrame = {
     val sh = dfCappedShingles(shRaw, cap)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
