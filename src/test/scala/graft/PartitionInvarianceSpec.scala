@@ -42,4 +42,22 @@ class PartitionInvarianceSpec extends SparkSpec {
       assert(base.nonEmpty, s"$name produced no rows on sf0.001")
     }
   }
+
+  test("EVERY declared query is invariant under a 7-way repartition of its inputs") {
+    // The blanket form of the per-family pins above: the whole inventory,
+    // one assertion per query, failures aggregated so a regression names
+    // every affected operator in one run instead of one per rerun.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      try {
+        val base = q(spark, sfDir).collect().map(_.toString).toSeq
+        val moved = q(spark, shuffledDir).collect().map(_.toString).toSeq
+        org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+        if (base == moved) None
+        else Some(s"$name: ${base.diff(moved).take(2)} vs ${moved.diff(base).take(2)}")
+      } catch {
+        case scala.util.control.NonFatal(e) => Some(s"$name threw: $e")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
