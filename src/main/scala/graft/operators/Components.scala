@@ -49,6 +49,16 @@ import org.apache.spark.sql.graftx.Sessions
   */
 object Components {
 
+  /** Rounds the most recent [[connectedComponents]] call took to reach
+    * its fixpoint — probe introspection only. VolumeProbe normalizes the
+    * clusters entry's per-round linearity gate by this: every round
+    * re-joins the full edge set, so total join-output rows are
+    * rounds × O(edges), and rounds track the MAX component diameter in
+    * the corpus (O(log d) by the doubling argument above) — a property
+    * of the data's cluster structure, not of data volume. Not
+    * thread-safe across concurrent component runs. */
+  @volatile var lastRounds: Int = -1
+
   /** @param pairs     (doc_a, doc_b) undirected candidate pairs
     * @param loopParts shuffle width for the iterative stage (size to the
     *                  edge volume; a handful for small graphs)
@@ -130,6 +140,7 @@ object Components {
         converged = changed == 0
         round += 1
       }
+      lastRounds = round
       if (!converged)
         throw new IllegalStateException(
           s"connectedComponents did not converge within $maxRounds rounds")

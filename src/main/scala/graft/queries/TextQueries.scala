@@ -91,6 +91,53 @@ object TextQueries {
           6).as("score"))
       .orderBy("doc_id")
 
+  /** Corpus-relative token-rarity scoring — the frequency-based quality
+    * signal of CCNet-style curation, log-free: each document gets the
+    * mean corpus frequency of its tokens plus the fraction of its tokens
+    * that are corpus-rare. "Rare" is RELATIVE — cf · 8 · |vocab| <
+    * total_tokens, i.e. the token sits under ⅛ of the mean per-word
+    * frequency — so the signal survives any corpus scale unchanged where
+    * an absolute cf ≤ k cut goes vacuous as the corpus grows. The compare
+    * runs in decimal(38,0): the long product overflows at web scale
+    * (cf ~ 1e12 × vocab ~ 1e8).
+    *
+    * Scale shape: the (doc_id, word) aggregate is the only corpus-wide
+    * shuffle of raw tokens (map-side combine collapses repeats first).
+    * The vocabulary join is split head/tail: the hottest words join
+    * map-side from a broadcast — the Zipf head carries most token mass
+    * and would otherwise hot-key the shuffle join (the skew_salted_join
+    * remedy, by composition; at deployment the head is the top ~100k
+    * words, a few MB) — while the tail joins shuffle-side where the head
+    * cut bounds every key's row count. Corpus totals ride one broadcast
+    * scalar row. All score arithmetic stays exact-integer/decimal until
+    * one double division + round(6) (the textTfidfTopTerms discipline).
+    */
+  val textTokenRarity: Q = (s, d) => {
+    val tokc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val snap = org.apache.spark.sql.graftx.Sessions.snapshot(tokc)._2
+    val freq = snap.groupBy("word").agg(sum(col("c")).cast("long").as("cf"))
+    val head = freq.orderBy(desc("cf"), asc("word")).limit(16)
+    val tailFreq = freq.join(broadcast(head.select("word")), Seq("word"), "left_anti")
+    val hit = snap.join(broadcast(head), Seq("word"))
+      .unionByName(snap.join(tailFreq, Seq("word")))
+    val totals = freq.agg(sum(col("cf")).cast("decimal(38,0)").as("toks"),
+                          count(lit(1)).cast("decimal(38,0)").as("vocab"))
+    hit.crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+           sum(col("c").cast("decimal(38,0)") * col("cf")).cast("long").as("sum_cf"),
+           sum(when(col("cf").cast("decimal(38,0)") * lit(8) * col("vocab") < col("toks"),
+                    col("c")).otherwise(0L)).cast("long").as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_cf").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("mean_token_cf"),
+        round(col("n_rare").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting per source: whitespace tokens and a regex "lexer"
     * count (word / number / punctuation tokens — a BPE-ish pre-tokenizer
     * shape). The regex keeps to char classes so Java and RE2 semantics
@@ -643,6 +690,7 @@ object TextQueries {
     "text_wordcount_per_lang" -> textWordcountPerLang,
     "text_lang_id" -> textLangId,
     "text_quality_score" -> textQualityScore,
+    "text_token_rarity" -> textTokenRarity,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
   )
@@ -651,6 +699,25 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_token_rarity" ->
+      s"""WITH tokc AS (
+        |  SELECT doc_id, word, COUNT(*) AS c
+        |  FROM (SELECT doc_id, UNNEST(${wordsSql.format("text")}) AS word FROM documents)
+        |  GROUP BY doc_id, word
+        |), freq AS (
+        |  SELECT word, CAST(SUM(c) AS BIGINT) AS cf FROM tokc GROUP BY word
+        |), tot AS (
+        |  SELECT CAST(SUM(cf) AS HUGEINT) AS toks, CAST(COUNT(*) AS HUGEINT) AS vocab FROM freq
+        |)
+        |SELECT t.doc_id,
+        |       CAST(SUM(t.c) AS BIGINT) AS n_tokens,
+        |       round(CAST(CAST(SUM(t.c * f.cf) AS BIGINT) AS DOUBLE)
+        |             / CAST(CAST(SUM(t.c) AS BIGINT) AS DOUBLE), 6) AS mean_token_cf,
+        |       round(CAST(CAST(SUM(CASE WHEN CAST(f.cf AS HUGEINT) * 8 * tot.vocab < tot.toks
+        |                                THEN t.c ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |             / CAST(CAST(SUM(t.c) AS BIGINT) AS DOUBLE), 6) AS rare_frac
+        |FROM tokc t JOIN freq f USING (word) CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "text_ngram_novelty" ->
       """WITH sh0 AS (
         |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),

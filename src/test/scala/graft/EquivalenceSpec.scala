@@ -172,4 +172,30 @@ class EquivalenceSpec extends SparkSpec {
     assert(r.getAs[Double]("containment") == 1.0)
     assert(r.getAs[Double]("jaccard") < 0.5, s"jaccard ${r.getAs[Double]("jaccard")}")
   }
+
+  test("textTokenRarity: closed-form scores on a planted Zipf head + rare tail") {
+    import spark.implicits._
+    // 20-word vocab: c1..c16 at cf=10 (the broadcast head — exactly the
+    // head-16 cut, so the tail branch carries the r-words and is
+    // non-vacuous), r1..r4 at cf=1. toks=164, vocab=20; the relative
+    // rarity rule (cf·8·20 < 164) admits exactly the cf=1 words
+    // (1·160 < 164) and rejects cf=10 (800 > 164).
+    val dir = java.nio.file.Files.createTempDirectory("graft-rarity").toString
+    val cs = (1 to 16).map(i => s"c$i")
+    val doc1 = (cs :+ "r1").mkString(" ")                     // each c ×1, r1
+    val doc2 = (cs.flatMap(w => Seq.fill(9)(w)) ++ Seq("r2", "r3", "r4")).mkString(" ")
+    Seq((1L, doc1, "en", "s1", doc1.length),
+        (2L, doc2, "en", "s1", doc2.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextQueries.textTokenRarity(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 2)
+    assert(rows(1L).getAs[Long]("n_tokens") == 17L)
+    assert(math.abs(rows(1L).getAs[Double]("mean_token_cf") - 161.0 / 17) < 1e-6)
+    assert(math.abs(rows(1L).getAs[Double]("rare_frac") - 1.0 / 17) < 1e-6)
+    assert(rows(2L).getAs[Long]("n_tokens") == 147L)
+    assert(math.abs(rows(2L).getAs[Double]("mean_token_cf") - 1443.0 / 147) < 1e-6)
+    assert(math.abs(rows(2L).getAs[Double]("rare_frac") - 3.0 / 147) < 1e-6)
+  }
 }
