@@ -343,6 +343,11 @@ object VolumeProbe {
         // materializing downstream.
         val extra = new StringBuilder
         var entryExtraOk = true
+        // True when a custom, self-labelling joinrows gate (the
+        // `joinrows_gate` artifact field) replaced the flat 2×-linear
+        // bound; the floor-admission flag below must not fire for those —
+        // their pass is explained by the recorded gate, not the 10k floor.
+        var customJoinGate = false
         if (name == "dedup_simhash_banded") {
           val res1 = q1(spark, dir1).count()
           Sessions.releaseSnapshots()
@@ -361,6 +366,7 @@ object VolumeProbe {
           extra ++= f""""result_growth":$growth%.2f,"cross_copy_pairs":$cross,"""
           extra ++= s""""gate_isolation":$isolation,"""
           extra ++= s""""joinrows_gate":"joinrows<=2x_true_result_growth","""
+          customJoinGate = true
         }
         // dedup_clusters_raw normalizes its joinrows arm by the MEASURED
         // convergence rounds (round-10, from the first 1000× run failing
@@ -386,13 +392,15 @@ object VolumeProbe {
           extra ++= s""""rounds_1x":$rounds1,"rounds_${factor}x":$roundsN,"""
           extra ++= s""""gate_rounds":$roundsOk,"""
           extra ++= s""""joinrows_gate":"joinrows<=2x_linear_per_round","""
+          customJoinGate = true
         }
         // Floor-admission flag (round-6 ADVICE): true when the pass rode
         // the 10k-record floor rather than 2×-linear growth of the
         // query's own 1× baseline.
         val floorAdmitted =
           (recOk && kN.shuffleRecordsRead > 2L * factor * k1.shuffleRecordsRead) ||
-          (joinOk && kN.joinOutputRows > 2L * factor * k1.joinOutputRows)
+          (!customJoinGate && joinOk &&
+            kN.joinOutputRows > 2L * factor * k1.joinOutputRows)
         // Factor-aware: a LINEAR operator's spill grows ~factor× once the
         // data outgrows executor memory, so the bound is 2.5× linear (the
         // same headroom ScaleProbeSpec's 25× gives factor 10), with a

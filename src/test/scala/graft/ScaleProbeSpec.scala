@@ -224,6 +224,12 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       sym("dedup_source_overlap", DedupQueries.dedupSourceOverlap),
       sym("dedup_incremental", DedupQueries.dedupIncremental),
       sym("text_tfidf_top_terms", TextQueries.textTfidfTopTerms),
+      // round 10: token rarity on the salted docs — per-copy word tagging
+      // grows vocab AND totals 10× with every word's cf unchanged, so the
+      // relative rarity rule (cf·8·|vocab| < toks) selects the same
+      // per-copy structure and all three stages (tokc agg, head/tail
+      // vocab join, per-doc agg) must track ~10× volume.
+      sym("text_token_rarity", TextQueries.textTokenRarity),
       sym("join_supply_revenue", OlapQueries.joinSupplyRevenue),
       sym("part_type_revenue", OlapQueries.partTypeRevenue),
       sym("events_anomaly_zscore", OlapQueries.eventsAnomalyZscore),
