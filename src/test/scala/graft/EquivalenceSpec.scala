@@ -198,4 +198,26 @@ class EquivalenceSpec extends SparkSpec {
     assert(math.abs(rows(2L).getAs[Double]("mean_token_cf") - 1443.0 / 147) < 1e-6)
     assert(math.abs(rows(2L).getAs[Double]("rare_frac") - 3.0 / 147) < 1e-6)
   }
+
+  test("textTokenRarity: empty docs drop out; a sub-head vocab leaves the tail branch empty") {
+    import spark.implicits._
+    // Vocab of 3 (< the head-16 cut): every word is head, the tail
+    // union branch carries zero rows — the degenerate split must not
+    // error or duplicate. Docs 2 (empty text) and 3 (whitespace only)
+    // tokenize to nothing and must be ABSENT from the output, matching
+    // the oracle's GROUP BY over the token stream.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rarity2").toString
+    Seq((1L, "a b b", "en", "s1", 5), (2L, "", "en", "s1", 0),
+        (3L, "   ", "en", "s1", 3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextQueries.textTokenRarity(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    val r = rows.head
+    // cf(a)=1, cf(b)=2, toks=3, vocab=2: rare rule 1·8·2=16 < 3 is
+    // false — nothing rare; mean = (1 + 2 + 2) / 3.
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(math.abs(r.getAs[Double]("mean_token_cf") - 5.0 / 3) < 1e-6)
+    assert(r.getAs[Double]("rare_frac") == 0.0)
+  }
 }
