@@ -103,8 +103,13 @@ object VolumeProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // Optional comma-separated query-name filter for iterating on one
-    // entry without paying the full ~25-min probe; the committed artifact
-    // must come from an unfiltered run (all 13 entries present).
+    // entry without paying the full ~25-min probe. The canonical 100×
+    // artifact (VOLPROBE_r{N}.json) must come from an unfiltered run —
+    // all 13 entries present; the 1000× decade artifact
+    // (VOLPROBE_1000X_r{N}.json) is a DELIBERATELY filtered run over the
+    // flagship dedup chain + the span/audit families (the full family at
+    // 1000× would spill the exact-baseline entries' ~37 GB each for no
+    // additional plan-class evidence).
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_VOL_ONLY").map(_.split(",").map(_.trim).toSet)
     def wanted(n: String): Boolean = only.forall(_.contains(n))
