@@ -152,13 +152,19 @@ object VolumeProbe {
       if (needEmb) {
         val emb = spark.read.parquet(s"$sf/embeddings.parquet")
         emb.write.mode("overwrite").parquet(s"$dir1/embeddings.parquet")
-        def saltedEmb(t: Int): DataFrame = emb.select(
-          (col("vec_id") + t * 100000000L).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            when(pmod(hash(i, lit(t)), lit(2)) === 1, negate(x)).otherwise(x))
-            .as("embedding"),
-          col("label"))
-        (0 until factor).map(saltedEmb).reduce(_ union _)
+        // Same crossJoin-against-the-tag-range form as the docs builder
+        // (identical content to the old factor-way union, O(1) plan in
+        // factor; order differs — every declared query is
+        // partition/order-invariant). hash(i, tag) is the same murmur3
+        // call whether tag is a literal or a column.
+        emb.crossJoin(
+            spark.range(factor).select(col("id").cast("int").as("tag")))
+          .select(
+            (col("vec_id") + col("tag") * 100000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(pmod(hash(i, col("tag")), lit(2)) === 1, negate(x))
+                .otherwise(x)).as("embedding"),
+            col("label"))
           .write.mode("overwrite").parquet(s"$dirN/embeddings.parquet")
       }
 
@@ -173,10 +179,12 @@ object VolumeProbe {
         val li = spark.read.parquet(s"$sf/lineitem.parquet")
         li.write.mode("overwrite").parquet(s"$dir1/tri/lineitem.parquet")
         val keyOff = 1000000000L
-        (0 until factor).map(t => li
-            .withColumn("l_orderkey", col("l_orderkey") + t * keyOff)
-            .withColumn("l_partkey", col("l_partkey") + t * keyOff))
-          .reduce(_ union _)
+        // crossJoin form of the disjoint-copy offsets (see docs builder).
+        li.crossJoin(
+            spark.range(factor).select(col("id").as("tag")))
+          .withColumn("l_orderkey", col("l_orderkey") + col("tag") * keyOff)
+          .withColumn("l_partkey", col("l_partkey") + col("tag") * keyOff)
+          .drop("tag")
           .write.mode("overwrite").parquet(s"$dirN/tri/lineitem.parquet")
       }
 
