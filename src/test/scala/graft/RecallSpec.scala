@@ -97,13 +97,13 @@ class RecallSpec extends SparkSpec {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("probe_id", "cand_id")
-    // k = 6 is the declared form; 10 and 13 are the ⌈log₂ factor⌉-grown
-    // deployments the 10×/100× probes run (round-9 verdict #2) — the
-    // growth rule is only admissible where recall stays pinned. The
-    // 3-table Hamming-1 multiprobe absorbs the p^k decay at the planted
-    // θ ≈ 8–18°; hyperplanes are md5-derived constants, so this is
-    // deterministic.
-    for (k <- Seq(6, 10, 13)) {
+    // k = 6 is the declared form; 10, 13 and 16 are the
+    // ⌈log₂ factor⌉-grown deployments the 10×/100×/1000× probes run
+    // (round-9 verdict #2) — the growth rule is only admissible where
+    // recall stays pinned. The 3-table Hamming-1 multiprobe absorbs the
+    // p^k decay at the planted θ ≈ 8–18°; hyperplanes are md5-derived
+    // constants, so this is deterministic.
+    for (k <- Seq(6, 10, 13, 16)) {
       val ann = SimilarityQueries.simAnnLshPlanes(k)(spark, plantedDir)
       val (hit, total) = recall(ann, truth, Seq("probe_id", "cand_id"))
       assert(total == 25)
