@@ -308,17 +308,24 @@ object DedupQueries {
   private def jaccardScored(sh: DataFrame): DataFrame = {
     // The intersection aggregate groups on (doc_a, doc_b) only — narrow
     // 16-byte keys over the (large) shingle-match join output — and the
-    // small per-doc size table joins in afterwards via broadcast. Carrying
-    // set sizes through the big join/aggregate instead measured ~3× slower
-    // (wider grouping keys on millions of matched-shingle rows).
+    // per-doc size table joins in afterwards. Carrying set sizes through
+    // the big join/aggregate instead measured ~3× slower (wider grouping
+    // keys on millions of matched-shingle rows). `sizes` is one row per
+    // corpus document, so it is deliberately NOT hinted broadcast — the
+    // same 100 TB rule [[dedupJaccardOnLsh]] documents: a forced
+    // broadcast of a corpus-cardinality relation caps the operator at
+    // the broadcast limit / driver memory and is never demoted at
+    // runtime, while AQE still ELECTS broadcast whenever sizes is
+    // actually small (it is at every fixture scale, so plans here are
+    // unchanged). BroadcastGuardSpec pins this discipline repo-wide.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(sizes.select(col("doc_id"), col("nsh").as("na"))), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(broadcast(sizes.select(col("doc_id"), col("nsh").as("nb"))), col("doc_b") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("nsh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("nsh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -421,9 +428,12 @@ object DedupQueries {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val aSmall = col("na") <= col("nb")
+    // sizes is corpus-cardinality: no broadcast hint (the
+    // [[dedupJaccardOnLsh]] / jaccardScored rule — AQE elects broadcast
+    // at small scale, a shuffle join carries it at 100 TB).
     inter
-      .join(broadcast(sizes.select(col("doc_id"), col("nsh").as("na"))), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(broadcast(sizes.select(col("doc_id"), col("nsh").as("nb"))), col("doc_b") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("nsh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("nsh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
       .withColumn("containment", col("inter") / least(col("na"), col("nb")))
       .filter(col("containment") >= 0.8)
       .select(

@@ -42,11 +42,16 @@ object LinkageQueries {
     * carry no basket signal. */
   private[graft] val MinSupport = 2L
 
-  /** Posting-list shard width: one output row holds at most this many
-    * doc ids, so row width is bounded by construction at any corpus
-    * size (a planet-scale term like "the" becomes many bounded rows,
-    * never one unbounded array). */
-  private[graft] val PostingShard = 256L
+  /** Posting-list shard width (= 1 << [[PostingShardBits]]): one output
+    * row holds at most this many doc ids, so row width is bounded by
+    * construction at any corpus size (a planet-scale term like "the"
+    * becomes many bounded rows, never one unbounded array). A power of
+    * two so the shard assignment is `shiftright(doc_id, bits)` — exact
+    * FLOOR division for every long including negatives, matching
+    * DuckDB's `//` floor semantics bit-for-bit (Spark's integer `div`
+    * truncates toward zero and would diverge on negative ids). */
+  private[graft] val PostingShardBits = 8
+  private[graft] val PostingShard = 1L << PostingShardBits
 
   /** Blocked fuzzy (approximate-string) self-join over part names —
     * entity resolution for near-identical catalog entries. Names dedupe
@@ -82,7 +87,13 @@ object LinkageQueries {
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= cap)
       .select("blk")
-    val vocab = snap.join(broadcast(okBlocks), "blk")
+    // okBlocks is one row per distinct blocking key — vocabulary-scale,
+    // which this operator assumes ≪ corpus but which still grows with
+    // the name universe: no broadcast hint (the 100 TB rule,
+    // BroadcastGuardSpec). The semi-filter join lands on the same blk
+    // key the self-join below shuffles on anyway; AQE elects broadcast
+    // whenever the block list is actually small.
+    val vocab = snap.join(okBlocks, "blk")
     val lv = levenshtein(col("a.p_name"), col("b.p_name"), MaxEdit + 1)
     vocab.as("a").join(vocab.as("b"),
         col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
@@ -103,7 +114,14 @@ object LinkageQueries {
     * construction — the unbounded-array failure mode of a naive
     * `groupBy(term)` index build cannot occur at any scale. Postings
     * are sorted within the shard (sort_array — a per-row O(n log n)
-    * over ≤ 256 elements, never a global sort). */
+    * over ≤ 256 elements, never a global sort) and emitted as a
+    * comma-joined string: the declared surface carries the full posting
+    * payload but stays a hashable scalar (a raw ARRAY column is the one
+    * output shape the oracle compare cannot digest — round-10 verdict
+    * #1; every sibling query reduces arrays to scalars for the same
+    * reason). Shard assignment is an arithmetic shift (see
+    * [[PostingShardBits]]) so both engines floor-divide identically for
+    * any doc_id sign. */
   val textInvertedIndex: Q = (s, d) =>
     Tables.documents(s, d)
       .filter(col("text").isNotNull)
@@ -111,9 +129,9 @@ object LinkageQueries {
       .filter(col("term") =!= "")
       .select("term", "doc_id").distinct()
       .groupBy(col("term"),
-               call_function("div", col("doc_id"), lit(PostingShard)).as("shard"))
+               shiftright(col("doc_id"), PostingShardBits).as("shard"))
       .agg(count(lit(1)).as("df_shard"),
-           sort_array(collect_list(col("doc_id"))).as("postings"))
+           array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
       .orderBy("term", "shard")
 
   /** Distributed triangle counting over the co-order part graph —
@@ -213,7 +231,7 @@ object LinkageQueries {
          |    FROM documents WHERE text IS NOT NULL)
          |)
          |SELECT term, doc_id // $PostingShard AS shard, COUNT(*) AS df_shard,
-         |       list(doc_id ORDER BY doc_id) AS postings
+         |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
          |FROM toks GROUP BY term, doc_id // $PostingShard
          |ORDER BY term, shard""".stripMargin,
     "graph_triangle_count" ->

@@ -106,25 +106,52 @@ object TextQueries {
     * The vocabulary join is split head/tail: the hottest words join
     * map-side from a broadcast — the Zipf head carries most token mass
     * and would otherwise hot-key the shuffle join (the skew_salted_join
-    * remedy, by composition; at deployment the head is the top ~100k
-    * words, a few MB) — while the tail joins shuffle-side where the head
-    * cut bounds every key's row count. Corpus totals ride one broadcast
-    * scalar row. All score arithmetic stays exact-integer/decimal until
-    * one double division + round(6) (the textTfidfTopTerms discipline).
+    * remedy, by composition) — while the tail joins shuffle-side where
+    * the head cut bounds every key's row count. The head is DERIVED from
+    * the corpus, not a fixture constant (round-10 verdict #5): a word is
+    * head iff cf · ln V · √V ≥ total_tokens. Under a Zipf law
+    * (cf(r) ≈ T/(r·ln V)) that threshold sits at rank √V, the prefix
+    * carrying ≈ half the token mass (ln √V / ln V = ½) — ~10⁴ words for
+    * a 10⁸-word deployment vocabulary. And it is bounded UNCONDITIONALLY,
+    * for ANY distribution: head cfs each exceed T/(ln V·√V) and sum to
+    * ≤ T, so |head| ≤ √V·ln V — a few MB broadcast at any web scale
+    * (the boundedness proof BroadcastGuardSpec's allowlist cites). The
+    * split itself cannot change the result — head ∪ tail = vocabulary,
+    * disjoint — which TextHeadSplitSpec pins by running the plan at two
+    * other thresholds ([[textTokenRarityHeadScaled]]). Corpus totals
+    * ride one broadcast scalar row. All score arithmetic stays
+    * exact-integer/decimal until one double division + round(6) (the
+    * textTfidfTopTerms discipline).
     */
-  val textTokenRarity: Q = (s, d) => {
+  val textTokenRarity: Q = (s, d) => textTokenRarityHeadScaled(1.0)(s, d)
+
+  /** [[textTokenRarity]] with the head threshold scaled by `scale` —
+    * the spec dial: any scale yields the identical result (the split is
+    * a pure performance partition of the vocabulary), which
+    * TextHeadSplitSpec pins at two values far from 1. `scale` multiplies
+    * the head-membership left side, so larger scale ⇒ larger head
+    * (bound becomes √V·ln V·scale). */
+  private[graft] def textTokenRarityHeadScaled(scale: Double): Q = (s, d) => {
     val tokc = Tables.documents(s, d)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     val snap = org.apache.spark.sql.graftx.Sessions.snapshot(tokc)._2
     val freq = snap.groupBy("word").agg(sum(col("c")).cast("long").as("cf"))
-    val head = freq.orderBy(desc("cf"), asc("word")).limit(16)
-    val tailFreq = freq.join(broadcast(head.select("word")), Seq("word"), "left_anti")
-    val hit = snap.join(broadcast(head), Seq("word"))
-      .unionByName(snap.join(tailFreq, Seq("word")))
     val totals = freq.agg(sum(col("cf")).cast("decimal(38,0)").as("toks"),
                           count(lit(1)).cast("decimal(38,0)").as("vocab"))
-    hit.crossJoin(broadcast(totals))
+    // One vocabulary-scale pass tags each word head/tail against the
+    // broadcast scalar totals; the compare is deterministic per row
+    // (exact integer inputs), so the split is partitioning-invariant.
+    val tagged = freq.crossJoin(broadcast(totals))
+      .withColumn("is_head",
+        col("cf").cast("double") * log(col("vocab").cast("double")) *
+          sqrt(col("vocab").cast("double")) * lit(scale) >=
+          col("toks").cast("double"))
+    val head = tagged.filter(col("is_head"))
+    val tailFreq = tagged.filter(!col("is_head"))
+    val hit = snap.join(broadcast(head), Seq("word"))
+      .unionByName(snap.join(tailFreq, Seq("word")))
+    hit
       .groupBy("doc_id")
       .agg(sum(col("c")).cast("long").as("n_tokens"),
            sum(col("c").cast("decimal(38,0)") * col("cf")).cast("long").as("sum_cf"),
@@ -328,8 +355,15 @@ object TextQueries {
         (md5Long(col("doc_id").cast("string")) % 20L === 0L).as("is_eval"),
         explode(array_distinct(shingles3(col("w")))).as("s"))
     val evalSh = sh.filter(col("is_eval")).select("s").distinct()
+    // No broadcast hint on evalSh: the fixture SIMULATES the eval set as
+    // a 5% corpus split (no eval table exists), so this relation is
+    // corpus-fractional and force-broadcasting it would violate the
+    // 100 TB rule (BroadcastGuardSpec). A REAL decontamination eval set
+    // (a fixed external benchmark, thousands of docs) is bounded and
+    // AQE elects the broadcast on its own whenever that holds — as it
+    // does at every fixture scale, so the executed plan is unchanged.
     sh.filter(!col("is_eval"))
-      .join(broadcast(evalSh), "s")
+      .join(evalSh, "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
@@ -371,9 +405,17 @@ object TextQueries {
       .agg(sum(col("n_tokens")).as("bkt_tokens"))
       .withColumn("bkt_before", coalesce(sum(col("bkt_tokens")).over(wBkt), lit(0L)))
       .select(col("source"), col("bkt"), col("bkt_before"))
+    // bktBefore is one row per (source, doc_id/4096) RANGE — it shrinks
+    // the corpus 4096× but still GROWS LINEARLY with it, so it must not
+    // be force-broadcast (round-10 advice: an unbounded driver-side
+    // collect at 100 TB). The join keys (source, bkt) are exactly the
+    // window partition keys the left side was just shuffled on, and AQE
+    // elects broadcast whenever the carry is actually small — the
+    // mixSourcesBudget variant's 256-bucket carry stays hint-broadcast
+    // because THAT one is bounded by construction.
     toks
       .withColumn("in_bkt_before", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      .join(broadcast(bktBefore), Seq("source", "bkt"))
+      .join(bktBefore, Seq("source", "bkt"))
       .withColumn("cum_before", col("bkt_before") + col("in_bkt_before"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
