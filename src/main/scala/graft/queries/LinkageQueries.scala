@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftx.Sessions
 
@@ -75,15 +75,33 @@ object LinkageQueries {
   /** [[textFuzzyJoinBlocked]] with an explicit block cap — the spec dial
     * (same pattern as the dedup family's capped variants): LinkageSpec
     * pins that an over-cap block is skipped wholesale, not partially
-    * joined. */
-  private[graft] def textFuzzyJoinBlockedCapped(cap: Long): Q = (s, d) => {
+    * joined. Single-key instance of [[textFuzzyJoinKeyed]]. */
+  private[graft] def textFuzzyJoinBlockedCapped(cap: Long): Q =
+    textFuzzyJoinKeyed(cap, Seq("L" -> (n => element_at(split(n, " "), -1))))
+
+  /** The generalized blocked fuzzy join: candidates are the UNION of the
+    * blocked self-joins under each (tag, key) blocking function, deduped
+    * on the name pair before output — the multi-key recall extension the
+    * single-key scaladoc promises. A true pair is missed only if EVERY
+    * key disagrees on it, so each added key multiplies candidate cost by
+    * ~1 (same vocab, one more tagged stream) while the miss set shrinks
+    * to the intersection. [[textFuzzyJoinMultiKey]] pairs the last-token
+    * key with a first-token key; LinkageSpec quantifies the recall each
+    * choice buys on planted pairs. Tags keep the per-key block spaces
+    * disjoint, so one key's hot block cannot evict another's candidates.
+    */
+  private[graft] def textFuzzyJoinKeyed(
+      cap: Long, keys: Seq[(String, Column => Column)]): Q = (s, d) => {
     val names = Tables.part(s, d)
       .groupBy("p_name").agg(count(lit(1)).as("cnt"))
-      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-    // names is read three times (block sizing + both join sides) — one
-    // bounded snapshot (vocabulary-sized) instead of three corpus scans.
+    // names is read 2·|keys|+1 times (block sizing + join sides) — one
+    // bounded snapshot (vocabulary-sized) instead of that many corpus
+    // scans.
     val snap = Sessions.snapshot(names)._2
-    val okBlocks = snap.groupBy("blk")
+    val tagged = keys.map { case (tag, k) =>
+        snap.withColumn("blk", concat_ws("#", lit(tag), k(col("p_name"))))
+      }.reduce(_ unionByName _)
+    val okBlocks = tagged.groupBy("blk")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= cap)
       .select("blk")
@@ -93,17 +111,33 @@ object LinkageQueries {
     // BroadcastGuardSpec). The semi-filter join lands on the same blk
     // key the self-join below shuffles on anyway; AQE elects broadcast
     // whenever the block list is actually small.
-    val vocab = snap.join(okBlocks, "blk")
-    val lv = levenshtein(col("a.p_name"), col("b.p_name"), MaxEdit + 1)
-    vocab.as("a").join(vocab.as("b"),
+    val vocab = tagged.join(okBlocks, "blk")
+    val lv = levenshtein(col("name_a"), col("name_b"), MaxEdit + 1)
+    val pairs = vocab.as("a").join(vocab.as("b"),
         col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+              col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"))
+    // Multi-key: the same pair can surface under several keys — dedupe
+    // BEFORE the edit-distance verify so each candidate is scored once.
+    val uniq = if (keys.sizeIs > 1) pairs.distinct() else pairs
+    uniq
       .withColumn("dist", lv.cast("long"))
       // banded form returns -1 beyond the threshold: keep 0..MaxEdit
       .filter(col("dist") >= 0L && col("dist") <= MaxEdit)
-      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
-              col("dist"), col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"))
+      .select(col("name_a"), col("name_b"), col("dist"),
+              col("cnt_a"), col("cnt_b"))
       .orderBy("name_a", "name_b")
   }
+
+  /** Two-key (last token ∪ first token) form of the fuzzy join — the
+    * recall extension for name universes where edits hit the last token
+    * (invisible to single last-token blocking). Not declared: the
+    * declared operator keeps the single-key plan; this documents and
+    * tests the extension path. */
+  private[graft] def textFuzzyJoinMultiKey(cap: Long): Q =
+    textFuzzyJoinKeyed(cap, Seq(
+      "L" -> (n => element_at(split(n, " "), -1)),
+      "F" -> (n => element_at(split(n, " "), 1))))
 
   /** Sharded inverted index (term → bounded posting lists) over the
     * document corpus — the retrieval-side artifact a decontamination or

@@ -48,7 +48,9 @@ class LinkageSpec extends SparkSpec {
     val shardW = LinkageQueries.PostingShard
     rows.foreach { r =>
       val shard = r.getAs[Long]("shard")
-      val postings = r.getAs[scala.collection.Seq[Long]]("postings").toSeq
+      // postings ship as a comma-joined string (the oracle-hashable
+      // scalar form); parse back to ids for the structural checks.
+      val postings = r.getAs[String]("postings").split(',').map(_.toLong).toSeq
       assert(postings.length.toLong == r.getAs[Long]("df_shard"))
       assert(postings == postings.sorted, s"postings not sorted for ${r.getString(0)}")
       assert(postings.distinct.length == postings.length, "duplicate doc in posting")
@@ -152,6 +154,52 @@ class LinkageSpec extends SparkSpec {
       "the two-token doc still indexes one row per term")
     assert(SparkEntry.queries("text_ngram_novelty")(spark, dir).count() == 0L)
     assert(SparkEntry.queries("dedup_containment")(spark, dir).count() == 0L)
+  }
+
+  test("fuzzy join blocking recall: planted pairs quantify what last-token blocking misses") {
+    import spark.implicits._
+    // Planted name universe (round-10 verdict #6): six true pairs at edit
+    // distance ≤ 3, split by which blocking key can SEE them —
+    //   4 share the last token  → visible to the single L key,
+    //   2 differ in the last token but share the first → only the F key,
+    // plus one pair differing in BOTH tokens (invisible to either key —
+    // the residual miss multi-key blocking accepts by design) and decoys
+    // beyond the edit threshold.
+    val dir = java.nio.file.Files.createTempDirectory("graft-frecall").toString
+    val names = Seq(
+      "alpha steel", "alpho steel",    // L-visible, dist 1
+      "bravo steel", "bravi steel",    // L-visible, dist 1
+      "carbon bolt", "carbyn bolt",    // L-visible, dist 1
+      "delta washer", "delto washer",  // L-visible, dist 1
+      "echo spring", "echo sprung",    // F-only, dist 1 (last tokens differ)
+      "omega gasket", "omega gosket",  // F-only, dist 1 (last tokens differ)
+      "fox trot", "fax trat",          // invisible: both tokens differ, dist 2
+      "unrelated widget", "different flange") // decoys, dist > 3 to all
+    names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      df.collect().map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"))).toSet
+    val planted = Set(
+      ("alpha steel", "alpho steel"), ("bravi steel", "bravo steel"),
+      ("carbon bolt", "carbyn bolt"), ("delta washer", "delto washer"),
+      ("echo spring", "echo sprung"), ("omega gasket", "omega gosket"),
+      ("fax trat", "fox trot"))
+    val single = pairSet(LinkageQueries.textFuzzyJoinBlockedCapped(1000L)(spark, dir))
+    val multi = pairSet(LinkageQueries.textFuzzyJoinMultiKey(1000L)(spark, dir))
+    // Single-key recall: exactly the 4 L-visible pairs of 7 planted.
+    assert(single.size == 4 && single.subsetOf(planted),
+      s"single-key found $single")
+    assert(single.forall { case (a, b) => a.split(' ').last == b.split(' ').last })
+    // Multi-key recall: 6 of 7 — both F-only pairs recovered, only the
+    // both-tokens-differ pair stays invisible.
+    assert(multi.size == 6 && multi.subsetOf(planted), s"multi-key found $multi")
+    assert(!multi.contains(("fax trat", "fox trot")))
+    // Pinned recall numbers the scaladoc cites: 4/7 single, 6/7 multi.
+    assert(single.size.toDouble / planted.size > 0.55)
+    assert(multi.size.toDouble / planted.size > 0.85)
+    // No false positives: every emitted pair is a planted pair.
+    assert((single ++ multi).subsetOf(planted))
   }
 
   test("temperature mix: budget semantics and id-stable determinism") {

@@ -157,4 +157,22 @@ class RecallSpec extends SparkSpec {
     assert(total > 0, "ground truth is empty — no near-dup documents at this SF")
     assert(hit >= math.ceil(0.9 * total).toLong, s"MinHash LSH recall $hit/$total < 0.9")
   }
+
+  test("packed candidate key round-trips at the 2^32 vec_id boundary") {
+    // The embedding-pairs candidate distinct packs (vec_a, vec_b) into
+    // one long: shiftleft(a, 32) + b. For a >= 2^31 the packed key's
+    // sign bit is set, so the unpack MUST use the unsigned right shift —
+    // this pins the exact expressions the query uses, at the extremes of
+    // the documented 0 <= vec_id < 2^32 precondition.
+    import spark.implicits._
+    val ids = Seq(
+      (0L, 1L), (0L, 4294967295L), (2147483647L, 2147483648L),
+      (4294967293L, 4294967295L), (4294967294L, 4294967295L))
+    val got = ids.toDF("a", "b")
+      .select((shiftleft(col("a"), 32) + col("b")).as("pk"))
+      .select(shiftrightunsigned(col("pk"), 32).as("a"),
+              col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ids, s"pack/unpack mangled ids: $got")
+  }
 }
