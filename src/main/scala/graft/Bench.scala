@@ -39,12 +39,14 @@ import org.apache.spark.sql.graftx.Metrics
   *     trust it).
   * The FILE additionally carries "walls": every query's per-rep walls in
   * rep order, the raw data behind both summaries. Each rep is metered
-  * with Metrics.withTaskWork, and "reps_incomplete" (both channels)
-  * counts reps whose listener-bus drain timed out — their cpu numbers
-  * are lower bounds (TaskWork.incomplete, round-9 ADVICE), so a nonzero
-  * count tells the consumer which artifact fields to re-run rather than
-  * trust. Every number is rounded to 1 ms — far below this host's noise
-  * floor.
+  * with Metrics.withTaskWork, and "measurements_incomplete" (both
+  * channels) counts (query, rep) MEASUREMENTS whose listener-bus drain
+  * timed out — it ranges over reps × queries, not reps (round-10 ADVICE:
+  * the old "reps_incomplete" name read as bounded by "reps" when it is
+  * not) — their cpu numbers are lower bounds (TaskWork.incomplete,
+  * round-9 ADVICE), so a nonzero count tells the consumer which artifact
+  * fields to re-run rather than trust. Every number is rounded to 1 ms —
+  * far below this host's noise floor.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -95,7 +97,7 @@ object Bench {
     val walls = Array.fill(names.size, reps)(0.0)
     val cpusSec = Array.fill(names.size, reps)(0.0)
     val okFlags = Array.fill(names.size)(true)
-    var repsIncomplete = 0
+    var measIncomplete = 0
     for (r <- 0 until reps; i <- names.indices) {
       // Wall timestamps wrap runOnce INSIDE the metered block: the task
       // meter ends with a listenerBus.waitUntilEmpty (up to 30 s) that is
@@ -111,7 +113,7 @@ object Bench {
       }
       walls(i)(r) = wall
       cpusSec(i)(r) = work.cpuSec
-      if (work.incomplete) repsIncomplete += 1
+      if (work.incomplete) measIncomplete += 1
       if (!ok) okFlags(i) = false
       // Outside the timer: dropping the finished rep's snapshot caches is
       // harness bookkeeping, not query cost — and without it 84 queries ×
@@ -132,7 +134,7 @@ object Bench {
     // Env-provided strings (sfDir, outPath) go through the shared JSON
     // escape — a quote/backslash in either would corrupt BOTH channels.
     val common =
-      s""""value":${fmt(total)},"unit":"sec","min_total":${fmt(minTotal)},"cpu_total":${fmt(cpuTotal)},"failed":$failedJson,"reps":$reps,"reps_incomplete":$repsIncomplete,"sf":${Jsons.q(sfDir)}"""
+      s""""value":${fmt(total)},"unit":"sec","min_total":${fmt(minTotal)},"cpu_total":${fmt(cpuTotal)},"failed":$failedJson,"reps":$reps,"measurements_incomplete":$measIncomplete,"sf":${Jsons.q(sfDir)}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // Full artifact → file (no size limit there): medians, best-of-reps,
     // CPU medians, and the raw per-rep walls behind them all.

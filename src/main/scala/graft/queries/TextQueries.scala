@@ -232,6 +232,69 @@ object TextQueries {
       .orderBy("lang", "rank")
   }
 
+  /** Log-free BM25 top-k retrieval — the ranked-retrieval scorer a
+    * decontamination/attribution pass runs against the posting index
+    * ([[graft.queries.LinkageQueries.textInvertedIndex]] builds the
+    * index; this is the query side over the same (term, doc) statistics).
+    * The standing query is the corpus's top-3 words by (cf desc, word) —
+    * corpus-derived and deterministic, no fixture-tuned term list.
+    *
+    * Scoring is BM25 (k₁ = 1.2, b = 0.75) with the RATIONAL idf
+    * (N − df + ½)/(df + ½) in place of its ln — the same engine-exactness
+    * move as [[textTfidfTopTerms]]'s log-free tf·(N/df): ln()'s last bit
+    * is libm-dependent and would break the oracle hash, while every
+    * factor here is IEEE arithmetic over exact integers and half-integers
+    * written in the SAME expression order in both engines. idf is a
+    * per-term monotone transform, so per-term ranking is preserved; the
+    * cross-term mix differs from ln-BM25 exactly as documented here. The
+    * three per-term contributions are pivoted into FIXED-ORDER addends
+    * (max-per-qrank, then c₁+c₂+c₃ as written) because a SUM aggregate
+    * over doubles is summation-order-nondeterministic across partitions —
+    * the one hazard the rational form alone does not remove. Ranking
+    * compares the round(6) score (ties broken by doc_id), so a sub-1e-6
+    * cross-engine wobble cannot flip the admitted top-10.
+    *
+    * Scale shape: tokens shuffle once for tf and once for dl (both
+    * (doc_id)-keyed aggregates); df touches only the three query terms'
+    * postings (semi-join BEFORE the distinct — the corpus-wide
+    * (term, doc) distinct of the index build is never paid here); the
+    * query-term table rides a Limit-bounded broadcast; the final sort is
+    * top-10 over one row per matching doc. */
+  val textBm25TopK: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val snap = org.apache.spark.sql.graftx.Sessions.snapshot(toks)._2
+    val tf = snap.groupBy("doc_id", "word")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = snap.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+                       sum(col("dl")).as("toks"))
+    val qterms = snap.groupBy("word").agg(count(lit(1)).as("cf"))
+      .orderBy(desc("cf"), asc("word")).limit(3)
+      .withColumn("qrank",
+        row_number().over(W.orderBy(desc("cf"), asc("word"))).cast("long"))
+      .select("word", "qrank")
+    val dfq = snap.join(broadcast(qterms), "word")
+      .select("word", "qrank", "doc_id").distinct()
+      .groupBy("word", "qrank").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf.join(broadcast(dfq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("toks")))))
+    def cAt(r: Int) =
+      coalesce(max(when(col("qrank") === r.toLong, col("c"))), lit(0.0))
+    contrib.groupBy("doc_id")
+      .agg((cAt(1) + cAt(2) + cAt(3)).as("raw"))
+      .select(col("doc_id"), round(col("raw"), 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(10)
+  }
+
   /** Deterministic content-hash sampling — the reproducible way to sample
     * at 100 TB (engine RNG sampling is neither portable nor stable across
     * retries/partitioning): keep rows whose md5-derived value falls under
@@ -735,12 +798,42 @@ object TextQueries {
     "text_token_rarity" -> textTokenRarity,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
+    "text_bm25_topk" -> textBm25TopK,
   )
 
   private val wordsSql =
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_bm25_topk" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, UNNEST(${wordsSql.format("text")}) AS word FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS toks FROM dl
+        |), q AS (
+        |  SELECT word,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS BIGINT) AS qrank
+        |  FROM toks GROUP BY word ORDER BY COUNT(*) DESC, word LIMIT 3
+        |), dfq AS (
+        |  SELECT word, qrank, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM toks JOIN q USING (word) GROUP BY word, qrank
+        |), contrib AS (
+        |  SELECT t.doc_id, f.qrank,
+        |         ((s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+        |           (t.tf * 2.2 /
+        |             (t.tf + 1.2 * (0.25 + 0.75 * d.dl * s.n_docs / s.toks))) AS c
+        |  FROM tf t JOIN dfq f USING (word) JOIN dl d USING (doc_id) CROSS JOIN stats s
+        |)
+        |SELECT doc_id,
+        |       round(COALESCE(MAX(CASE WHEN qrank = 1 THEN c END), 0)
+        |           + COALESCE(MAX(CASE WHEN qrank = 2 THEN c END), 0)
+        |           + COALESCE(MAX(CASE WHEN qrank = 3 THEN c END), 0), 6) AS bm25
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     "text_token_rarity" ->
       s"""WITH tokc AS (
         |  SELECT doc_id, word, COUNT(*) AS c
