@@ -159,10 +159,18 @@ object VolumeProbe {
         // factor; order differs — every declared query is
         // partition/order-invariant). hash(i, tag) is the same murmur3
         // call whether tag is a literal or a column.
+        // Copy offset 2²² (not the docs' 10⁸): dedup_embedding_pairs
+        // packs candidate pairs into shiftleft(a,32)+b under an ENFORCED
+        // 0 ≤ vec_id < 2³² precondition (ids beyond that take the
+        // documented struct-pack form), so the probe's id universe must
+        // model the declared regime — 2²² keeps max id under 2³² through
+        // factor 1023 while copies stay disjoint (sf0.1 has 2 000
+        // vectors ≪ 2²²). With the old 10⁸ offset, factor ≥ 43 ids
+        // crossed 2³² and the query now raises rather than corrupt.
         emb.crossJoin(
             spark.range(factor).select(col("id").cast("int").as("tag")))
           .select(
-            (col("vec_id") + col("tag") * 100000000L).as("vec_id"),
+            (col("vec_id") + col("tag") * (1L << 22)).as("vec_id"),
             transform(col("embedding"), (x, i) =>
               when(pmod(hash(i, col("tag")), lit(2)) === 1, negate(x))
                 .otherwise(x)).as("embedding"),

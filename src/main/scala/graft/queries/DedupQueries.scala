@@ -634,9 +634,22 @@ object DedupQueries {
     // keyed twice (self-join) — unsnapshotted, each reader re-executes
     // the embeddings scan + quantize + qnorm2 (and the nTables×nPlanes
     // qdot bucketing) lineage from scratch.
+    // The candidate pack below (shiftleft(a,32)+b) is injective ONLY for
+    // 0 ≤ vec_id < 2³², so the precondition is ENFORCED at the source
+    // boundary, not just documented: an out-of-domain id raises loudly
+    // instead of silently colliding packed keys (losing candidate pairs).
+    // One branch per input row, codegen'd — nothing on the pair-scale
+    // path. Beyond 2³² ids, switch the pack to the (vec_a, vec_b) struct
+    // form (2× the width) — a documented re-parameterization, never a
+    // silent one.
+    val checkedId = when(
+        col("vec_id") >= 0L && col("vec_id") < lit(1L << 32), col("vec_id"))
+      .otherwise(raise_error(concat(
+        lit("vec_id outside the 32-bit pack domain: "),
+        col("vec_id").cast("string"))).cast("long"))
     val q = org.apache.spark.sql.graftx.Sessions.snapshot(
       Tables.embeddings(s, d)
-        .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+        .select(checkedId.as("vec_id"), quantizeVec(col("embedding")).as("qv"))
         .withColumn("n2", qnorm2(col("qv"))))._2
     def bucket(tbl: Int): Column =
       (0 until nPlanes).map(p =>

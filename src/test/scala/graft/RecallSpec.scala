@@ -158,6 +158,23 @@ class RecallSpec extends SparkSpec {
     assert(hit >= math.ceil(0.9 * total).toLong, s"MinHash LSH recall $hit/$total < 0.9")
   }
 
+  test("an out-of-domain vec_id raises loudly instead of corrupting the pack") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-packguard").toString
+    val vec = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    Seq((1L, vec, 0), (4294967296L, vec, 0)) // 2^32: first id past the domain
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[Exception] {
+      DedupQueries.dedupEmbeddingPairsPlanes(4)(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("32-bit pack domain")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+  }
+
   test("packed candidate key round-trips at the 2^32 vec_id boundary") {
     // The embedding-pairs candidate distinct packs (vec_a, vec_b) into
     // one long: shiftleft(a, 32) + b. For a >= 2^31 the packed key's
