@@ -316,8 +316,13 @@ object DedupQueries {
     // broadcast of a corpus-cardinality relation caps the operator at
     // the broadcast limit / driver memory and is never demoted at
     // runtime, while AQE still ELECTS broadcast whenever sizes is
-    // actually small (it is at every fixture scale, so plans here are
-    // unchanged). BroadcastGuardSpec pins this discipline repo-wide.
+    // actually small (it is at every fixture scale). The fixture-scale
+    // price is real but bounded: AQE's SMJ→BHJ conversion happens after
+    // the join-side exchanges are planned, so the inter table pays two
+    // small shuffles it previously skipped (containment measured
+    // +0.37 s min-of-reps at sf0.1) — the cost of a default that does
+    // not cap the operator at the broadcast limit at 10⁹ docs.
+    // BroadcastGuardSpec pins this discipline repo-wide.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
