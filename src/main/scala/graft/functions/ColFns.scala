@@ -80,6 +80,30 @@ object ColFns {
   def md5Long60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Guarded 32-bit id for the 8-byte pair pack (shiftleft(a,32)+b):
+    * passes ids in [0, 2³²) through unchanged and RAISES on anything
+    * wider — the pack is only injective inside that domain, and a silent
+    * out-of-domain id would collide packed keys (dropping pairs from a
+    * distinct) instead of failing. One codegen'd branch per input row.
+    * Beyond 2³² ids the caller switches to the two-column struct pack —
+    * a documented re-parameterization, never a silent one. */
+  def packableId(c: Column): Column =
+    when(c >= 0L && c < lit(1L << 32), c)
+      .otherwise(raise_error(concat(
+        lit("vec_id outside the 32-bit pack domain: "),
+        c.cast("string"))).cast("long"))
+
+  /** Pack a non-negative id pair (each < 2³², enforce via [[packableId]]
+    * upstream) into one long — halves distinct/shuffle row width on
+    * pair-scale stages. */
+  def packPair(a: Column, b: Column): Column = shiftleft(a, 32) + b
+
+  /** Unpack [[packPair]] — the UNSIGNED shift matters: for a ≥ 2³¹ the
+    * packed key's sign bit is set and an arithmetic shift would sign-
+    * extend garbage into the upper id. */
+  def unpackPairA(pk: Column): Column = shiftrightunsigned(pk, 32)
+  def unpackPairB(pk: Column): Column = pk.bitwiseAND(lit(0xFFFFFFFFL))
+
   /** Sign-LSH hyperplane p's 64 weights, precomputed driver-side — data
     * independent. Shared by SimilarityQueries and DedupQueries embedding
     * blocking. md5-based so the directions are isotropic: the earlier LCG

@@ -639,22 +639,14 @@ object DedupQueries {
     // keyed twice (self-join) — unsnapshotted, each reader re-executes
     // the embeddings scan + quantize + qnorm2 (and the nTables×nPlanes
     // qdot bucketing) lineage from scratch.
-    // The candidate pack below (shiftleft(a,32)+b) is injective ONLY for
-    // 0 ≤ vec_id < 2³², so the precondition is ENFORCED at the source
-    // boundary, not just documented: an out-of-domain id raises loudly
-    // instead of silently colliding packed keys (losing candidate pairs).
-    // One branch per input row, codegen'd — nothing on the pair-scale
-    // path. Beyond 2³² ids, switch the pack to the (vec_a, vec_b) struct
-    // form (2× the width) — a documented re-parameterization, never a
-    // silent one.
-    val checkedId = when(
-        col("vec_id") >= 0L && col("vec_id") < lit(1L << 32), col("vec_id"))
-      .otherwise(raise_error(concat(
-        lit("vec_id outside the 32-bit pack domain: "),
-        col("vec_id").cast("string"))).cast("long"))
+    // The candidate pack below is injective ONLY for 0 ≤ vec_id < 2³²,
+    // so the precondition is ENFORCED at the source boundary
+    // ([[graft.functions.ColFns.packableId]] raises on a wider id
+    // instead of silently colliding packed keys and losing pairs).
     val q = org.apache.spark.sql.graftx.Sessions.snapshot(
       Tables.embeddings(s, d)
-        .select(checkedId.as("vec_id"), quantizeVec(col("embedding")).as("qv"))
+        .select(packableId(col("vec_id")).as("vec_id"),
+                quantizeVec(col("embedding")).as("qv"))
         .withColumn("n2", qnorm2(col("qv"))))._2
     def bucket(tbl: Int): Column =
       (0 until nPlanes).map(p =>
@@ -681,10 +673,10 @@ object DedupQueries {
       .join(keyed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select((shiftleft(col("a.vec_id"), 32) + col("b.vec_id")).as("pk"))
+      .select(packPair(col("a.vec_id"), col("b.vec_id")).as("pk"))
       .distinct()
-      .select(shiftrightunsigned(col("pk"), 32).as("vec_a"),
-              col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("vec_b"))
+      .select(unpackPairA(col("pk")).as("vec_a"),
+              unpackPairB(col("pk")).as("vec_b"))
     val cos: Column = qdot(col("pa.qv"), col("pb.qv")) /
       (sqrt(col("pa.n2")) * sqrt(col("pb.n2")))
     cand

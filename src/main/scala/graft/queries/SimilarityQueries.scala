@@ -229,9 +229,13 @@ object SimilarityQueries {
     * mid-similarity neighbors would grow tables/probes alongside planes).
     * The declared query is this at NPlanes = 6. */
   private[graft] def simKnnGraphPlanes(nPlanes: Int): Q = (s, d) => {
+    // packableId: the candidate distinct below runs on 8-byte packed
+    // pairs, injective only for ids < 2³² — enforced here, struct-pack
+    // documented beyond (the dedupEmbeddingPairsPlanes discipline).
     val q = org.apache.spark.sql.graftx.Sessions.snapshot(
       Tables.embeddings(s, d)
-        .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+        .select(packableId(col("vec_id")).as("vec_id"),
+                quantizeVec(col("embedding")).as("qv"))
         .withColumn("n2", qnorm2(col("qv"))))._2
     // The bucket cap stays a count-over-window: unlike the ngram df cut
     // (whose window sorted the whole corpus stream on a single key and
@@ -240,10 +244,12 @@ object SimilarityQueries {
     // few hundred rows by construction, the sort is noise, and the same
     // aggregate + semi-join rebuild MEASURED 18% slower here at the
     // 100× point (extra exchange + snapshot outweigh a tiny sort;
-    // round-10 probe). The 5.1 GB 100× spill lives downstream in the
-    // candidate self-join's distinct over ~70 M narrow (src, cand)
-    // pairs — the operator's honest candidate volume at 16 bytes/row,
-    // nothing left to narrow.
+    // round-10 probe). The 100× spill lives downstream in the candidate
+    // self-join's distinct over ~70 M narrow (src, cand) pairs — the
+    // operator's honest candidate volume, halved per row in round 11 by
+    // the same 8-byte pair pack as dedupEmbeddingPairsPlanes (the
+    // "16 bytes/row, nothing left to narrow" note this replaces was
+    // falsified by that operator's measured 10.2 → 7.8 GB).
     val wB = Window.partitionBy("tbl", "bucket")
     val keyed = org.apache.spark.sql.graftx.Sessions.snapshot(
       q.select(col("vec_id"),
@@ -255,8 +261,10 @@ object SimilarityQueries {
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("cand_id"))
+      .select(packPair(col("a.vec_id"), col("b.vec_id")).as("pk"))
       .distinct()
+      .select(unpackPairA(col("pk")).as("src"),
+              unpackPairB(col("pk")).as("cand_id"))
     val cos: Column = qdot(col("pa.qv"), col("pb.qv")) /
       (sqrt(col("pa.n2")) * sqrt(col("pb.n2")))
     val scored = cand

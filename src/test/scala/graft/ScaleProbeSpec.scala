@@ -171,7 +171,7 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     emb.write.mode("overwrite").parquet(s"$dir1/embeddings.parquet")
     def saltedEmb(t: Int): DataFrame = emb.select(
-      (col("vec_id") + t * 100000000L).as("vec_id"),
+      (col("vec_id") + t * (1L << 22)).as("vec_id"), // 2^22: stay inside the 32-bit pack domain (r11)
       transform(col("embedding"), (x, i) =>
         when(pmod(hash(i, lit(t)), lit(2)) === 1, negate(x)).otherwise(x))
         .as("embedding"),
