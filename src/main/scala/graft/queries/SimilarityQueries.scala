@@ -244,12 +244,16 @@ object SimilarityQueries {
     // few hundred rows by construction, the sort is noise, and the same
     // aggregate + semi-join rebuild MEASURED 18% slower here at the
     // 100× point (extra exchange + snapshot outweigh a tiny sort;
-    // round-10 probe). The 100× spill lives downstream in the candidate
-    // self-join's distinct over ~70 M narrow (src, cand) pairs — the
-    // operator's honest candidate volume, halved per row in round 11 by
-    // the same 8-byte pair pack as dedupEmbeddingPairsPlanes (the
-    // "16 bytes/row, nothing left to narrow" note this replaces was
-    // falsified by that operator's measured 10.2 → 7.8 GB).
+    // round-10 probe). The candidate distinct runs on 8-byte packed
+    // pairs (round 11, the dedupEmbeddingPairsPlanes pack — which
+    // measured 10.2 → 7.8 GB THERE because its downstream is a mere
+    // top-20). Here the pack measured NO spill change (7.36 GB before
+    // and after at the 100× point): this operator's spill driver is the
+    // per-src rank WINDOW sorting all ~70 M scored (src, cand, cos)
+    // rows — a floor the distinct's width cannot touch (the dc22bc3
+    // measured-floor convention). Narrowing it would need a map-side
+    // per-group top-k aggregate, which Spark lacks as a partial-able
+    // built-in; the window form stays, spill admitted linear.
     val wB = Window.partitionBy("tbl", "bucket")
     val keyed = org.apache.spark.sql.graftx.Sessions.snapshot(
       q.select(col("vec_id"),
