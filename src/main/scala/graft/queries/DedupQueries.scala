@@ -679,9 +679,17 @@ object DedupQueries {
               unpackPairB(col("pk")).as("vec_b"))
     val cos: Column = qdot(col("pa.qv"), col("pb.qv")) /
       (sqrt(col("pa.n2")) * sqrt(col("pb.n2")))
+    // SHUFFLE_HASH on the vectors side, as in simKnnGraphPlanes: the
+    // candidate side is the pair-scale relation; sort-merging it (the
+    // unhinted plan once broadcast is off the table) pays full sorts of
+    // the pair stream, while the hash build is a per-partition slice of
+    // the vector table — small by construction. Measured at the 100×
+    // probe point: 7.79 GB spill → 0 (the packed distinct had taken the
+    // r10 10.2 GB to 7.79; these hints remove the remainder, the two
+    // pair-stream sorts).
     cand
-      .join(q.as("pa"), col("vec_a") === col("pa.vec_id"))
-      .join(q.as("pb"), col("vec_b") === col("pb.vec_id"))
+      .join(q.as("pa").hint("shuffle_hash"), col("vec_a") === col("pa.vec_id"))
+      .join(q.as("pb").hint("shuffle_hash"), col("vec_b") === col("pb.vec_id"))
       .select(col("vec_a"), col("vec_b"), cos.as("cos"))
       .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
       .limit(20)

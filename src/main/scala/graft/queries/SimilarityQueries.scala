@@ -245,15 +245,14 @@ object SimilarityQueries {
     // aggregate + semi-join rebuild MEASURED 18% slower here at the
     // 100× point (extra exchange + snapshot outweigh a tiny sort;
     // round-10 probe). The candidate distinct runs on 8-byte packed
-    // pairs (round 11, the dedupEmbeddingPairsPlanes pack — which
-    // measured 10.2 → 7.8 GB THERE because its downstream is a mere
-    // top-20). Here the pack measured NO spill change (7.36 GB before
-    // and after at the 100× point): this operator's spill driver is the
-    // per-src rank WINDOW sorting all ~70 M scored (src, cand, cos)
-    // rows — a floor the distinct's width cannot touch (the dc22bc3
-    // measured-floor convention). Narrowing it would need a map-side
-    // per-group top-k aggregate, which Spark lacks as a partial-able
-    // built-in; the window form stays, spill admitted linear.
+    // pairs (round 11, the dedupEmbeddingPairsPlanes pack). The
+    // operator's recorded 100× spill (7.36 GB at r10/r11-interim) was
+    // localized by measurement, not guesswork: the pack changed it by
+    // ZERO bytes (so not the distinct), and pinning SHUFFLE_HASH on the
+    // two rescoring joins below collapsed it to ZERO (so it was the
+    // unhinted sort-merge's TWO full sorts of the ~70 M-row pair
+    // stream). The rank window itself never was the driver — its
+    // per-partition slices sort in memory.
     val wB = Window.partitionBy("tbl", "bucket")
     val keyed = org.apache.spark.sql.graftx.Sessions.snapshot(
       q.select(col("vec_id"),
@@ -271,9 +270,20 @@ object SimilarityQueries {
               unpackPairB(col("pk")).as("cand_id"))
     val cos: Column = qdot(col("pa.qv"), col("pb.qv")) /
       (sqrt(col("pa.n2")) * sqrt(col("pb.n2")))
+    // SHUFFLE_HASH on the vectors side (the jaccard-on-lsh rescoring
+    // rule): the candidate side is the ~70 M-row relation at the 100×
+    // point, and an unhinted plan with broadcast unavailable sort-merges
+    // it — TWO full sorts of the pair stream, measured as this
+    // operator's actual spill driver (7.36 GB → 0 at the 100× probe
+    // point with these hints; the candidate-distinct pack had changed
+    // nothing). Hashing builds on the per-partition slice of the VECTOR
+    // table instead — small by construction (corpus vectors /
+    // partitions), never the pair stream. Unlike a broadcast hint, a
+    // forced shuffle-hash stays scale-safe: the build side is
+    // per-partition, not per-driver.
     val scored = cand
-      .join(q.as("pa"), col("src") === col("pa.vec_id"))
-      .join(q.as("pb"), col("cand_id") === col("pb.vec_id"))
+      .join(q.as("pa").hint("shuffle_hash"), col("src") === col("pa.vec_id"))
+      .join(q.as("pb").hint("shuffle_hash"), col("cand_id") === col("pb.vec_id"))
       .select(col("src"), col("cand_id"), cos.as("cos"))
     val w = Window.partitionBy("src").orderBy(desc("cos"), asc("cand_id"))
     scored.withColumn("rank", row_number().over(w))
