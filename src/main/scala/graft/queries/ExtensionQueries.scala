@@ -587,6 +587,44 @@ object ExtensionQueries {
            sum(when(col("ret"), 1L).otherwise(0L)).as("n_retained"))
       .orderBy("day")
 
+  /** Robust daily-volume anomaly flags per event type — median/MAD, the
+    * outlier-resistant rule ops dashboards use where mean/stddev would
+    * let the anomaly inflate its own baseline. Every (type, day) bucket
+    * is emitted with its count, the per-type median and MAD, and the
+    * flag |n − median| > 3·MAD; the 3·MAD cut is the textbook constant,
+    * not fixture tuning, and a zero MAD (≥ half the days sit exactly on
+    * the median) degenerates to flagging any deviation — the standard
+    * behavior, documented rather than patched. Everything is exact:
+    * counts are integers, medians/MADs of integers are half-integers
+    * (binary-exact doubles), so the compare is bit-identical in both
+    * engines and no rounding ambiguity can flip a flag.
+    *
+    * Scale shape: ONE corpus-scale shuffle (the map-side-combined
+    * (type, day) count); both median passes and the joins run over the
+    * collapsed per-type-day table — |types| × operational days, bounded
+    * by the calendar, not the event volume. The two-pass median (median
+    * of n, then median of |n − med|) re-reads that tiny table, never
+    * the log. */
+  val eventsAnomalyMad: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+              call_function("div", nsToEpochSec(col("ts")), lit(86400L)).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val snap = org.apache.spark.sql.graftx.Sessions.snapshot(daily)._2
+    val med = snap.groupBy("event_type")
+      .agg(median(col("n")).as("med"))
+    val dev = snap.join(med, "event_type")
+      .withColumn("adev", abs(col("n").cast("double") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(median(col("adev")).as("mad"))
+    dev.join(mad, "event_type")
+      .select(col("event_type"), col("day"), col("n"),
+        col("med").as("day_median"), col("mad").as("day_mad"),
+        when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L)
+          .as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   /** Daily active users with the new-vs-returning split — the growth
     * dashboard primitive next to [[eventsRetention]]. Single scan like
     * retention (the naive form joins the log against a min-day subquery,
@@ -609,6 +647,7 @@ object ExtensionQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "events_anomaly_mad" -> eventsAnomalyMad,
     "events_daily_active" -> eventsDailyActive,
     "events_type_transitions" -> eventsTypeTransitions,
     "events_retention" -> eventsRetention,
@@ -640,6 +679,26 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), med AS (
+        |  SELECT event_type, median(n) AS med FROM daily GROUP BY event_type
+        |), dev AS (
+        |  SELECT d.event_type, d.day, d.n, m.med,
+        |         abs(CAST(d.n AS DOUBLE) - m.med) AS adev
+        |  FROM daily d JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+        |)
+        |SELECT v.event_type, v.day, v.n, v.med AS day_median, a.mad AS day_mad,
+        |       CAST(CASE WHEN v.adev > 3.0 * a.mad THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_anomaly
+        |FROM dev v JOIN mad a USING (event_type)
+        |ORDER BY v.event_type, v.day""".stripMargin,
     "events_type_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

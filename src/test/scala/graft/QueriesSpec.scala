@@ -69,6 +69,41 @@ class QueriesSpec extends SparkSpec {
     assert(check(dir) == 3, "planted corpus did not produce all three docs")
   }
 
+  test("events_anomaly_mad: the 3-MAD rule is self-consistent and both flag arms fire on a planted spike") {
+    import spark.implicits._
+    // Planted series: type "a" has 9 quiet days (counts 10±1) and one
+    // 50-count spike — median 10, MAD 1, spike adev 40 > 3 → exactly one
+    // anomaly. Type "b" is constant — MAD 0, no deviation, no flags.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    val counts = Map(0 -> 10, 1 -> 9, 2 -> 11, 3 -> 10, 4 -> 10,
+                     5 -> 9, 6 -> 11, 7 -> 10, 8 -> 10, 9 -> 50)
+    val rows =
+      (for ((day, n) <- counts.toSeq; i <- 0 until n)
+        yield (day.toLong * 1000 + i, day, "a")) ++
+      (for (day <- 0 until 10; i <- 0 until 5)
+        yield (100000L + day * 1000 + i, day, "b"))
+    rows.map { case (id, day, t) =>
+        (id, java.time.LocalDateTime.of(2021, 1, 1, 0, 0).plusDays(day)
+          .plusSeconds(id % 1000), id % 7, t, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("events_anomaly_mad")(spark, dir).collect()
+    assert(got.length == 20)
+    val flagged = got.filter(_.getAs[Long]("is_anomaly") == 1L)
+      .map(r => (r.getString(0), r.getAs[Long]("day")))
+    assert(flagged.length == 1 && flagged.head._1 == "a", flagged.mkString(","))
+    // self-consistency: every emitted flag equals the rule recomputed
+    // from the emitted median/MAD columns
+    got.foreach { r =>
+      val adev = math.abs(r.getAs[Long]("n").toDouble - r.getAs[Double]("day_median"))
+      val expect = if (adev > 3.0 * r.getAs[Double]("day_mad")) 1L else 0L
+      assert(r.getAs[Long]("is_anomaly") == expect, r.toString)
+    }
+    // the constant series has MAD 0 and no flags
+    assert(got.filter(_.getString(0) == "b")
+      .forall(r => r.getAs[Double]("day_mad") == 0.0 && r.getAs[Long]("is_anomaly") == 0L))
+  }
+
   test("mr_sum_by_key groups to the 3 returnflags") {
     val rows = SparkEntry.queries("mr_sum_by_key")(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("A", "N", "R"))
