@@ -66,6 +66,28 @@ object OlapQueries {
            count(lit(1)).as("n_items"))
       .orderBy("p_type")
 
+  /** Forecast-revenue band scan (the TPC-H Q6 shape): a pure
+    * filter-and-aggregate with NO join — the plan that shows the scan
+    * layer doing its job, because every predicate (ship-date range,
+    * discount band, quantity cut) is pushable and the ReadSchema
+    * shrinks to the four referenced columns of a 16-column table. At
+    * 100 TB this is the difference between reading ~4 TB of pruned
+    * column chunks and reading everything: with date-partitioned or
+    * min/max-indexed parquet the date range also prunes whole files
+    * before any byte moves. The discount band compares the stored
+    * doubles against DOUBLE literals in both engines (the oracle casts
+    * explicitly — DuckDB would otherwise type 0.05 as DECIMAL and
+    * compare under different rules); the revenue sum takes the
+    * [[graft.functions.ColFns.decSum4]] exact-decimal path. */
+  val lineitemRevenueBand: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount") >= lit(0.05d) && col("l_discount") <= lit(0.07d)
+        && col("l_quantity") < lit(24.0d))
+      .agg(decSum4(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_items"))
+
   /** Trailing-window anomaly detection over the event log: for each
     * (event_type, day), is the daily count a >3σ outlier against the
     * previous 7 observed days? The z-score test is evaluated in EXACT
@@ -154,9 +176,19 @@ object OlapQueries {
     "join_bucketed_revenue" -> joinBucketedRevenue,
     "events_anomaly_zscore" -> eventsAnomalyZscore,
     "corpus_shards" -> corpusShards,
+    "lineitem_revenue_band" -> lineitemRevenueBand,
   )
 
   val oracles: Map[String, String] = Map(
+    "lineitem_revenue_band" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE)
+        |  AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < CAST(24.0 AS DOUBLE)""".stripMargin,
     "join_supply_revenue" ->
       """SELECT n_name,
         |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
