@@ -42,9 +42,10 @@ object Multimodal {
       col("n_chars"))
 
   /** Media decode over the `mapPartitions` seam. Payloads whose bytes are
-    * a format the JVM can really decode (PNG/JPEG/BMP/GIF pixel decode via
-    * `javax.imageio`, WAV header walk — see [[MediaDecode]]) yield their
-    * TRUE geometry; anything else (notably the synthetic text-as-bytes
+    * a format the JVM can really parse (PNG/JPEG/BMP/GIF pixel decode via
+    * `javax.imageio`; WAV, WebP and MP4 container-header walks — see
+    * [[MediaDecode]]) yield their TRUE geometry; anything else (notably
+    * the synthetic text-as-bytes
     * fixture corpus) falls back to a deterministic derivation from payload
     * length so goldens and the DuckDB oracle stay exact. Swapping in a
     * wider decoder (JNI/FFmpeg) extends `MediaDecode.decode` and changes

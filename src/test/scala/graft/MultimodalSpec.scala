@@ -33,6 +33,77 @@ class MultimodalSpec extends SparkSpec {
     bb.array()
   }
 
+  /** Canonical WebP container around a VP8L (lossless) bitstream header. */
+  private def webpLosslessBytes(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+    val bits = (w - 1) | ((h - 1) << 14) | (if (alpha) 1 << 28 else 0)
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 6)
+      .put("WEBP".getBytes("US-ASCII"))
+      .put("VP8L".getBytes("US-ASCII")).putInt(5)
+      .put(0x2f.toByte).putInt(bits).put(0.toByte) // word-align pad
+    bb.array()
+  }
+
+  /** Canonical extended-WebP (VP8X) container carrying only the canvas. */
+  private def webpExtendedBytes(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def le24(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 10)
+      .put("WEBP".getBytes("US-ASCII"))
+      .put("VP8X".getBytes("US-ASCII")).putInt(10)
+      .put((if (alpha) 0x10 else 0x00).toByte).put(Array[Byte](0, 0, 0))
+      .put(le24(w - 1)).put(le24(h - 1))
+    bb.array()
+  }
+
+  /** Minimal ISO-BMFF: ftyp + moov(trak(tkhd v0 with 16.16 geometry)). */
+  private def mp4Bytes(w: Int, h: Int): Array[Byte] = {
+    val tkhdPayload = 4 + 20 + 16 + 36 + 8 // fullbox + v0 fields + geometry
+    val tkhd = 8 + tkhdPayload
+    val trak = 8 + tkhd
+    val moov = 8 + trak
+    val bb = java.nio.ByteBuffer.allocate(16 + moov)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(moov).put("moov".getBytes("US-ASCII"))
+    bb.putInt(trak).put("trak".getBytes("US-ASCII"))
+    bb.putInt(tkhd).put("tkhd".getBytes("US-ASCII"))
+    bb.putInt(0)                       // version 0 + flags
+    bb.putInt(0).putInt(0).putInt(1).putInt(0).putInt(0) // times/id/rsvd/dur
+    bb.put(new Array[Byte](16))        // reserved+layer+altgroup+volume+rsvd
+    bb.put(new Array[Byte](36))        // matrix
+    bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed geometry
+    bb.array()
+  }
+
+  test("MediaDecode walks WebP and MP4 headers without any codec library") {
+    assert(MediaDecode.decode(webpLosslessBytes(16, 8, alpha = false)) ==
+      Some(MediaDecode.Geometry(16, 8, 3)))
+    assert(MediaDecode.decode(webpLosslessBytes(640, 480, alpha = true)) ==
+      Some(MediaDecode.Geometry(640, 480, 4)))
+    assert(MediaDecode.decode(webpExtendedBytes(32, 16, alpha = true)) ==
+      Some(MediaDecode.Geometry(32, 16, 4)))
+    assert(MediaDecode.decode(mp4Bytes(640, 360)) ==
+      Some(MediaDecode.Geometry(640, 360, 3)))
+  }
+
+  test("hostile text payloads carrying the WebP/MP4 magics stay undecodable") {
+    // RIFF....WEBP spelled by printable text: no VP8/VP8L/VP8X sync bytes
+    assert(MediaDecode.sniff("RIFFabcdWEBPVP8 just words here".getBytes("US-ASCII")) == "webp")
+    assert(MediaDecode.decode("RIFFabcdWEBPVP8 just words here".getBytes("US-ASCII")).isEmpty)
+    // "ftyp" at offset 4 inside ASCII: the leading size field is a
+    // ~1.6e9 ASCII quad, far past the payload — rejected before any walk
+    assert(MediaDecode.sniff("abcdftyp more innocent text".getBytes("US-ASCII")) == "mp4")
+    assert(MediaDecode.decode("abcdftyp more innocent text".getBytes("US-ASCII")).isEmpty)
+    // truncated real containers die cleanly
+    assert(MediaDecode.decode(webpLosslessBytes(16, 8, alpha = false).take(18)).isEmpty)
+    assert(MediaDecode.decode(mp4Bytes(640, 360).take(40)).isEmpty)
+  }
+
   test("MediaDecode extracts TRUE geometry from real PNG/BMP/WAV bytes") {
     assert(MediaDecode.decode(pngBytes(17, 9)) == Some(MediaDecode.Geometry(17, 9, 3)))
     assert(MediaDecode.decode(bmpBytes(33, 21)) == Some(MediaDecode.Geometry(33, 21, 3)))
