@@ -116,7 +116,7 @@ object Bench {
       if (work.incomplete) measIncomplete += 1
       if (!ok) okFlags(i) = false
       // Outside the timer: dropping the finished rep's snapshot caches is
-      // harness bookkeeping, not query cost — and without it 84 queries ×
+      // harness bookkeeping, not query cost — and without it 100+ queries ×
       // reps of corpus-scale persisted RDDs live until GC (ADVICE round 3).
       org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
     }

@@ -27,7 +27,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Drop this query's snapshot caches before the next one runs — 84
-      // queries × corpus-scale persisted RDDs would otherwise accumulate
+      // queries x corpus-scale persisted RDDs would otherwise accumulate
       // for the whole dump (ADVICE round 3).
       org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
     }
