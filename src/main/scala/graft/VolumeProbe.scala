@@ -213,8 +213,14 @@ object VolumeProbe {
       if (needPart) {
         val part = spark.read.parquet(s"$sf/part.parquet")
           .select("p_partkey", "p_name")
+        // Hot-name keys live at 10^12 — beyond any salted copy's range
+        // (p_partkey + tag·10^8 stays < 10^11 at factor ≤ 1000), so
+        // partkeys are globally unique in BOTH arms (round-11 ADVICE:
+        // the old 9·10^8 base collided with the tag-9 copy from factor
+        // 10 — harmless while every fuzzy gate keys on p_name, but a
+        // latent trap for any future partkey-keyed gate).
         def hotNames(n: Long) = spark.range(n).select(
-          (col("id") + 900000000L).as("p_partkey"),
+          (col("id") + 1000000000000L).as("p_partkey"),
           concat(lit("hotname"), col("id").cast("string"),
             lit(" zzcommonblock")).as("p_name"))
         part.unionByName(hotNames(20L))

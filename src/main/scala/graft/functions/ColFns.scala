@@ -40,15 +40,33 @@ object ColFns {
   /** Exact integer squared norm of a quantized vector (scale 1e12). */
   def qnorm2(a: Column): Column = QDotOps.qdotNative(a, a)
 
-  /** Seconds-precision epoch of a long-nanos timestamp column. Must be
-    * `div` (integer division): `/` on longs is double division, and nanos
-    * since epoch (~1.7e18) exceeds a double's 53-bit mantissa — the
-    * quotient can round across a second boundary. */
-  def nsToEpochSec(c: Column): Column = call_function("div", c, lit(1000000000L))
+  /** Exact FLOOR division of a long column by a positive long constant —
+    * matches DuckDB's `//` (and date_trunc-derived bucketing) for EVERY
+    * sign of the dividend. Spark's `div` truncates toward zero, so a
+    * negative epoch would land one bucket high per engine-divergence
+    * (round-11 ADVICE: the truncate-vs-floor bug class the inverted
+    * index's shiftright fix closed for power-of-two divisors; this is
+    * the general-divisor form). Stays in exact integer arithmetic —
+    * `floor(a / b)` over doubles would lose bits past 2^53, which nanos
+    * epochs (~1.7e18) exceed. pmod is non-negative, so a − pmod(a, b)
+    * is the largest multiple of b ≤ a and the div is exact. */
+  def floorDiv(c: Column, b: Long): Column = {
+    require(b > 0, s"floorDiv divisor must be positive, got $b")
+    call_function("div", c - pmod(c, lit(b)), lit(b))
+  }
+
+  /** Seconds-precision epoch of a long-nanos timestamp column. Floor
+    * division ([[floorDiv]]): the oracle side is
+    * epoch(date_trunc('second', ts)), which FLOORS for pre-1970
+    * timestamps — integer `div` would truncate toward zero and diverge
+    * one second high on every negative epoch. Must stay integer
+    * arithmetic: `/` on longs is double division, and nanos since epoch
+    * (~1.7e18) exceeds a double's 53-bit mantissa. */
+  def nsToEpochSec(c: Column): Column = floorDiv(c, 1000000000L)
 
   /** Hour-bucket epoch (seconds) of a long-nanos timestamp column. */
   def nsToHourEpoch(c: Column): Column =
-    call_function("div", c, lit(3600L * 1000000000L)) * 3600L
+    floorDiv(c, 3600L * 1000000000L) * 3600L
 
   /** First 8 hex chars of md5 as a non-negative long (32-bit range).
     * DuckDB equivalent: CAST('0x' || substring(md5(x),1,8) AS BIGINT). */

@@ -139,7 +139,7 @@ object ExtensionQueries {
   val eventsPivotDaily: Q = (s, d) => {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val daily = Tables.events(s, d)
-      .select(call_function("div", col("ts"), lit(86400L * 1000000000L)).as("day"),
+      .select(floorDiv(col("ts"), 86400L * 1000000000L).as("day"),
               col("event_type"))
       .groupBy("day").pivot("event_type", types).count()
     daily.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
@@ -252,9 +252,9 @@ object ExtensionQueries {
       .select(col("event_id"), nsToEpochSec(col("ts")).as("sec"))
       .withColumn("arr",
         col("sec") + md5Long(col("event_id").cast("string")) % 3600L)
-      .withColumn("arr_min", call_function("div", col("arr"), lit(60L)))
+      .withColumn("arr_min", floorDiv(col("arr"), 60L))
     val buckets = arr.groupBy("arr_min").agg(max(col("sec")).as("max_sec"))
-      .withColumn("arr_day", call_function("div", col("arr_min"), lit(1440L)))
+      .withColumn("arr_day", floorDiv(col("arr_min"), 1440L))
     val wDay = Window.partitionBy("arr_day").orderBy("arr_min")
       .rowsBetween(Window.unboundedPreceding, -1)
     val inDay = buckets.withColumn("in_day_before", max(col("max_sec")).over(wDay))
@@ -300,7 +300,7 @@ object ExtensionQueries {
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
               col("value"))
       .filter(col("k").isNotNull)
-      .groupBy(call_function("div", col("k"), lit(10L)).as("k_decile"))
+      .groupBy(floorDiv(col("k"), 10L).as("k_decile"))
       .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
       .orderBy("k_decile")
 
@@ -323,7 +323,7 @@ object ExtensionQueries {
   val eventsTypeDayCube: Q = (s, d) =>
     Tables.events(s, d)
       .select(col("event_type"),
-              call_function("div", nsToEpochSec(col("ts")), lit(86400L)).as("day"),
+              floorDiv(nsToEpochSec(col("ts")), 86400L).as("day"),
               col("value"))
       .cube(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
@@ -427,7 +427,7 @@ object ExtensionQueries {
     val ev = Tables.events(s, d)
       .select(nsToEpochSec(col("ts")).as("sec"), col("event_type"))
     val windows = ev.filter(col("event_type") === "error")
-      .groupBy((call_function("div", col("sec"), lit(3600L)) * 3600L).as("hr"))
+      .groupBy((floorDiv(col("sec"), 3600L) * 3600L).as("hr"))
       .agg(min(col("sec")).as("win_start"))
       .select(col("win_start"), (col("win_start") + 2700L).as("win_end"))
     RangeJoin.rangeJoin(ev.select("sec"), "sec", windows, "win_start", "win_end", 1800L)
@@ -445,7 +445,7 @@ object ExtensionQueries {
   val eventsSessionWindows: Q = (s, d) =>
     Tables.events(s, d)
       .select(col("user_id"),
-              timestamp_micros(call_function("div", col("ts"), lit(1000L))).as("tts"),
+              timestamp_micros(floorDiv(col("ts"), 1000L)).as("tts"),
               col("value"))
       .groupBy(col("user_id"), session_window(col("tts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"), decSum2(col("value")).as("sum_value"))
@@ -566,7 +566,7 @@ object ExtensionQueries {
   val eventsRetention: Q = (s, d) =>
     retentionOf(Tables.events(s, d)
       .select(col("user_id"),
-              call_function("div", nsToEpochSec(col("ts")), lit(86400L)).as("day")))
+              floorDiv(nsToEpochSec(col("ts")), 86400L).as("day")))
 
   /** Core of events_retention over any (user_id, day) frame. Single scan
     * of the log: distinct pairs, then each user's day set is collected
@@ -608,7 +608,7 @@ object ExtensionQueries {
   val eventsAnomalyMad: Q = (s, d) => {
     val daily = Tables.events(s, d)
       .select(col("event_type"),
-              call_function("div", nsToEpochSec(col("ts")), lit(86400L)).as("day"))
+              floorDiv(nsToEpochSec(col("ts")), 86400L).as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
     val snap = org.apache.spark.sql.graftx.Sessions.snapshot(daily)._2
     val med = snap.groupBy("event_type")
@@ -637,7 +637,7 @@ object ExtensionQueries {
     val w = Window.partitionBy("user_id")
     Tables.events(s, d)
       .select(col("user_id"),
-              call_function("div", nsToEpochSec(col("ts")), lit(86400L)).as("day"))
+              floorDiv(nsToEpochSec(col("ts")), 86400L).as("day"))
       .distinct()
       .withColumn("first_day", min(col("day")).over(w))
       .groupBy("day")

@@ -103,7 +103,7 @@ object OlapQueries {
     anomalyOf(
       Tables.events(s, d)
         .groupBy(col("event_type"),
-          call_function("div", nsToEpochSec(col("ts")), lit(86400L)).as("day"))
+          floorDiv(nsToEpochSec(col("ts")), 86400L).as("day"))
         .agg(count(lit(1)).as("n")))
 
   /** Core of events_anomaly_zscore over any (event_type, day, n) frame.

@@ -459,7 +459,7 @@ object TextQueries {
       .select(col("source"), col("doc_id"),
               size(words(col("text"))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .withColumn("bkt", call_function("div", col("doc_id"), lit(4096L)))
+      .withColumn("bkt", floorDiv(col("doc_id"), 4096L))
     val wIn = W.partitionBy("source", "bkt").orderBy("doc_id")
       .rowsBetween(W.unboundedPreceding, -1)
     val wBkt = W.partitionBy("source").orderBy("bkt")

@@ -42,7 +42,7 @@ object EventStreams {
 
   /** Long-nanos events frame → typed timestamp frame (micros precision). */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+    events.withColumn("ts", timestamp_micros(graft.functions.ColFns.floorDiv(col("ts"), 1000L)))
 
   /** Tumbling 1-hour window counts/sums per event type, watermark-bounded
     * late data (default 2 h — size it from the batch
