@@ -155,13 +155,15 @@ object LinkageQueries {
     * #1; every sibling query reduces arrays to scalars for the same
     * reason). Shard assignment is an arithmetic shift (see
     * [[PostingShardBits]]) so both engines floor-divide identically for
-    * any doc_id sign. */
+    * any doc_id sign.
+    *
+    * Built over [[graft.queries.TextQueries.termDocTf]] — the one
+    * (term, doc_id, tf) collapse the BM25 query side also consumes
+    * (round-11 verdict #6): the core's per-(term, doc) row set IS the
+    * distinct this index needs, so index build and retrieval provably
+    * share the tokenize + collapse lineage. */
   val textInvertedIndex: Q = (s, d) =>
-    Tables.documents(s, d)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .select("term", "doc_id").distinct()
+    graft.queries.TextQueries.termDocTf(s, d)
       .groupBy(col("term"),
                shiftright(col("doc_id"), PostingShardBits).as("shard"))
       .agg(count(lit(1)).as("df_shard"),

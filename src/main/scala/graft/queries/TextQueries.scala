@@ -232,12 +232,32 @@ object TextQueries {
       .orderBy("lang", "rank")
   }
 
+  /** The shared posting-statistics core: one row per (term, doc_id) with
+    * its within-document term frequency. This is the SINGLE corpus
+    * tokenize + collapse behind both the index build
+    * ([[graft.queries.LinkageQueries.textInvertedIndex]] — df semantics,
+    * i.e. the row set itself) and BM25 retrieval ([[textBm25TopK]] — tf
+    * directly, dl/cf/df by further collapsing), so the two provably share
+    * lineage instead of re-tokenizing (round-11 verdict #6). One
+    * corpus-scale shuffle (the map-side-combined (term, doc_id)
+    * aggregate); every consumer below works on the collapsed table,
+    * which is bounded by Σ per-doc distinct terms ≪ token count. */
+  private[graft] def termDocTf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
   /** Log-free BM25 top-k retrieval — the ranked-retrieval scorer a
     * decontamination/attribution pass runs against the posting index
     * ([[graft.queries.LinkageQueries.textInvertedIndex]] builds the
-    * index; this is the query side over the same (term, doc) statistics).
+    * index; both are views over ONE [[termDocTf]] posting-statistics
+    * core, so index build and retrieval share lineage by construction).
     * The standing query is the corpus's top-3 words by (cf desc, word) —
-    * corpus-derived and deterministic, no fixture-tuned term list.
+    * corpus-derived and deterministic, no fixture-tuned term list;
+    * [[bm25Rank]] takes any caller-supplied (term, qrank ∈ 1..3) table
+    * (Bm25Spec drives one).
     *
     * Scoring is BM25 (k₁ = 1.2, b = 0.75) with the RATIONAL idf
     * (N − df + ½)/(df + ½) in place of its ln — the same engine-exactness
@@ -254,31 +274,43 @@ object TextQueries {
     * compares the round(6) score (ties broken by doc_id), so a sub-1e-6
     * cross-engine wobble cannot flip the admitted top-10.
     *
-    * Scale shape: tokens shuffle once for tf and once for dl (both
-    * (doc_id)-keyed aggregates); df touches only the three query terms'
-    * postings (semi-join BEFORE the distinct — the corpus-wide
-    * (term, doc) distinct of the index build is never paid here); the
-    * query-term table rides a Limit-bounded broadcast; the final sort is
-    * top-10 over one row per matching doc. */
+    * Scale shape: tokens shuffle ONCE (the [[termDocTf]] collapse —
+    * round 11 paid a second corpus-scale dl aggregate over the raw
+    * stream; dl = Σ tf now reads the collapsed table); df touches only
+    * the three query terms' rows (the per-(term, doc) collapse already
+    * IS the distinct, so df is a count after the broadcast semi-join);
+    * the query-term table rides a Limit-bounded broadcast; the final
+    * sort is top-10 over one row per matching doc. */
   val textBm25TopK: Q = (s, d) => {
     val W = org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
-    val snap = org.apache.spark.sql.graftx.Sessions.snapshot(toks)._2
-    val tf = snap.groupBy("doc_id", "word")
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val dl = snap.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    // The core is read three times here (tf + dl + cf) and once more in
+    // dfq — snapshot once, the multi-read rule.
+    val tdf = org.apache.spark.sql.graftx.Sessions.snapshot(termDocTf(s, d))._2
+    val qterms = tdf.groupBy("term").agg(sum(col("tf")).as("cf"))
+      .orderBy(desc("cf"), asc("term")).limit(3)
+      .withColumn("qrank",
+        row_number().over(W.orderBy(desc("cf"), asc("term"))).cast("long"))
+      .select("term", "qrank")
+    bm25Rank(tdf, qterms)
+  }
+
+  /** BM25 ranking of a (term, qrank) query table against a
+    * [[termDocTf]] posting-statistics frame (`tdf` should be
+    * snapshotted: read three times). qrank must be 1..3 and unique per
+    * term — the three per-term contributions are pivoted into
+    * FIXED-ORDER addends keyed by qrank, which is what kills the
+    * double-sum order nondeterminism (see [[textBm25TopK]]'s scaladoc);
+    * a wider standing query adds addends, changing nothing structural. */
+  private[graft] def bm25Rank(tdf: DataFrame, qterms: DataFrame): DataFrame = {
+    val tf = tdf.select(col("term"), col("doc_id"), col("tf").cast("double").as("tf"))
+    val dl = tdf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
                        sum(col("dl")).as("toks"))
-    val qterms = snap.groupBy("word").agg(count(lit(1)).as("cf"))
-      .orderBy(desc("cf"), asc("word")).limit(3)
-      .withColumn("qrank",
-        row_number().over(W.orderBy(desc("cf"), asc("word"))).cast("long"))
-      .select("word", "qrank")
-    val dfq = snap.join(broadcast(qterms), "word")
-      .select("word", "qrank", "doc_id").distinct()
-      .groupBy("word", "qrank").agg(count(lit(1)).cast("double").as("df"))
-    val contrib = tf.join(broadcast(dfq), "word")
+    // tdf has one row per (term, doc): counting rows after the
+    // query-term semi-join IS the document frequency — no distinct.
+    val dfq = tf.join(broadcast(qterms), "term")
+      .groupBy("term", "qrank").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf.join(broadcast(dfq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("c",

@@ -49,6 +49,22 @@ class Bm25Spec extends SparkSpec {
     assert(ids.head == 1L, s"expected doc 1 first, got $ids")
   }
 
+  test("bm25Rank: a caller-supplied query-term table drives retrieval over the shared core") {
+    val dir = planted()
+    import graft.queries.TextQueries
+    val tdf = org.apache.spark.sql.graftx.Sessions
+      .snapshot(TextQueries.termDocTf(spark, dir))._2
+    // A standing query the corpus-top-3 derivation would never pick:
+    // two rare terms plus padding noise.
+    val q = Seq(("rim", 1L), ("zzz", 2L), ("pad1", 3L)).toDF("term", "qrank")
+    val ids = TextQueries.bm25Rank(tdf, q).collect().map(_.getLong(0)).toSet
+    org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+    // docs with none of the supplied terms are absent...
+    assert(!ids.contains(4L) && !ids.contains(7L), ids.toString)
+    // ...and docs matching only the supplied (not the corpus-top) terms hit.
+    assert(ids.contains(3L) && ids.contains(2L) && ids.contains(1L), ids.toString)
+  }
+
   test("fixture: top-10, deterministic, descending on the rounded score") {
     val df = SparkEntry.queries("text_bm25_topk")(spark, sfDir)
     val rows = df.collect()
