@@ -121,11 +121,13 @@ object VolumeProbe {
       val embNames = Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh")
       val triName = "graph_triangle_count"
       val fuzzyName = "text_fuzzy_join_blocked"
+      val fuzzyMultiName = "text_fuzzy_join_multikey"
+      val fuzzyNames = Set(fuzzyName, fuzzyMultiName)
       val needDocs = only.forall(_.exists(n =>
-        !embNames.contains(n) && n != triName && n != fuzzyName))
+        !embNames.contains(n) && n != triName && !fuzzyNames.contains(n)))
       val needEmb = only.forall(_.exists(embNames.contains))
       val needTri = wanted(triName)
-      val needPart = wanted(fuzzyName)
+      val needPart = fuzzyNames.exists(wanted)
 
       if (needDocs) {
         val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -315,6 +317,13 @@ object VolumeProbe {
           // block is dropped wholesale, so join rows stay ~linear where
           // an uncapped join would add C(20·factor, 2) hot pairs).
           sym(fuzzyName, graft.queries.LinkageQueries.textFuzzyJoinBlocked),
+          // round 12 (r11 verdict #4): the declared multikey form on the
+          // same salted-vocab + unsalted-hot-block fixture — per-token
+          // salting keeps BOTH tagged block spaces (last ∪ first token)
+          // disjoint per copy; the hot block lives in L space only (hot
+          // first tokens are all distinct), so its cap-engagement gate
+          // checks the tagged union.
+          sym(fuzzyMultiName, graft.queries.LinkageQueries.textFuzzyJoinMulti),
           // The sharded inverted index on the salted docs corpus: terms
           // are per-copy distinct, so (term, doc) pairs — the one
           // corpus-scale shuffle — grow exactly factor×; the entry gate
@@ -471,14 +480,26 @@ object VolumeProbe {
         // blocks, 0 at 1× where the hot block is still under cap), which
         // is what keeps the flat 2×-linear joinrows arm satisfiable at
         // all: uncapped, the hot block alone adds C(20·factor, 2) pairs.
-        if (name == fuzzyName) {
-          def overCap(dir: String): Long =
-            spark.read.parquet(s"$dir/part.parquet")
+        if (fuzzyNames.contains(name)) {
+          // Block sizes in the query's OWN block space: last token for
+          // the single-key form, the tagged last ∪ first union for the
+          // multikey (its per-key spaces are disjoint by tag, so one
+          // union count is exact).
+          def overCap(dir: String): Long = {
+            val names = spark.read.parquet(s"$dir/part.parquet")
               .groupBy("p_name").agg(count(lit(1)).as("cnt"))
-              .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-              .groupBy("blk").agg(count(lit(1)).as("bsz"))
+            val keyed =
+              if (name == fuzzyMultiName)
+                names.select(concat_ws("#", lit("L"),
+                    element_at(split(col("p_name"), " "), -1)).as("blk"))
+                  .unionByName(names.select(concat_ws("#", lit("F"),
+                    element_at(split(col("p_name"), " "), 1)).as("blk")))
+              else
+                names.select(element_at(split(col("p_name"), " "), -1).as("blk"))
+            keyed.groupBy("blk").agg(count(lit(1)).as("bsz"))
               .filter(col("bsz") > graft.queries.LinkageQueries.MaxBlock)
               .count()
+          }
           val oc1 = overCap(dir1)
           val ocN = overCap(dirN)
           // The hot block holds 20·factor names, so it crosses MaxBlock

@@ -131,9 +131,17 @@ object LinkageQueries {
 
   /** Two-key (last token ∪ first token) form of the fuzzy join — the
     * recall extension for name universes where edits hit the last token
-    * (invisible to single last-token blocking). Not declared: the
-    * declared operator keeps the single-key plan; this documents and
-    * tests the extension path. */
+    * (invisible to single last-token blocking). Declared as
+    * `text_fuzzy_join_multikey` (round-11 verdict #4): on the planted
+    * pairs it recovers 6/7 vs the single-key form's 4/7
+    * (LinkageSpec) at ~the same candidate cost by construction — the
+    * tagged block spaces are disjoint, so each key adds one
+    * vocabulary-scale stream and one blocked self-join, never a cross
+    * product, and the pair dedup before the verify scores each
+    * candidate once. The single-key form stays declared as the
+    * cheaper/lower-recall baseline. */
+  val textFuzzyJoinMulti: Q = (s, d) => textFuzzyJoinMultiKey(MaxBlock)(s, d)
+
   private[graft] def textFuzzyJoinMultiKey(cap: Long): Q =
     textFuzzyJoinKeyed(cap, Seq(
       "L" -> (n => element_at(split(n, " "), -1)),
@@ -238,6 +246,7 @@ object LinkageQueries {
 
   val queries: Map[String, Q] = Map(
     "text_fuzzy_join_blocked" -> textFuzzyJoinBlocked,
+    "text_fuzzy_join_multikey" -> textFuzzyJoinMulti,
     "text_inverted_index" -> textInvertedIndex,
     "graph_triangle_count" -> graphTriangleCount,
   )
@@ -258,6 +267,26 @@ object LinkageQueries {
          |       a.cnt AS cnt_a, c.cnt AS cnt_b
          |FROM vocab a JOIN vocab c ON a.blk = c.blk AND a.p_name < c.p_name
          |WHERE levenshtein(a.p_name, c.p_name) <= $MaxEdit
+         |ORDER BY name_a, name_b""".stripMargin,
+    "text_fuzzy_join_multikey" ->
+      s"""WITH names AS (
+         |  SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY p_name
+         |), tagged AS (
+         |  SELECT p_name, cnt, 'L' || '#' || string_split(p_name, ' ')[-1] AS blk FROM names
+         |  UNION ALL
+         |  SELECT p_name, cnt, 'F' || '#' || string_split(p_name, ' ')[1] AS blk FROM names
+         |), ok AS (
+         |  SELECT blk FROM tagged GROUP BY blk HAVING COUNT(*) <= $MaxBlock
+         |), vocab AS (
+         |  SELECT t.* FROM tagged t JOIN ok USING (blk)
+         |), cand AS (
+         |  SELECT DISTINCT a.p_name AS name_a, c.p_name AS name_b,
+         |         a.cnt AS cnt_a, c.cnt AS cnt_b
+         |  FROM vocab a JOIN vocab c ON a.blk = c.blk AND a.p_name < c.p_name
+         |)
+         |SELECT name_a, name_b,
+         |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist, cnt_a, cnt_b
+         |FROM cand WHERE levenshtein(name_a, name_b) <= $MaxEdit
          |ORDER BY name_a, name_b""".stripMargin,
     "text_inverted_index" ->
       s"""WITH toks AS (

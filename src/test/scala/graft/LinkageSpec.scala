@@ -187,6 +187,10 @@ class LinkageSpec extends SparkSpec {
       ("fax trat", "fox trot"))
     val single = pairSet(LinkageQueries.textFuzzyJoinBlockedCapped(1000L)(spark, dir))
     val multi = pairSet(LinkageQueries.textFuzzyJoinMultiKey(1000L)(spark, dir))
+    // The DECLARED query is the multi-key form at the default cap
+    // (round-11 verdict #4 promoted it from spec-only).
+    val declared = pairSet(SparkEntry.queries("text_fuzzy_join_multikey")(spark, dir))
+    assert(declared == multi, "declared multikey query diverges from the spec form")
     // Single-key recall: exactly the 4 L-visible pairs of 7 planted.
     assert(single.size == 4 && single.subsetOf(planted),
       s"single-key found $single")

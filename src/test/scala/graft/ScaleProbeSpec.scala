@@ -152,16 +152,22 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$dir10/tri/lineitem.parquet")
 
-    // Sub-fixture for text_fuzzy_join_blocked: per-copy suffix on the
-    // name (last token = the blocking key) keeps blocks disjoint across
-    // copies — vocabulary, blocks, and matched pairs all grow 10× while
-    // in-block edit distances are untouched (a shared suffix adds zero
-    // cost to levenshtein's band).
+    // Sub-fixture for the fuzzy joins: EVERY token gets a per-copy tag
+    // (the VolumeProbe part-fixture rule) so every blocking key's block
+    // space — last token for the single-key form, last ∪ first for the
+    // multikey — stays disjoint across copies: vocabulary, blocks, and
+    // matched pairs all grow 10× while in-block edit distances are
+    // untouched (both names gain the same-position suffix). The older
+    // whole-name suffix salted only the LAST token, which kept first
+    // tokens shared across copies — the multikey entry's F blocks would
+    // have grown 10× deep and measured a quadratic that is a fixture
+    // artifact, not an operator property.
     val part = spark.read.parquet(s"$sf/part.parquet")
     part.write.mode("overwrite").parquet(s"$dir1/fz/part.parquet")
     (0 until 10).map(t => part
         .withColumn("p_partkey", col("p_partkey") + t * keyOff)
-        .withColumn("p_name", concat(col("p_name"), lit(s"q$t"))))
+        .withColumn("p_name", concat_ws(" ",
+          transform(split(col("p_name"), " "), w => concat(w, lit(s"q$t"))))))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$dir10/fz/part.parquet")
 
@@ -266,7 +272,18 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
         (s, d) => graft.queries.LinkageQueries.graphTriangleCount(s, s"$d/tri")),
       sym("text_fuzzy_join_blocked",
         (s, d) => graft.queries.LinkageQueries.textFuzzyJoinBlocked(s, s"$d/fz")),
+      // round 12: the declared multikey form rides the same per-token-
+      // salted fixture (both its block spaces are disjoint per copy).
+      sym("text_fuzzy_join_multikey",
+        (s, d) => graft.queries.LinkageQueries.textFuzzyJoinMulti(s, s"$d/fz")),
       sym("text_inverted_index", graft.queries.LinkageQueries.textInvertedIndex),
+      // round 12 (r11 verdict #7): the two r11-new operators — both
+      // calendar/limit-bounded by construction, gated so a new operator
+      // never lands without a scale point. anomaly_mad's (type, day)
+      // domain grows 10× with the per-copy type tags; bm25's one corpus
+      // shuffle is the termDocTf collapse over the salted vocabulary.
+      sym("events_anomaly_mad", graft.queries.ExtensionQueries.eventsAnomalyMad),
+      sym("text_bm25_topk", TextQueries.textBm25TopK),
       sym("sample_temperature_mix", graft.queries.SamplingQueries.sampleTemperatureMix))
   }
 
