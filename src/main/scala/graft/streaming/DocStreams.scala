@@ -49,11 +49,18 @@ object DocStreams {
     * (column `s`), and docs sharing any shingle are emitted with their
     * overlap count once the watermark passes their ingest time. Shapes:
     * the shingle explode is stateless map-side work; the stream-static
-    * inner join broadcasts the fixed-size eval set so nothing shuffles;
-    * the only state is the per-(doc_id, ingest_ts) count aggregate,
-    * which the watermark bounds and append mode finalizes — grouping by
-    * the event-time column itself is what lets append emit exactly one
-    * row per contaminated doc. */
+    * inner join is UNHINTED, the same 100 TB rule as the batch twin
+    * (round-11 verdict #1: this was the one module escaping the
+    * broadcast discipline): `evalShingles` is caller-supplied, so its
+    * cardinality is a caller property the builder cannot bound — the
+    * planner elects a broadcast from the static side's own size stats
+    * whenever the eval set is actually small (it is for any real
+    * benchmark suite), while a force-hint would pin a corpus-derived
+    * eval set to the driver. StreamingGuard in BroadcastGuardSpec walks
+    * this builder. The only state is the per-(doc_id, ingest_ts) count
+    * aggregate, which the watermark bounds and append mode finalizes —
+    * grouping by the event-time column itself is what lets append emit
+    * exactly one row per contaminated doc. */
   def decontaminate(docs: DataFrame, evalShingles: DataFrame,
                     watermark: String = "1 hour"): DataFrame =
     docs
@@ -65,7 +72,7 @@ object DocStreams {
       // distinct on the eval side, exactly as the batch text_decontaminate
       // does: a duplicated benchmark shingle must not double-count
       // n_shared.
-      .join(broadcast(evalShingles.select(col("s")).distinct()), Seq("s"))
+      .join(evalShingles.select(col("s")).distinct(), Seq("s"))
       .groupBy(col("doc_id"), col("ingest_ts"))
       .agg(count(lit(1)).as("n_shared"))
       .select(col("doc_id"), col("n_shared"))

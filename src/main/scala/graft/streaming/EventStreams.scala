@@ -74,15 +74,20 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static enrichment: join the live event stream against a
-    * static dimension frame (e.g. the customer table). Spark plans the
-    * static side as a broadcast rebuilt per micro-batch — no streaming
-    * state, the standard shape for dimension enrichment at scale. */
+    * static dimension frame (e.g. the customer table). UNHINTED — the
+    * repo-wide 100 TB broadcast rule (BroadcastGuardSpec, streaming
+    * arm): `dim` is caller-supplied, so its cardinality is a caller
+    * property this builder cannot bound; the planner elects a
+    * per-micro-batch broadcast from the static side's own size stats
+    * whenever it is actually dimension-sized (the standard enrichment
+    * shape — and what happens for any catalog table), while a
+    * corpus-cardinality frame degrades to a shuffled stream-static
+    * join instead of pinning itself to the driver. */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
     // Drop the dimension's copy of the join key: when eventKey == dimKey
     // the duplicate name would make every downstream col(key) reference
     // ambiguous at analysis time.
-    events.join(org.apache.spark.sql.functions.broadcast(dim),
-      events(eventKey) === dim(dimKey), "left_outer")
+    events.join(dim, events(eventKey) === dim(dimKey), "left_outer")
       .drop(dim(dimKey))
 
   /** Stream-stream interval join — the streaming form of the batch

@@ -1,7 +1,11 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /** The 100 TB broadcast rule as a blanket test (round-10 verdict #2): no
   * declared query may FORCE a broadcast of a relation that grows with the
@@ -12,11 +16,17 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * actually small, making the hint pure downside at scale.
   *
   * Enforcement: every broadcast hint in every declared query's analyzed
-  * plan must be PROVABLY bounded by one of the structural rules below, or
-  * carry an explicit justification in [[allow]]. The rules would have
-  * flagged all five hints removed in round 11 (per-doc size tables, the
-  * pack-chunks range carry, the simulated eval-shingle set, the fuzzy
-  * join's block list), so a regression of that class cannot land silently.
+  * plan must be PROVABLY bounded by the structural rules below, or carry
+  * an explicit justification in [[allow]] — and the allowlist counts are
+  * EXACT (round-11 ADVICE): a query that drops a justified hint fails
+  * until its entry shrinks, so a freed slot can never be consumed by a
+  * later unjustified broadcast. The rules would have flagged all five
+  * hints removed in round 11 (per-doc size tables, the pack-chunks range
+  * carry, the simulated eval-shingle set, the fuzzy join's block list),
+  * so a regression of that class cannot land silently. A second arm
+  * (round-11 verdict #3) walks the STREAMING builders — the one module
+  * that previously escaped the rule — with the strictest posture: they
+  * force-broadcast nothing at all.
   */
 class BroadcastGuardSpec extends SparkSpec {
 
@@ -28,8 +38,10 @@ class BroadcastGuardSpec extends SparkSpec {
     * independent of corpus row count. */
   private val boundedGroupCols = Set("source", "lang")
 
-  /** Justified exceptions: query name → (max unproven hints, why bounded).
-    * Every entry must cite a bound the structural rules cannot see. */
+  /** Justified exceptions: query name → (EXACT unproven-hint count, why
+    * bounded). Every entry must cite a bound the structural rules cannot
+    * see, and the count must match exactly — an upper bound would leave
+    * freed slots open (round-11 ADVICE). */
   private val allow: Map[String, (Int, String)] = Map(
     "mix_sources_budget" -> (1,
       "bucket carry: exactly 256 hex-prefix buckets per source by " +
@@ -50,6 +62,19 @@ class BroadcastGuardSpec extends SparkSpec {
     "point_get" -> (1,
       "present-keys projection: inner join of a literal key list against " +
         "the unique c_custkey — <= |keys| rows by key uniqueness"),
+    "text_token_rarity" -> (1,
+      "Zipf head: the corpus-derived cut cf*lnV*sqrtV >= T admits at " +
+        "most sqrtV*lnV words unconditionally (TextQueries.textTokenRarity " +
+        "scaladoc proves the bound; TextHeadSplitSpec exercises it) — " +
+        "sub-linear in the vocabulary, which is itself sub-linear in the " +
+        "corpus. Structurally it is a filter over a word-grouped " +
+        "aggregate crossJoined with scalar totals, which no root rule " +
+        "can bound"),
+    "text_bm25_topk" -> (1,
+      "per-query-term df table: an aggregate grouped on (term, qrank) " +
+        "AFTER an inner join against the Limit-3 standing-query table — " +
+        "<= 3 rows by the join's term restriction, invisible to the " +
+        "root rules because the aggregate sits above a corpus-side join"),
   )
 
   private def isDimScan(l: LogicalRelation): Boolean = l.relation match {
@@ -58,42 +83,69 @@ class BroadcastGuardSpec extends SparkSpec {
     case _ => false
   }
 
-  /** A subtree is provably bounded if (R1) every leaf is a literal
-    * relation or a fixed-cardinality dim scan, (R2) it contains a Limit,
-    * (R3) it contains a global (scalar) aggregate, or (R4) it contains an
-    * aggregate grouped only on catalog-bounded enumeration columns. */
-  private def provablyBounded(p: LogicalPlan): Boolean = {
-    val leavesBounded = p.collectLeaves().forall {
-      case _: LocalRelation | _: OneRowRelation | _: Range => true
-      case l: LogicalRelation => isDimScan(l)
-      case _ => false
-    }
-    leavesBounded || p.exists {
-      case _: GlobalLimit | _: LocalLimit => true
-      case a: Aggregate if a.groupingExpressions.isEmpty => true
-      case a: Aggregate =>
-        a.groupingExpressions.nonEmpty && a.groupingExpressions.forall {
-          case ar: org.apache.spark.sql.catalyst.expressions.Attribute =>
-            boundedGroupCols.contains(ar.name)
+  /** Structural boundedness, checked FROM THE ROOT (round-11 ADVICE: the
+    * previous exists-anywhere form accepted any subtree that merely
+    * CONTAINED a scalar aggregate — e.g. an unbounded relation
+    * crossJoined with a broadcast totals row). A plan is provably
+    * bounded iff its root is:
+    *  - a literal/one-row/range leaf, or a fixed-cardinality dim scan;
+    *  - a Limit;
+    *  - an Aggregate that is scalar, grouped only on catalog-bounded
+    *    enumeration columns, or over a bounded child (aggregation never
+    *    expands rows);
+    *  - a Join whose bounded property propagates: semi/anti from the
+    *    left side alone (they only filter it), anything else — including
+    *    cross — from BOTH sides;
+    *  - a Union of bounded children;
+    *  - a Generate over a bounded child (per-row fan-out is the bounded
+    *    relation's own array widths — the operator's parameter, not the
+    *    corpus);
+    *  - any other row-non-expanding unary node over a bounded child.
+    * Anything else — in particular a raw corpus scan, a snapshot
+    * LogicalRDD, or a corpus-side join — is unproven and must go
+    * through [[allow]]. */
+  private def provablyBounded(p: LogicalPlan): Boolean = p match {
+    case _: LocalRelation | _: OneRowRelation | _: Range => true
+    case l: LogicalRelation => isDimScan(l)
+    case _: GlobalLimit | _: LocalLimit => true
+    case a: Aggregate =>
+      a.groupingExpressions.isEmpty ||
+        a.groupingExpressions.forall {
+          case ar: Attribute => boundedGroupCols.contains(ar.name)
           case _ => false
-        }
-      case _ => false
+        } || provablyBounded(a.child)
+    case j: Join => j.joinType match {
+      case LeftSemi | LeftAnti => provablyBounded(j.left)
+      case _ => provablyBounded(j.left) && provablyBounded(j.right)
     }
+    case u: Union => u.children.forall(provablyBounded)
+    case g: Generate => provablyBounded(g.child)
+    case un: UnaryNode => provablyBounded(un.child)
+    case _ => false
   }
+
+  private def unprovenHints(plan: LogicalPlan): Seq[ResolvedHint] =
+    plan.collect {
+      case r: ResolvedHint if r.hints.strategy.contains(BROADCAST) => r
+    }.filterNot(h => provablyBounded(h.child))
 
   test("no declared query force-broadcasts a corpus-cardinality relation") {
     val offenders = Seq.newBuilder[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.analyzed
-      val hints = plan.collect {
-        case r: ResolvedHint if r.hints.strategy.contains(BROADCAST) => r
-      }
-      val unproven = hints.filterNot(h => provablyBounded(h.child))
+      val unproven = unprovenHints(plan)
       val allowed = allow.get(name).map(_._1).getOrElse(0)
-      if (unproven.size > allowed)
-        offenders += s"$name: ${unproven.size} unproven broadcast hint(s) " +
-          s"(allowed $allowed) — first subtree:\n" +
-          unproven.head.child.toString.linesIterator.take(8).mkString("\n")
+      // EXACT match: more unproven hints than justified is the
+      // regression this guard exists for; fewer means a hint was
+      // removed and the allowlist entry must shrink with it, or the
+      // freed slot silently shelters the next regression.
+      if (unproven.size != allowed)
+        offenders += s"$name: ${unproven.size} unproven broadcast hint(s), " +
+          s"allowlist says exactly $allowed" +
+          (if (unproven.nonEmpty)
+            " — first subtree:\n" +
+              unproven.head.child.toString.linesIterator.take(8).mkString("\n")
+          else " — shrink or drop the stale allowlist entry")
       org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
     }
     val bad = offenders.result()
@@ -101,9 +153,53 @@ class BroadcastGuardSpec extends SparkSpec {
   }
 
   test("the allowlist carries no stale entries") {
-    // An entry whose query no longer has that many unproven hints is a
-    // silent hole the next regression walks through — keep it tight.
+    // Unknown names are dead weight; count staleness is enforced
+    // exactly by the main test's == comparison.
     val stale = allow.keys.filterNot(SparkEntry.queries.contains)
     assert(stale.isEmpty, s"allowlist names unknown queries: $stale")
+  }
+
+  test("streaming builders force-broadcast nothing") {
+    // The streaming module previously escaped the guard entirely
+    // (round-11 verdict #3: DocStreams.decontaminate force-broadcast
+    // its eval-shingle set — exactly the hint the batch twin dropped).
+    // Both caller-supplied static sides (eval shingles, enrichment dim)
+    // are instantiated here with CORPUS-derived frames — the worst case
+    // the rule guards — and the discipline is the strictest form: zero
+    // forced broadcasts anywhere in the module; the per-batch planner
+    // elects broadcasts from static-side size stats instead.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{DocStreams, EventStreams}
+    val docsDf = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+      .toDF().toDF("doc_id", "lang", "text", "ingest_ts")
+    val evMem = MemoryStream[EventStreams.Event]
+    // The event builders take the long-nanos ts contract (StreamingSpec's
+    // asNanosFrame conversion).
+    val evDf = evMem.toDF()
+      .withColumn("ts", col("ts").cast("long") * 1000000000L)
+    val evalShingles = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("text").as("s"))
+    val dim = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("cust_id"), col("c_name"))
+    val builders: Seq[(String, LogicalPlan)] = Seq(
+      "cleanDocs" -> DocStreams.cleanDocs(docsDf).queryExecution.analyzed,
+      "decontaminate" ->
+        DocStreams.decontaminate(docsDf, evalShingles).queryExecution.analyzed,
+      "pipeline" -> DocStreams.pipeline(docsDf).queryExecution.analyzed,
+      "tumblingAgg" -> EventStreams.tumblingAgg(evDf).queryExecution.analyzed,
+      "dedupEvents" -> EventStreams.dedupEvents(evDf).queryExecution.analyzed,
+      "errorContext" -> EventStreams.errorContext(evDf).queryExecution.analyzed,
+      "enrich" -> EventStreams.enrich(evDf, dim, "user_id", "cust_id")
+        .queryExecution.analyzed,
+      "sessionize" -> EventStreams.sessionize(evMem.toDS()).queryExecution.analyzed)
+    val bad = builders.flatMap { case (name, plan) =>
+      val hints = plan.collect {
+        case r: ResolvedHint if r.hints.strategy.contains(BROADCAST) => r
+      }
+      if (hints.nonEmpty) Some(s"$name: ${hints.size} forced broadcast(s)")
+      else None
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
   }
 }
