@@ -339,14 +339,29 @@ object VolumeProbe {
           // shuffle shape in the surface (every token moves once) —
           // exactly the plan whose 100x linearity needs a recorded point.
           sym("text_dedup_spans", graft.queries.TextQueries.textDedupSpans),
-          // The embedding family (round-6 verdict #1): the one
-          // bucket-self-join-feeding-a-rank-window plan in the surface,
-          // riding the plane-growth rule whose constant matters more at
-          // 100× than 10×.
+          // The embedding family (round-6 verdict #1): the bucket
+          // self-join with inline cosine + single-exchange rank, riding
+          // the plane-growth rule whose constant matters more at 100×
+          // than 10×. Planes-only is recall-safe through k = 13
+          // (RecallSpec measured the (1−p^16)^3 ≈ 0.80 decay at k = 16),
+          // so past that boundary — the 1000× decade — the factor× form
+          // grows BOTH dials via the pairs fixed point at this
+          // operator's L₀ = 3: (18, 7) at factor 1000, recall-pinned.
           ("sim_knn_graph",
             SimilarityQueries.simKnnGraphPlanes(SimilarityQueries.NPlanes),
-            SimilarityQueries.simKnnGraphPlanes(
-              SimilarityQueries.NPlanes + extraPlanes)),
+            { if (SimilarityQueries.NPlanes + extraPlanes <= 13)
+                SimilarityQueries.simKnnGraphPlanes(
+                  SimilarityQueries.NPlanes + extraPlanes)
+              else {
+                var dk = extraPlanes
+                var l = 3 + (dk + 1) / 3
+                var next = math.ceil(math.log(factor * l / 3.0) / math.log(2)).toInt
+                while (next != dk) {
+                  dk = next; l = 3 + (dk + 1) / 3
+                  next = math.ceil(math.log(factor * l / 3.0) / math.log(2)).toInt
+                }
+                SimilarityQueries.simKnnGraphPlanes(6 + dk, l)
+              } }),
           // round 10 (r9 verdict #2): the multi-probe online ANN search,
           // riding the same ⌈log₂ factor⌉ plane growth as the kNN graph
           // (its multiprobe fan grows only linearly in k, so no table

@@ -634,63 +634,56 @@ object DedupQueries {
     * RecallSpec pins ≥0.9 recall at (4,2), (8,3) and (12,5); the
     * declared query is (4, 2). */
   private[graft] def dedupEmbeddingPairsPlanes(nPlanes: Int, nTables: Int = 2): Q = (s, d) => {
-    // Snapshot both multiply-read frames, the simKnnGraphPlanes pattern:
-    // q is read THREE times (bucketing + the two rescoring sides) and
-    // keyed twice (self-join) — unsnapshotted, each reader re-executes
-    // the embeddings scan + quantize + qnorm2 (and the nTables×nPlanes
-    // qdot bucketing) lineage from scratch.
     // The candidate pack below is injective ONLY for 0 ≤ vec_id < 2³²,
     // so the precondition is ENFORCED at the source boundary
     // ([[graft.functions.ColFns.packableId]] raises on a wider id
     // instead of silently colliding packed keys and losing pairs).
-    val q = org.apache.spark.sql.graftx.Sessions.snapshot(
-      Tables.embeddings(s, d)
-        .select(packableId(col("vec_id")).as("vec_id"),
-                quantizeVec(col("embedding")).as("qv"))
-        .withColumn("n2", qnorm2(col("qv"))))._2
+    val q = Tables.embeddings(s, d)
+      .select(packableId(col("vec_id")).as("vec_id"),
+              quantizeVec(col("embedding")).as("qv"))
+      .withColumn("n2", qnorm2(col("qv")))
     def bucket(tbl: Int): Column =
       (0 until nPlanes).map(p =>
         when(qdot(col("qv"), typedlit(lshWeights(tbl * nPlanes + p))) > 0L, lit(1L << p))
           .otherwise(lit(0L))).reduce(_ + _)
-    val keyed = org.apache.spark.sql.graftx.Sessions.snapshot(
-      q.select(col("vec_id"),
-        posexplode(array((0 until nTables).map(bucket): _*)).as(Seq("tbl", "bucket"))))._2
-    // Narrow candidate pairs first (16-byte rows through the join +
-    // distinct), then join the 64-long vectors back by vec_id — carrying
-    // qv through the bucket join would shuffle ~40× the bytes.
+    // keyed CARRIES the quantized vector + norm, so the exact cosine is
+    // computed INSIDE the bucket self-join, where both sides are already
+    // present (round 12; r11 shaped this as narrow 8-byte pairs + two
+    // SHUFFLE_HASH-pinned rescoring joins back to the vector table —
+    // scale-safe, but it re-shuffled the PAIR STREAM twice, the
+    // corpus-quadratic-prone relation, and at fixture scale its two
+    // extra hinted stages were the round's biggest bench regression).
+    // The trade, measured at the 100× probe point: the (tbl, bucket)
+    // exchange widens from 24-byte to ~560-byte rows — but that volume
+    // is L·n, LINEAR in the corpus by construction, while the deleted
+    // shuffles moved ~2·|pairs| rows (the term the (k, L) rule has to
+    // actively fight to keep linear); the pair dedup widens 8 → 16
+    // bytes (pk + its cos — a deterministic function of the pair,
+    // bit-identical from either colliding table, so distinct-on-both
+    // ≡ distinct-on-pk). No join after the bucket join means NO forced
+    // hint anywhere in this plan.
     //
-    // The candidate pair is PACKED into one 8-byte key for the distinct
-    // (round-10 verdict #4 — this operator's 10.2 GB spill at the 100×
-    // probe point was the largest recorded, and the distinct over
-    // (vec_a, vec_b) was its widest stage): shiftleft(a,32)|b halves the
-    // row payload and gives the dedup sort/hash a single-word compare.
-    // Precondition: 0 ≤ vec_id < 2³² (4.3e9 vectors — RecallSpec pins
-    // round-tripping at the 2³² boundary, where the packed key's sign
-    // bit flips and only the UNSIGNED right shift recovers vec_a); an id
-    // universe wider than that moves the pack to the (vec_a, vec_b)
-    // struct form at 2× the width, changing no other part of the plan.
-    val cand = keyed.as("a")
+    // The pack (round-10 verdict #4): shiftleft(a,32)|b gives the dedup
+    // a single-word key compare. Precondition: 0 ≤ vec_id < 2³² (4.3e9
+    // vectors — RecallSpec pins round-tripping at the 2³² boundary,
+    // where the packed key's sign bit flips and only the UNSIGNED right
+    // shift recovers vec_a); a wider id universe moves the pack to the
+    // (vec_a, vec_b) struct form at 2× the width, nothing else changes.
+    // keyed is the one multi-read frame left (self-join) — snapshot
+    // once; q now has a single reader and needs none.
+    val keyed = org.apache.spark.sql.graftx.Sessions.snapshot(
+      q.select(col("vec_id"), col("qv"), col("n2"),
+        posexplode(array((0 until nTables).map(bucket): _*)).as(Seq("tbl", "bucket"))))._2
+    val cos: Column = qdot(col("a.qv"), col("b.qv")) /
+      (sqrt(col("a.n2")) * sqrt(col("b.n2")))
+    keyed.as("a")
       .join(keyed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(packPair(col("a.vec_id"), col("b.vec_id")).as("pk"))
+      .select(packPair(col("a.vec_id"), col("b.vec_id")).as("pk"), cos.as("cos"))
       .distinct()
       .select(unpackPairA(col("pk")).as("vec_a"),
-              unpackPairB(col("pk")).as("vec_b"))
-    val cos: Column = qdot(col("pa.qv"), col("pb.qv")) /
-      (sqrt(col("pa.n2")) * sqrt(col("pb.n2")))
-    // SHUFFLE_HASH on the vectors side, as in simKnnGraphPlanes: the
-    // candidate side is the pair-scale relation; sort-merging it (the
-    // unhinted plan once broadcast is off the table) pays full sorts of
-    // the pair stream, while the hash build is a per-partition slice of
-    // the vector table — small by construction. Measured at the 100×
-    // probe point: 7.79 GB spill → 0 (the packed distinct had taken the
-    // r10 10.2 GB to 7.79; these hints remove the remainder, the two
-    // pair-stream sorts).
-    cand
-      .join(q.as("pa").hint("shuffle_hash"), col("vec_a") === col("pa.vec_id"))
-      .join(q.as("pb").hint("shuffle_hash"), col("vec_b") === col("pb.vec_id"))
-      .select(col("vec_a"), col("vec_b"), cos.as("cos"))
+              unpackPairB(col("pk")).as("vec_b"), col("cos"))
       .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
       .limit(20)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("score"))

@@ -200,8 +200,9 @@ object SimilarityQueries {
     * This is the build step behind graph-based curation (diversity
     * sampling, semantic dedup clustering, label propagation). Plan shape:
     * bucketing stays map-side codegen; candidates come from the
-    * (tbl, bucket) equi self-join; the narrow (src, cand) pairs dedupe
-    * BEFORE the vectors join back by id; one rank window per src. The
+    * (tbl, bucket) equi self-join, which also computes the exact cosine
+    * in place (both vectors are present at the join — round 12); the
+    * (packed pair, cos) rows dedupe once; one rank window per src. The
     * fan-in per bucket is ~n/2^NPlanes, so at corpus scale NPlanes grows
     * with log₂(n) to hold bucket size ≈ candidate budget (the same
     * re-parameterization rule as the simhash block-pair banding), and
@@ -213,8 +214,7 @@ object SimilarityQueries {
     * (tbl, bucket) partitioning the join shuffles on. Fixture max bucket
     * is 26 (sf0.01) / 81 (sf0.1), so the declared result equals the
     * uncapped form at both SFs. The keyed bucket table feeds both sides
-    * of the self-join and the quantized vectors three readers — each
-    * snapshots once. */
+    * of the self-join — the one multi-read frame, snapshotted once. */
   val simKnnGraph: Q = (s, d) => simKnnGraphPlanes(NPlanes)(s, d)
 
   /** [[simKnnGraph]] with an explicit plane count — the deployment knob
@@ -227,16 +227,20 @@ object SimilarityQueries {
     * for the near-dup workload: RecallSpec pins recall ≥ 0.9 on planted
     * cos ≈ 0.99 pairs at BOTH k = 6 and k = 10 (a deployment chasing
     * mid-similarity neighbors would grow tables/probes alongside planes).
-    * The declared query is this at NPlanes = 6. */
-  private[graft] def simKnnGraphPlanes(nPlanes: Int): Q = (s, d) => {
-    // packableId: the candidate distinct below runs on 8-byte packed
+    * The planes-only rule's recall-safe domain ENDS past k = 13:
+    * RecallSpec measured 20/25 (= the (1-p^16)^3 prediction) at k = 16,
+    * so the 1000x decade grows BOTH dials via the
+    * [[DedupQueries.dedupEmbeddingPairsPlanes]] fixed point with this
+    * operator's L0 = 3 — (18, 7) at factor 1000, recall-pinned 0.96.
+    * The declared query is this at NPlanes = 6, NTables = 3. */
+  private[graft] def simKnnGraphPlanes(nPlanes: Int, nTables: Int = NTables): Q = (s, d) => {
+    // packableId: the candidate dedup below runs on 8-byte packed
     // pairs, injective only for ids < 2³² — enforced here, struct-pack
     // documented beyond (the dedupEmbeddingPairsPlanes discipline).
-    val q = org.apache.spark.sql.graftx.Sessions.snapshot(
-      Tables.embeddings(s, d)
-        .select(packableId(col("vec_id")).as("vec_id"),
-                quantizeVec(col("embedding")).as("qv"))
-        .withColumn("n2", qnorm2(col("qv"))))._2
+    val q = Tables.embeddings(s, d)
+      .select(packableId(col("vec_id")).as("vec_id"),
+              quantizeVec(col("embedding")).as("qv"))
+      .withColumn("n2", qnorm2(col("qv")))
     // The bucket cap stays a count-over-window: unlike the ngram df cut
     // (whose window sorted the whole corpus stream on a single key and
     // was rebuilt as an aggregate + semi join for −36% CPU at 100×),
@@ -244,49 +248,51 @@ object SimilarityQueries {
     // few hundred rows by construction, the sort is noise, and the same
     // aggregate + semi-join rebuild MEASURED 18% slower here at the
     // 100× point (extra exchange + snapshot outweigh a tiny sort;
-    // round-10 probe). The candidate distinct runs on 8-byte packed
-    // pairs (round 11, the dedupEmbeddingPairsPlanes pack). The
-    // operator's recorded 100× spill (7.36 GB at r10/r11-interim) was
-    // localized by measurement, not guesswork: the pack changed it by
-    // ZERO bytes (so not the distinct), and pinning SHUFFLE_HASH on the
-    // two rescoring joins below collapsed it to ZERO (so it was the
-    // unhinted sort-merge's TWO full sorts of the ~70 M-row pair
-    // stream). The rank window itself never was the driver — its
-    // per-partition slices sort in memory.
+    // round-10 probe).
+    //
+    // keyed CARRIES the quantized vector + norm so the exact cosine is
+    // computed INSIDE the bucket self-join (round 12, shared with
+    // [[graft.queries.DedupQueries.dedupEmbeddingPairsPlanes]] — see
+    // its scaladoc for the measured trade): r11's narrow-pair shape +
+    // two SHUFFLE_HASH rescoring joins re-shuffled the ~|pairs| stream
+    // twice, which at fixture scale was the round's bench regression
+    // and at corpus scale is the quadratic-prone term; the bucket
+    // exchange it widens instead is L·n — linear — and the candidate
+    // dedup stays a single-word packed key (+ its deterministic cos).
+    // No join after the bucket join → no forced hint in this plan.
     val wB = Window.partitionBy("tbl", "bucket")
     val keyed = org.apache.spark.sql.graftx.Sessions.snapshot(
-      q.select(col("vec_id"),
-        posexplode(array((0 until NTables).map(t => lshBucketN(t, col("qv"), nPlanes)): _*))
+      q.select(col("vec_id"), col("qv"), col("n2"),
+        posexplode(array((0 until nTables).map(t => lshBucketN(t, col("qv"), nPlanes)): _*))
           .as(Seq("tbl", "bucket")))
         .withColumn("bsz", count(lit(1)).over(wB))
         .filter(col("bsz") <= 128)
         .drop("bsz"))._2
-    val cand = keyed.as("a").join(keyed.as("b"),
+    val cos: Column = qdot(col("a.qv"), col("b.qv")) /
+      (sqrt(col("a.n2")) * sqrt(col("b.n2")))
+    // ONE pair-stream shuffle: dedup AND rank ride the same (src)
+    // window partitioning. A separate distinct + rank window crossed
+    // the pair stream over two exchanges and measured 205× linear on
+    // the records arm at 100× (the cross-TABLE duplicates of a pair
+    // land in different (tbl, bucket) shuffle partitions, so the
+    // distinct's map-side partial cannot merge them); here the joined
+    // rows shuffle once by src, the (cos desc, cand asc) sort makes a
+    // pair's table-duplicates ADJACENT (their cos is bit-identical, so
+    // equal cand at equal cos), a lag() marks them, and the row_number
+    // after the dedup filter reuses the very same exchange + sort
+    // (EnsureRequirements sees the distribution/order already
+    // satisfied — the executed plan has one exchange, one sort, two
+    // window passes). A per-group object aggregate (collect + dedupe +
+    // slice) also passes the records gate but measured ~1.8× the CPU:
+    // object-hash aggregation is interpreted per row, windows are not.
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("cand_id"))
+    keyed.as("a").join(keyed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(packPair(col("a.vec_id"), col("b.vec_id")).as("pk"))
-      .distinct()
-      .select(unpackPairA(col("pk")).as("src"),
-              unpackPairB(col("pk")).as("cand_id"))
-    val cos: Column = qdot(col("pa.qv"), col("pb.qv")) /
-      (sqrt(col("pa.n2")) * sqrt(col("pb.n2")))
-    // SHUFFLE_HASH on the vectors side (the jaccard-on-lsh rescoring
-    // rule): the candidate side is the ~70 M-row relation at the 100×
-    // point, and an unhinted plan with broadcast unavailable sort-merges
-    // it — TWO full sorts of the pair stream, measured as this
-    // operator's actual spill driver (7.36 GB → 0 at the 100× probe
-    // point with these hints; the candidate-distinct pack had changed
-    // nothing). Hashing builds on the per-partition slice of the VECTOR
-    // table instead — small by construction (corpus vectors /
-    // partitions), never the pair stream. Unlike a broadcast hint, a
-    // forced shuffle-hash stays scale-safe: the build side is
-    // per-partition, not per-driver.
-    val scored = cand
-      .join(q.as("pa").hint("shuffle_hash"), col("src") === col("pa.vec_id"))
-      .join(q.as("pb").hint("shuffle_hash"), col("cand_id") === col("pb.vec_id"))
-      .select(col("src"), col("cand_id"), cos.as("cos"))
-    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("cand_id"), cos.as("cos"))
+      .withColumn("dup", lag(col("cand_id"), 1).over(w) === col("cand_id"))
+      .filter(!coalesce(col("dup"), lit(false)))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("src").as("vec_id"), col("rank").cast("long").as("rank"),
               col("cand_id").as("neighbor"), round(col("cos"), 6).as("score"))

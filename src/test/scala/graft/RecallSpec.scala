@@ -62,7 +62,8 @@ class RecallSpec extends SparkSpec {
 
   test("planted near-dups: dedup_embedding_pairs (LSH) recovers >=0.9 of brute-force top-20") {
     // Declared form (4 planes, 2 tables) plus the probe-grown forms —
-    // (8, 3) at ScaleProbeSpec's 10x, (12, 5) at VolumeProbe's 100x: the
+    // (8, 3) at ScaleProbeSpec's 10x, (12, 5) / (16, 6) at VolumeProbe's
+    // 100x / 1000x decades: the
     // (k, L) rule grows BOTH dials (planes for occupancy, one table per
     // ~3 extra planes for recall — k=11 at the original L=2 measured
     // 15/20 here, which is how the second dial earned its place), and the
@@ -72,7 +73,7 @@ class RecallSpec extends SparkSpec {
     // volume-gated.
     val brute = DedupQueries.dedupEmbeddingPairsBrute(spark, plantedDir)
       .select("vec_a", "vec_b")
-    for ((planes, tables) <- Seq((4, 2), (8, 3), (12, 5))) {
+    for ((planes, tables) <- Seq((4, 2), (8, 3), (12, 5), (16, 6))) {
       val lsh = DedupQueries.dedupEmbeddingPairsPlanes(planes, tables)(spark, plantedDir)
       val (hit, total) = recall(lsh, brute, Seq("vec_a", "vec_b"))
       assert(total == 20)
@@ -114,8 +115,8 @@ class RecallSpec extends SparkSpec {
 
   test("planted near-dups: sim_knn_graph keeps recall >= 0.9 as the plane count grows") {
     // ScaleProbeSpec grows NPlanes by ceil(log2 10) = 4 at the 10x
-    // corpus, and VolumeProbe by ceil(log2 100) = 7 at the 100x corpus
-    // (the documented planes-track-log2(n) rule). Growing k lowers
+    // corpus, and VolumeProbe by ceil(log2 100) = 7 / ceil(log2 1000) =
+    // 10 at the 100x / 1000x corpora (the planes-track-log2(n) rule). Growing k lowers
     // per-table collision probability (p^k), so the rule is only safe for
     // the near-dup workload this operator exists for — at the planted
     // cos ~0.993 (theta ~ 7 deg, p ~ 0.96 per plane) expected recall
@@ -140,13 +141,17 @@ class RecallSpec extends SparkSpec {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
       .select(col("vec_id"), col("other_id").as("neighbor"))
-    for (k <- Seq(6, 10, 13)) {
-      val graph = SimilarityQueries.simKnnGraphPlanes(k)(spark, plantedDir)
+    // Planes-only is recall-safe through k = 13; at k = 16 it measured
+    // 20/25 — exactly the (1 − p^16)^3 ≈ 0.80 prediction — so the
+    // 1000× decade grows BOTH dials (the pairs fixed point at L₀ = 3
+    // → (18, 7)), pinned here alongside the planes-only forms.
+    for ((k, l) <- Seq((6, 3), (10, 3), (13, 3), (18, 7))) {
+      val graph = SimilarityQueries.simKnnGraphPlanes(k, l)(spark, plantedDir)
         .select("vec_id", "neighbor")
       val (hit, total) = recall(graph, top1, Seq("vec_id", "neighbor"))
       assert(total == 25)
       assert(hit >= math.ceil(0.9 * total).toLong,
-        s"kNN-graph recall at $k planes: $hit/$total < 0.9")
+        s"kNN-graph recall at ($k planes, $l tables): $hit/$total < 0.9")
     }
   }
 
