@@ -41,19 +41,28 @@ object ColFns {
   def qnorm2(a: Column): Column = QDotOps.qdotNative(a, a)
 
   /** Exact FLOOR division of a long column by a positive long constant —
-    * matches DuckDB's `//` (and date_trunc-derived bucketing) for EVERY
-    * sign of the dividend. Spark's `div` truncates toward zero, so a
-    * negative epoch would land one bucket high per engine-divergence
-    * (round-11 ADVICE: the truncate-vs-floor bug class the inverted
-    * index's shiftright fix closed for power-of-two divisors; this is
-    * the general-divisor form). Stays in exact integer arithmetic —
-    * `floor(a / b)` over doubles would lose bits past 2^53, which nanos
-    * epochs (~1.7e18) exceed. pmod is non-negative, so a − pmod(a, b)
-    * is the largest multiple of b ≤ a and the div is exact. */
+    * the calendar-correct bucketing semantics (a pre-1970 timestamp
+    * floors to the PREVIOUS day, matching date_trunc) for EVERY sign of
+    * the dividend; Spark's `div` truncates toward zero and would land
+    * negative epochs one bucket high (round-11 ADVICE; the inverted
+    * index's shiftright fix is the power-of-two special case). NB both
+    * engines' native integer division TRUNCATES (DuckDB `//` measured:
+    * −7 // 2 = −3), so oracle SQL must spell the floor out too — either
+    * date_trunc on the calendar path or (x − pmod(x, b)) // b, which is
+    * exactly divisible so truncation and floor agree. Stays in exact
+    * integer arithmetic — `floor(a / b)` over doubles would lose bits
+    * past 2^53, which nanos epochs (~1.7e18) exceed. pmod is
+    * non-negative, so a − pmod(a, b) is the largest multiple of
+    * b ≤ a and the div is exact. */
   def floorDiv(c: Column, b: Long): Column = {
     require(b > 0, s"floorDiv divisor must be positive, got $b")
-    call_function("div", c - pmod(c, lit(b)), lit(b))
+    floorDiv(c, lit(b))
   }
+
+  /** Column-divisor overload (divisor must be positive; e.g. a group
+    * count). Same exact-integer floor semantics as the constant form. */
+  def floorDiv(c: Column, b: Column): Column =
+    call_function("div", c - pmod(c, b), b)
 
   /** Seconds-precision epoch of a long-nanos timestamp column. Floor
     * division ([[floorDiv]]): the oracle side is

@@ -682,7 +682,7 @@ object ExtensionQueries {
     "events_anomaly_mad" ->
       """WITH daily AS (
         |  SELECT event_type,
-        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
         |         CAST(COUNT(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1, 2
         |), med AS (
@@ -716,7 +716,7 @@ object ExtensionQueries {
     "events_daily_active" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,
-        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+        |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
         |  FROM events
         |), f AS (
         |  SELECT day, MIN(day) OVER (PARTITION BY user_id) AS first_day FROM days
@@ -727,7 +727,7 @@ object ExtensionQueries {
     "events_retention" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,
-        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+        |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
         |  FROM events
         |), active AS (
         |  SELECT day, COUNT(*) AS n_active FROM days GROUP BY day
@@ -780,12 +780,13 @@ object ExtensionQueries {
         |ORDER BY user_id, session_start""".stripMargin,
     "events_error_window_join" ->
       """WITH ev AS (
-        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr, event_type
         |  FROM events
         |), w AS (
         |  SELECT MIN(sec) AS win_start, MIN(sec) + 2700 AS win_end
         |  FROM ev WHERE event_type = 'error'
-        |  GROUP BY sec // 3600
+        |  GROUP BY hr
         |)
         |SELECT win_start, COUNT(*) AS n_events
         |FROM w JOIN ev ON ev.sec >= w.win_start AND ev.sec < w.win_end
@@ -805,14 +806,15 @@ object ExtensionQueries {
         |ORDER BY event_id""".stripMargin,
     "events_type_day_cube" ->
       """SELECT event_type,
-        |       CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |       CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY CUBE (event_type, day)
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
     "events_props_json" ->
-      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+      """SELECT (CAST(json_extract(props, '$.k') AS BIGINT)
+        |        - ((CAST(json_extract(props, '$.k') AS BIGINT) % 10 + 10) % 10)) // 10 AS k_decile,
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
@@ -837,7 +839,7 @@ object ExtensionQueries {
         |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_pivot_daily" ->
-      """SELECT epoch_ns(ts) // 86400000000000 AS day,
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
         |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
         |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
         |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
@@ -887,10 +889,12 @@ object ExtensionQueries {
         |  SELECT event_id,
         |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
         |  FROM events
-        |), a AS (
+        |), a0 AS (
         |  SELECT event_id, sec,
-        |         (sec + CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 3600) // 60 AS arr_min
+        |         sec + CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 3600 AS arr
         |  FROM t
+        |), a AS (
+        |  SELECT event_id, sec, (arr - ((arr % 60 + 60) % 60)) // 60 AS arr_min FROM a0
         |), b AS (
         |  SELECT arr_min, MAX(sec) AS max_sec FROM a GROUP BY arr_min
         |), p AS (

@@ -47,9 +47,10 @@ object LinkageQueries {
     * construction at any corpus size (a planet-scale term like "the"
     * becomes many bounded rows, never one unbounded array). A power of
     * two so the shard assignment is `shiftright(doc_id, bits)` — exact
-    * FLOOR division for every long including negatives, matching
-    * DuckDB's `//` floor semantics bit-for-bit (Spark's integer `div`
-    * truncates toward zero and would diverge on negative ids). */
+    * FLOOR division for every long including negatives. NB: DuckDB's
+    * integer `//` TRUNCATES toward zero (measured: −7 // 2 = −3), so
+    * the oracle spells the floor out as (x − pmod(x, w)) // w — exactly
+    * divisible, where truncation and floor agree for any sign. */
   private[graft] val PostingShardBits = 8
   private[graft] val PostingShard = 1L << PostingShardBits
 
@@ -295,9 +296,9 @@ object LinkageQueries {
          |           UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS term
          |    FROM documents WHERE text IS NOT NULL)
          |)
-         |SELECT term, doc_id // $PostingShard AS shard, COUNT(*) AS df_shard,
+         |SELECT term, (doc_id - ((doc_id % $PostingShard + $PostingShard) % $PostingShard)) // $PostingShard AS shard, COUNT(*) AS df_shard,
          |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
-         |FROM toks GROUP BY term, doc_id // $PostingShard
+         |FROM toks GROUP BY term, (doc_id - ((doc_id % $PostingShard + $PostingShard) % $PostingShard)) // $PostingShard
          |ORDER BY term, shard""".stripMargin,
     "graph_triangle_count" ->
       s"""WITH items AS (

@@ -221,7 +221,7 @@ object OlapQueries {
     "events_anomaly_zscore" ->
       """WITH daily AS (
         |  SELECT event_type,
-        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
         |         COUNT(*) AS n
         |  FROM events GROUP BY event_type, day
         |), stats AS (

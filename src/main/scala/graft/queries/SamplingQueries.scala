@@ -110,10 +110,69 @@ object SamplingQueries {
       .orderBy("source")
   }
 
+  /** Feature-hash width for [[sampleDsirWeights]] — bounded by
+    * construction, so the per-feature statistics table is ≤ 2·[[DsirB]]
+    * rows at ANY corpus size (the property that keeps the scoring join
+    * broadcast-eligible forever). */
+  private[graft] val DsirB = 1024L
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): score each non-target document by how
+    * much its hashed token features look like the TARGET domain (here
+    * lang = 'en' — any predicate works) versus the rest of the raw
+    * pool. The engine-exact, log-free form: instead of the paper's
+    * Σ log(p_tgt(f)/p_src(f)) (libm log would break the oracle hash),
+    * each token VOTES sign(p_tgt(f) − p_src(f)) and the document score
+    * is the mean vote in [−1, 1] — the sign of the log-ratio, summed,
+    * which preserves the ranking signal selection needs. The rates are
+    * IEEE doubles (long→double exact below 2⁵³, division correctly
+    * rounded, so both engines compare bit-identical results) rather
+    * than cross-multiplied integers, which would overflow int64 once
+    * cf·N crosses 2⁶³ (~3·10⁹ tokens per side — real corpora pass that).
+    *
+    * Scale shape: the feature table is the [[DsirB]]-bucket hashed
+    * vocabulary — TWO map-side-combined aggregates collapse the token
+    * stream to ≤ DsirB rows (partial aggregation bounds per-partition
+    * output at DsirB cells, the async_set/combine discipline), totals
+    * are one scalar row, and scoring is the token stream against a
+    * ≤ DsirB-row table (AQE elects the broadcast — no hint needed, the
+    * table is bounded by construction) followed by one per-doc
+    * aggregate. Deliberately NOT snapshotted despite two readers: both
+    * readers collapse immediately, and materializing the exploded
+    * token stream costs more than the second scan (the
+    * text_decontaminate measurement, TextQueries.scala). */
+  val sampleDsirWeights: Q = (s, d) => {
+    import graft.functions.ColFns.{md5Long60, words}
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+        explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(md5Long60(col("w")), lit(DsirB)).as("f"))
+    val stats = toks.groupBy("f")
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("cf_tgt"),
+           sum(when(!col("tgt"), 1L).otherwise(0L)).as("cf_src"))
+    val totals = stats.agg(sum(col("cf_tgt")).as("n_tgt"),
+                           sum(col("cf_src")).as("n_src"))
+    val pTgt = col("cf_tgt").cast("double") / col("n_tgt").cast("double")
+    val pSrc = col("cf_src").cast("double") / col("n_src").cast("double")
+    val vote = when(pTgt > pSrc, 1L).when(pTgt < pSrc, -1L).otherwise(0L)
+    toks.filter(!col("tgt"))
+      .join(stats, "f")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), vote.as("v"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("v")).as("votes"))
+      .select(col("doc_id"), col("n_feats"), col("votes"),
+        round(col("votes").cast("double") / col("n_feats").cast("double"), 6)
+          .as("dsir_score"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_split_assign" -> sampleSplitAssign,
     "split_leakage_audit" -> splitLeakageAudit,
     "sample_temperature_mix" -> sampleTemperatureMix,
+    "sample_dsir_weights" -> sampleDsirWeights,
   )
 
   // DuckDB mirrors. md5Long convention: CAST('0x' || substring(md5(x),1,8)
@@ -166,5 +225,33 @@ object SamplingQueries {
          |JOIN thr t ON t.source = doc.source
          |GROUP BY t.source, t.n_docs, t.w, t.thr
          |ORDER BY t.source""".stripMargin,
+    "sample_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang = 'en' AS tgt,
+         |         CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % $DsirB AS f
+         |  FROM (SELECT doc_id, lang,
+         |               UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |        FROM documents)
+         |), stats AS (
+         |  SELECT f,
+         |         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cf_tgt,
+         |         CAST(SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cf_src
+         |  FROM toks GROUP BY f
+         |), tot AS (
+         |  SELECT CAST(SUM(cf_tgt) AS BIGINT) AS n_tgt,
+         |         CAST(SUM(cf_src) AS BIGINT) AS n_src FROM stats
+         |), voted AS (
+         |  SELECT doc_id,
+         |         CASE WHEN CAST(cf_tgt AS DOUBLE) / CAST(n_tgt AS DOUBLE) >
+         |                   CAST(cf_src AS DOUBLE) / CAST(n_src AS DOUBLE) THEN 1
+         |              WHEN CAST(cf_tgt AS DOUBLE) / CAST(n_tgt AS DOUBLE) <
+         |                   CAST(cf_src AS DOUBLE) / CAST(n_src AS DOUBLE) THEN -1
+         |              ELSE 0 END AS v
+         |  FROM toks JOIN stats USING (f) CROSS JOIN tot
+         |  WHERE NOT tgt
+         |)
+         |SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(v) AS BIGINT) AS votes,
+         |       round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dsir_score
+         |FROM voted GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -299,15 +299,126 @@ object SimilarityQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** Two full Lloyd iterations of k-means (k = 8) over the quantized
+    * embeddings — the clustering step behind IVF index training,
+    * diversity-balanced sampling, and semantic sharding, as a declared
+    * oracle-exact operator. Everything stays in exact integer
+    * arithmetic so both engines agree to the bit:
+    *  - vectors quantize to millunits (the [[simAnnIvf]] q3 scale);
+    *  - centroids are FIXED-POINT integer means, c_d = floor(1000·S_d/n)
+    *    ([[graft.functions.ColFns.floorDiv]] ≡ DuckDB `//` for any
+    *    sign) — micro-unit precision, no rational/double mean anywhere;
+    *  - the squared distance expands to 10⁶·|q|² − 2000·(q·c) + |c|²,
+    *    three CODEGEN'd [[graft.functions.ColFns.qdot]] terms (the
+    *    zip_with lambda form is interpreted — the round-1 all-pairs
+    *    lesson), every term < 2⁵² at any |q| ≤ ~4e3 millunits;
+    *  - argmin ties break on cluster id via min(struct(dist, cluster)).
+    * Init = the vectors with vec_id < 8 (id-stable, the probe-set
+    * convention); an emptied cluster simply drops (both engines lose
+    * the group identically) — the standard k-means degeneracy,
+    * documented not patched. Iterations are FIXED at two so the DuckDB
+    * oracle is straight-line CTEs; the N-round form is [[
+    * graft.operators.Components]]-style driver iteration over the same
+    * two building blocks.
+    *
+    * Scale shape: assignment is a broadcast cross join against the
+    * ≤ k-row centroid table whose ×k expansion collapses in the SAME
+    * stage through a map-side-combined min(struct) aggregate — the
+    * shuffle carries one (vec_id, best, qv) partial per vector, NOT
+    * k rows (the IVF probe-assignment window would shuffle ×k); the
+    * update is one 64-column sum aggregate per cluster. Output is the
+    * flat (cluster_id, dim, c, n_vecs) table — 8 × 64 rows. */
+  val embKmeans: Q = (s, d) => {
+    val q = org.apache.spark.sql.graftx.Sessions.snapshot(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+        .withColumn("n2", qnorm2(col("qv"))))._2
+    val cents0 = q.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), transform(col("qv"), _ * 1000L).as("c"))
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    def assign(cents: DataFrame): DataFrame = {
+      val dist = lit(1000000L) * col("n2") -
+        lit(2000L) * qdot(col("qv"), col("c")) + col("cn2")
+      q.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("qv"),
+          struct(dist.as("dist"), col("cluster")).as("dc"))
+        .groupBy("vec_id")
+        .agg(min(col("dc")).as("m"), first(col("qv")).as("qv"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"), col("qv"))
+    }
+    def update(assigned: DataFrame): DataFrame = {
+      val sums = (0 until 64).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+      assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cluster"), col("n"),
+          array((0 until 64).map(i =>
+            graft.functions.ColFns.floorDiv(col(s"s$i") * 1000L, col("n"))): _*).as("c"))
+    }
+    val c1 = update(assign(cents0)).withColumn("cn2", qdot(col("c"), col("c")))
+    update(assign(c1))
+      .select(col("cluster").as("cluster_id"),
+        posexplode(col("c")).as(Seq("dim", "cd")), col("n"))
+      .select(col("cluster_id"), col("dim").cast("long").as("dim"),
+        col("cd").as("c"), col("n").as("n_vecs"))
+      .orderBy("cluster_id", "dim")
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_bucket_histogram" -> embBucketHistogram,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_knn_graph" -> simKnnGraph,
     "emb_centroids" -> embCentroids,
+    "emb_kmeans" -> embKmeans,
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), qn AS (
+        |  SELECT vec_id, qv, (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2 FROM q
+        |), c0 AS (
+        |  SELECT vec_id AS cluster, list_transform(qv, x -> x * 1000) AS c
+        |  FROM q WHERE vec_id < 8
+        |), c0n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c0
+        |), a1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c0n c) WHERE rk = 1
+        |), s1 AS (
+        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM a1 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
+        |  GROUP BY cluster, d
+        |), c1 AS (
+        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
+        |  FROM s1 GROUP BY cluster
+        |), c1n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c1
+        |), a2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c1n c) WHERE rk = 1
+        |), s2 AS (
+        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM a2 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
+        |  GROUP BY cluster, d
+        |)
+        |SELECT cluster AS cluster_id, CAST(d - 1 AS BIGINT) AS dim,
+        |       CAST((1000 * sd - ((1000 * sd % n + n) % n)) // n AS BIGINT) AS c, CAST(n AS BIGINT) AS n_vecs
+        |FROM s2 ORDER BY cluster_id, dim""".stripMargin,
     "emb_bucket_histogram" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -75,6 +75,13 @@ class BroadcastGuardSpec extends SparkSpec {
         "AFTER an inner join against the Limit-3 standing-query table — " +
         "<= 3 rows by the join's term restriction, invisible to the " +
         "root rules because the aggregate sits above a corpus-side join"),
+    "emb_kmeans" -> (2,
+      "both Lloyd-iteration centroid tables: init is vec_id < 8 over the " +
+        "unique vec_id key (<= 8 rows), and every update aggregates on " +
+        "`cluster`, whose domain is a subset of the init's 8 ids — Lloyd " +
+        "iteration never mints a new cluster label, so the table is " +
+        "<= k = 8 rows forever; invisible to the root rules because the " +
+        "update aggregate sits above the corpus-side assignment join"),
   )
 
   private def isDimScan(l: LogicalRelation): Boolean = l.relation match {

@@ -197,4 +197,42 @@ class RecallSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == ids, s"pack/unpack mangled ids: $got")
   }
+
+  test("kmeans: planted prototype clusters converge to the exact fixed-point centroids") {
+    // 8 orthogonal prototypes (1.0 at dim j), vec_ids 0..7 — exactly the
+    // init set — plus 3 identical members per prototype (1.0 at dim j,
+    // 0.002 at dim j+8, vec_ids >= 8). Assignment is unambiguous at both
+    // iterations (each member's nearest centroid is its own prototype's
+    // by a ~2x margin in squared distance), so the declared two-iteration
+    // run must land on the exact fixed-point integer mean in micro-units:
+    // c[j]   = floor(1000 * (4 * 1000) / 4) = 1_000_000,
+    // c[j+8] = floor(1000 * (3 * 2)    / 4) = 1_500,
+    // zero elsewhere; n_vecs = 4 for every cluster. Pinning exact values
+    // (not cluster-quality scores) is the point: the oracle proves
+    // cross-engine agreement, this proves the arithmetic IS the k-means
+    // update on data where the answer is closed-form.
+    val dir = Files.createTempDirectory("graft-kmeans").toString
+    def vec(j: Int, member: Boolean): Array[Float] = {
+      val a = Array.fill(64)(0f); a(j) = 1f; if (member) a(j + 8) = 0.002f; a
+    }
+    val rows = (0 until 8).map(j => (j.toLong, vec(j, member = false), j)) ++
+      (for (j <- 0 until 8; m <- 0 until 3)
+        yield ((8 + j * 3 + m).toLong, vec(j, member = true), j))
+    val sp = spark
+    import sp.implicits._
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityQueries.embKmeans(spark, dir).collect()
+    assert(out.length == 8 * 64, s"expected 8x64 rows, got ${out.length}")
+    out.foreach { r =>
+      val cl = r.getAs[Long]("cluster_id")
+      val dim = r.getAs[Long]("dim")
+      assert(r.getAs[Long]("n_vecs") == 4L, s"cluster $cl n_vecs")
+      val expected =
+        if (dim == cl) 1000000L else if (dim == cl + 8) 1500L else 0L
+      assert(r.getAs[Long]("c") == expected,
+        s"cluster $cl dim $dim: c=${r.getAs[Long]("c")} expected $expected")
+    }
+  }
 }

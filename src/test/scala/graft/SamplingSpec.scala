@@ -83,6 +83,35 @@ class SamplingSpec extends SparkSpec {
     assert(out("src_clean") == ((0L, 0L, 0L)), s"got ${out("src_clean")}")
   }
 
+  test("DSIR votes separate target-like from source-like documents on a planted bimodal corpus") {
+    import spark.implicits._
+    // Two disjoint vocabularies: the target domain (lang = 'en') speaks
+    // A-words, the raw pool speaks B-words — except one planted
+    // "anglophile" pool document written entirely in A-words. Every
+    // A-word has p_tgt > p_src (10 target occurrences vs the 1 leaked
+    // copy) and every B-word has p_tgt = 0 < p_src, so the vote rule
+    // must score the anglophile at exactly +1.0 and every pure pool
+    // document at exactly -1.0 — the full separation DSIR selection
+    // needs. Distinct words, so a 1024-bucket hash collision between an
+    // A- and B-word is the only way this fails, and the fixed vocabulary
+    // makes that deterministic (it does not occur).
+    val aText = "alpha beta gamma delta"
+    val bText = "omega sigma tau upsilon"
+    val rows =
+      (1L to 10L).map(i => (i, aText, "en", "tgt_src", 24L)) ++
+      (11L to 20L).map(i => (i, bText, "xx", "pool_src", 24L)) :+
+      ((21L, aText, "xx", "pool_src", 24L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SamplingQueries.sampleDsirWeights(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Double]("dsir_score")))).toMap
+    assert(out.size == 11, s"expected the 11 pool docs scored, got ${out.size}")
+    assert(out(21L) == ((4L, 1.0)), s"anglophile: ${out(21L)}")
+    (11L to 20L).foreach(i => assert(out(i) == ((4L, -1.0)), s"doc $i: ${out(i)}"))
+  }
+
   test("fixed-k per-stratum sample plans as a group-limit, not a full per-stratum sort at the exchange") {
     // Spark 4 rewrites row_number ≤ k to WindowGroupLimit with a partial
     // mode BEFORE the exchange: each input partition forwards at most k

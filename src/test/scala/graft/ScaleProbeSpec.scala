@@ -284,7 +284,18 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       // shuffle is the termDocTf collapse over the salted vocabulary.
       sym("events_anomaly_mad", graft.queries.ExtensionQueries.eventsAnomalyMad),
       sym("text_bm25_topk", TextQueries.textBm25TopK),
-      sym("sample_temperature_mix", graft.queries.SamplingQueries.sampleTemperatureMix))
+      sym("sample_temperature_mix", graft.queries.SamplingQueries.sampleTemperatureMix),
+      // round 12: the two r12-new operators land WITH their scale points
+      // (the habit r11 verdict #7 asked for). DSIR's feature table is
+      // pinned at <= 2*DsirB rows by the hash width at any corpus size,
+      // so only the token stream and the per-doc aggregates may grow —
+      // salted words shift bucket membership but not the bound. kmeans'
+      // assignment partials grow 10x with the vectors while the centroid
+      // tables stay exactly k = 8 rows (init ids 0..7 live in the
+      // un-offset copy; the per-copy diagonal scrambles geometry, which
+      // kmeans does not care about — any assignment is volume-identical).
+      sym("sample_dsir_weights", graft.queries.SamplingQueries.sampleDsirWeights),
+      sym("emb_kmeans", SimilarityQueries.embKmeans))
   }
 
   /** Entries whose plan legitimately contains a nested-loop join, so the
@@ -301,7 +312,11 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
   private val boundedNestedLoop =
     // sample_temperature_mix: crossJoin(broadcast(globals)) — the 1-row
     // corpus-total scalar, same class as text_tfidf_top_terms's.
-    Set("sim_ann_ivf", "text_tfidf_top_terms", "sample_temperature_mix")
+    // sample_dsir_weights: the same 1-row totals scalar; emb_kmeans: the
+    // k = 8 centroid cross join whose x8 expansion collapses in-stage
+    // through the map-side-combined min(struct) argmin.
+    Set("sim_ann_ivf", "text_tfidf_top_terms", "sample_temperature_mix",
+      "sample_dsir_weights", "emb_kmeans")
 
   /** One measured run: (wall seconds, [[Metrics.TaskWork]], plan-sane).
     * The query is CONSTRUCTED inside the metered block — the iterative
