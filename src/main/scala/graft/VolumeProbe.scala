@@ -353,14 +353,19 @@ object VolumeProbe {
                 SimilarityQueries.simKnnGraphPlanes(
                   SimilarityQueries.NPlanes + extraPlanes)
               else {
+                // The operator's own dials, not literals (round-12
+                // ADVICE): L₀ = NTables, k₀ = NPlanes — if either moves,
+                // the grown form moves with it.
+                val l0 = SimilarityQueries.NTables
                 var dk = extraPlanes
-                var l = 3 + (dk + 1) / 3
-                var next = math.ceil(math.log(factor * l / 3.0) / math.log(2)).toInt
+                var l = l0 + (dk + 1) / 3
+                var next = math.ceil(math.log(factor * l / l0.toDouble) / math.log(2)).toInt
                 while (next != dk) {
-                  dk = next; l = 3 + (dk + 1) / 3
-                  next = math.ceil(math.log(factor * l / 3.0) / math.log(2)).toInt
+                  dk = next; l = l0 + (dk + 1) / 3
+                  next = math.ceil(math.log(factor * l / l0.toDouble) / math.log(2)).toInt
                 }
-                SimilarityQueries.simKnnGraphPlanes(6 + dk, l)
+                SimilarityQueries.simKnnGraphPlanes(
+                  SimilarityQueries.NPlanes + dk, l)
               } }),
           // round 10 (r9 verdict #2): the multi-probe online ANN search,
           // riding the same ⌈log₂ factor⌉ plane growth as the kNN graph

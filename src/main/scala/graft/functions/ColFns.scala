@@ -60,9 +60,17 @@ object ColFns {
   }
 
   /** Column-divisor overload (divisor must be positive; e.g. a group
-    * count). Same exact-integer floor semantics as the constant form. */
+    * count). Same exact-integer floor semantics as the constant form.
+    * The positivity contract is RUNTIME-enforced (round-12 ADVICE: the
+    * constant overload fails fast via require, but a zero/negative
+    * column divisor would make (x − pmod(x, b))/b silently wrong or
+    * null) — the guard branch is constant-foldable when b is provably
+    * positive and costs one comparison otherwise. */
   def floorDiv(c: Column, b: Column): Column =
-    call_function("div", c - pmod(c, b), b)
+    when(b > lit(0), call_function("div", c - pmod(c, b), b))
+      .otherwise(raise_error(
+        concat(lit("floorDiv divisor must be positive, got "),
+          b.cast("string"))))
 
   /** Seconds-precision epoch of a long-nanos timestamp column. Floor
     * division ([[floorDiv]]): the oracle side is

@@ -131,16 +131,30 @@ object SamplingQueries {
     * cf·N crosses 2⁶³ (~3·10⁹ tokens per side — real corpora pass that).
     *
     * Scale shape: the feature table is the [[DsirB]]-bucket hashed
-    * vocabulary — TWO map-side-combined aggregates collapse the token
+    * vocabulary — ONE map-side-combined aggregate collapses the token
     * stream to ≤ DsirB rows (partial aggregation bounds per-partition
-    * output at DsirB cells, the async_set/combine discipline), totals
-    * are one scalar row, and scoring is the token stream against a
-    * ≤ DsirB-row table (AQE elects the broadcast — no hint needed, the
-    * table is bounded by construction) followed by one per-doc
-    * aggregate. Deliberately NOT snapshotted despite two readers: both
-    * readers collapse immediately, and materializing the exploded
-    * token stream costs more than the second scan (the
-    * text_decontaminate measurement, TextQueries.scala). */
+    * output at DsirB cells, the async_set/combine discipline), and that
+    * collapsed `stats` frame IS snapshotted (round-12 verdict #2): it
+    * has TWO readers (the scoring join and `totals`), and un-snapshotted
+    * each reader re-ran the full corpus scan+tokenize+hash pipeline —
+    * three document scans for a query whose stats fit in ~2 KB. The
+    * `termDocTf`/BM25 multi-read rule, applied: snapshot the ≤ 2·DsirB-row
+    * COLLAPSED table, never the exploded token stream (materializing the
+    * stream costs more than its one remaining scan — the
+    * text_decontaminate measurement, TextQueries.scala). The plan now
+    * scans documents.parquet exactly twice: once to build `stats`, once
+    * to score. `totals` is one scalar row, and scoring is the token
+    * stream against the bounded stats table followed by one per-doc
+    * aggregate. The scoring join PINS broadcast(stats): the snapshot's
+    * LogicalRDD carries no size estimate the static planner trusts, and
+    * left unforced the fixture-scale planner elected the OTHER side —
+    * it broadcast the pool token stream (Catalyst estimates the exploded
+    * stream tiny at small file sizes), the exact corpus-growing
+    * broadcast the 100 TB rule forbids. The stats side is ≤ 2·DsirB rows
+    * at ANY corpus size by the pmod grouping, so forcing it is
+    * scale-invariant sane rather than scale-adaptive (BroadcastGuardSpec
+    * allowlists the hint with this bound; VolumeProbe's dsir entry
+    * records the executed join side at both arms). */
   val sampleDsirWeights: Q = (s, d) => {
     import graft.functions.ColFns.{md5Long60, words}
     val toks = Tables.documents(s, d)
@@ -148,16 +162,17 @@ object SamplingQueries {
         explode(words(col("text"))).as("w"))
       .select(col("doc_id"), col("tgt"),
         pmod(md5Long60(col("w")), lit(DsirB)).as("f"))
-    val stats = toks.groupBy("f")
-      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("cf_tgt"),
-           sum(when(!col("tgt"), 1L).otherwise(0L)).as("cf_src"))
+    val stats = org.apache.spark.sql.graftx.Sessions.snapshot(
+      toks.groupBy("f")
+        .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("cf_tgt"),
+             sum(when(!col("tgt"), 1L).otherwise(0L)).as("cf_src")))._2
     val totals = stats.agg(sum(col("cf_tgt")).as("n_tgt"),
                            sum(col("cf_src")).as("n_src"))
     val pTgt = col("cf_tgt").cast("double") / col("n_tgt").cast("double")
     val pSrc = col("cf_src").cast("double") / col("n_src").cast("double")
     val vote = when(pTgt > pSrc, 1L).when(pTgt < pSrc, -1L).otherwise(0L)
     toks.filter(!col("tgt"))
-      .join(stats, "f")
+      .join(broadcast(stats), "f")
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), vote.as("v"))
       .groupBy("doc_id")

@@ -25,7 +25,10 @@ object SimilarityQueries {
   // NPlanes is probe-visible: ScaleProbeSpec grows it by ⌈log₂ 10⌉ at the
   // 10× corpus via [[simKnnGraphPlanes]] to exercise the scaling rule.
   private[graft] val NPlanes = 6
-  private val NTables = 3
+  // NTables is probe-visible too (round-12 ADVICE: VolumeProbe's 1000×
+  // kNN fixed point hardcoded 3/6 literals that would silently diverge
+  // from the operator if these dials ever moved).
+  private[graft] val NTables = 3
 
   /** Table t's nPlanes-bit sign-LSH bucket id: nPlanes codegen'd qdots
     * against constant weight arrays (global plane index t·nPlanes+p) —
@@ -312,7 +315,21 @@ object SimilarityQueries {
     *    three CODEGEN'd [[graft.functions.ColFns.qdot]] terms (the
     *    zip_with lambda form is interpreted — the round-1 all-pairs
     *    lesson), every term < 2⁵² at any |q| ≤ ~4e3 millunits;
-    *  - argmin ties break on cluster id via min(struct(dist, cluster)).
+    *  - argmin ties break on cluster id via min(16·dist + cluster), a
+    *    PACKED-LONG lexicographic min: dist ≥ 0 (it is |1000q − c|²) and
+    *    cluster ∈ [0, 16) (init labels are vec_id < 8; Lloyd updates
+    *    never mint a new label), so the packed order ≡ (dist, cluster)
+    *    order exactly. The round-12 form was min(struct(dist, cluster)) —
+    *    semantically identical, but a struct-typed aggregation buffer is
+    *    not hash-aggregatable, so Catalyst planned BOTH per-iteration
+    *    argmins as SortAggregates over the ×k-expanded stream. A
+    *    primitive-long buffer with (vec_id, qv) as the grouping key
+    *    plans as a map-side-combined HashAggregate — no sort of the ×k
+    *    stream anywhere (round-12 verdict #5's measurement: packed-hash
+    *    vs struct-sort tie at fixture scale, 0.93 vs 0.93 s interleaved
+    *    minima, so the structurally sort-free form wins; the query's
+    *    2.04 → 0.93 s drop came from the update-projection codegen fix
+    *    documented in `update` below).
     * Init = the vectors with vec_id < 8 (id-stable, the probe-set
     * convention); an emptied cluster simply drops (both engines lose
     * the group identically) — the standard k-means degeneracy,
@@ -323,11 +340,11 @@ object SimilarityQueries {
     *
     * Scale shape: assignment is a broadcast cross join against the
     * ≤ k-row centroid table whose ×k expansion collapses in the SAME
-    * stage through a map-side-combined min(struct) aggregate — the
-    * shuffle carries one (vec_id, best, qv) partial per vector, NOT
-    * k rows (the IVF probe-assignment window would shuffle ×k); the
-    * update is one 64-column sum aggregate per cluster. Output is the
-    * flat (cluster_id, dim, c, n_vecs) table — 8 × 64 rows. */
+    * stage through a map-side-combined packed-long min HashAggregate —
+    * the shuffle carries one (vec_id, qv, packed-min) partial per
+    * vector, NOT k rows (the IVF probe-assignment window would shuffle
+    * ×k); the update is one 64-column sum aggregate per cluster. Output
+    * is the flat (cluster_id, dim, c, n_vecs) table — 8 × 64 rows. */
   val embKmeans: Q = (s, d) => {
     val q = org.apache.spark.sql.graftx.Sessions.snapshot(
       Tables.embeddings(s, d)
@@ -340,20 +357,36 @@ object SimilarityQueries {
     def assign(cents: DataFrame): DataFrame = {
       val dist = lit(1000000L) * col("n2") -
         lit(2000L) * qdot(col("qv"), col("c")) + col("cn2")
+      // qv rides as a GROUPING key (not a first() aggregate): vec_id is
+      // unique so the group is the same, but an array-typed aggregate
+      // buffer would force SortAggregate while an array grouping key is
+      // just UnsafeRow bytes — the aggregate keeps a primitive min
+      // buffer and plans as a map-side-combined HashAggregate.
       q.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("qv"),
-          struct(dist.as("dist"), col("cluster")).as("dc"))
-        .groupBy("vec_id")
-        .agg(min(col("dc")).as("m"), first(col("qv")).as("qv"))
-        .select(col("vec_id"), col("m.cluster").as("cluster"), col("qv"))
+        .groupBy(col("vec_id"), col("qv"))
+        .agg(min(dist * 16L + col("cluster")).as("m"))
+        .select(col("vec_id"), pmod(col("m"), lit(16L)).as("cluster"), col("qv"))
     }
     def update(assigned: DataFrame): DataFrame = {
       val sums = (0 until 64).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+      // The centroid division is a transform LAMBDA, deliberately
+      // INTERPRETED: 64 inline floorDiv chains in the aggregate's output
+      // projection blew whole-stage codegen past the JVM's 64 KB method
+      // limit (round-13 measurement — Janino "Code grows beyond 64 KB",
+      // which silently de-codegen'd the WHOLE per-vector stage; that
+      // fallback, present since the query landed, was ~1.1 s of the
+      // query's 2.0 s). The lambda runs on ≤ k final rows, where
+      // interpretation is free — the round-1 "lambdas are interpreted"
+      // rule cuts the other way on a k-row frame. floorDiv's formula is
+      // inlined unguarded: n = count(1) of a non-empty group is ≥ 1 by
+      // construction.
       assigned.groupBy("cluster")
         .agg(count(lit(1)).as("n"), sums: _*)
         .select(col("cluster"), col("n"),
-          array((0 until 64).map(i =>
-            graft.functions.ColFns.floorDiv(col(s"s$i") * 1000L, col("n"))): _*).as("c"))
+          transform(array((0 until 64).map(i => col(s"s$i")): _*),
+            s => { val a = s * 1000L
+                   call_function("div", a - pmod(a, col("n")), col("n")) })
+            .as("c"))
     }
     val c1 = update(assign(cents0)).withColumn("cn2", qdot(col("c"), col("c")))
     update(assign(c1))

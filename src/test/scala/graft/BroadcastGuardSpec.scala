@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, CreateArray, CreateMap, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Explode, ExplodeBase, Inline, PosExplode, Stack}
 import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -75,6 +76,13 @@ class BroadcastGuardSpec extends SparkSpec {
         "AFTER an inner join against the Limit-3 standing-query table — " +
         "<= 3 rows by the join's term restriction, invisible to the " +
         "root rules because the aggregate sits above a corpus-side join"),
+    "sample_dsir_weights" -> (1,
+      "hashed-feature stats table: grouped on pmod(md5, DsirB) so " +
+        "<= 2*DsirB = 2048 rows at any corpus size by construction; it " +
+        "is snapshotted (a LogicalRDD leaf), which no root rule can " +
+        "bound — and left unforced the fixture-scale planner elected " +
+        "the CORPUS side (the pool token stream), so the pin is what " +
+        "keeps the plan scale-invariant sane"),
     "emb_kmeans" -> (2,
       "both Lloyd-iteration centroid tables: init is vec_id < 8 over the " +
         "unique vec_id key (<= 8 rows), and every update aggregates on " +
@@ -126,8 +134,26 @@ class BroadcastGuardSpec extends SparkSpec {
       case _ => provablyBounded(j.left) && provablyBounded(j.right)
     }
     case u: Union => u.children.forall(provablyBounded)
-    case g: Generate => provablyBounded(g.child)
+    // Generate is bounded only when the per-row fan-out WIDTH is itself
+    // structurally constant (round-12 ADVICE: a bounded-ROW child can
+    // still carry a corpus-sized array — e.g. explode over a
+    // collect_list of a corpus scan — so "bounded child" alone proved
+    // nothing about the generated row count). Constant width means an
+    // explode/inline over a fixed-arity constructor or a foldable
+    // value, or a stack() whose arity is its literal argument list.
+    case g: Generate =>
+      constantFanout(g.generator) && provablyBounded(g.child)
     case un: UnaryNode => provablyBounded(un.child)
+    case _ => false
+  }
+
+  private def constantFanout(gen: Expression): Boolean = gen match {
+    case e: ExplodeBase => e.child match {
+      case _: CreateArray | _: CreateMap => true
+      case c => c.foldable
+    }
+    case i: Inline => i.child.isInstanceOf[CreateArray] || i.child.foldable
+    case _: Stack => true
     case _ => false
   }
 
