@@ -334,9 +334,11 @@ object SimilarityQueries {
     * convention); an emptied cluster simply drops (both engines lose
     * the group identically) — the standard k-means degeneracy,
     * documented not patched. Iterations are FIXED at two so the DuckDB
-    * oracle is straight-line CTEs; the N-round form is [[
-    * graft.operators.Components]]-style driver iteration over the same
-    * two building blocks.
+    * oracle is straight-line CTEs; the N-round form IS
+    * [[graft.operators.KMeans.lloyd]] — a [[graft.operators.Components]]-
+    * style driver loop (conf-isolated clone, per-round ≤ k-row centroid
+    * snapshots, one changed-count action per round, exact-fixpoint
+    * convergence) over the same assign/update blocks this query runs.
     *
     * Scale shape: assignment is a broadcast cross join against the
     * ≤ k-row centroid table whose ×k expansion collapses in the SAME
@@ -346,50 +348,20 @@ object SimilarityQueries {
     * ×k); the update is one 64-column sum aggregate per cluster. Output
     * is the flat (cluster_id, dim, c, n_vecs) table — 8 × 64 rows. */
   val embKmeans: Q = (s, d) => {
+    // The assign/update/quantize blocks live in [[graft.operators.KMeans]]
+    // (with the argmin-packing and codegen-limit rationale in their
+    // scaladoc) — this declared query is the ORACLE INSTANCE that pins
+    // their semantics cross-engine; KMeans.lloyd is the N-round driver
+    // loop over the very same blocks (round-12 verdict #7).
+    import graft.operators.KMeans
     val q = org.apache.spark.sql.graftx.Sessions.snapshot(
-      Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
-        .withColumn("n2", qnorm2(col("qv"))))._2
+      KMeans.quantize(Tables.embeddings(s, d)))._2
     val cents0 = q.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cluster"), transform(col("qv"), _ * 1000L).as("c"))
       .withColumn("cn2", qdot(col("c"), col("c")))
-    def assign(cents: DataFrame): DataFrame = {
-      val dist = lit(1000000L) * col("n2") -
-        lit(2000L) * qdot(col("qv"), col("c")) + col("cn2")
-      // qv rides as a GROUPING key (not a first() aggregate): vec_id is
-      // unique so the group is the same, but an array-typed aggregate
-      // buffer would force SortAggregate while an array grouping key is
-      // just UnsafeRow bytes — the aggregate keeps a primitive min
-      // buffer and plans as a map-side-combined HashAggregate.
-      q.crossJoin(broadcast(cents))
-        .groupBy(col("vec_id"), col("qv"))
-        .agg(min(dist * 16L + col("cluster")).as("m"))
-        .select(col("vec_id"), pmod(col("m"), lit(16L)).as("cluster"), col("qv"))
-    }
-    def update(assigned: DataFrame): DataFrame = {
-      val sums = (0 until 64).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
-      // The centroid division is a transform LAMBDA, deliberately
-      // INTERPRETED: 64 inline floorDiv chains in the aggregate's output
-      // projection blew whole-stage codegen past the JVM's 64 KB method
-      // limit (round-13 measurement — Janino "Code grows beyond 64 KB",
-      // which silently de-codegen'd the WHOLE per-vector stage; that
-      // fallback, present since the query landed, was ~1.1 s of the
-      // query's 2.0 s). The lambda runs on ≤ k final rows, where
-      // interpretation is free — the round-1 "lambdas are interpreted"
-      // rule cuts the other way on a k-row frame. floorDiv's formula is
-      // inlined unguarded: n = count(1) of a non-empty group is ≥ 1 by
-      // construction.
-      assigned.groupBy("cluster")
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .select(col("cluster"), col("n"),
-          transform(array((0 until 64).map(i => col(s"s$i")): _*),
-            s => { val a = s * 1000L
-                   call_function("div", a - pmod(a, col("n")), col("n")) })
-            .as("c"))
-    }
-    val c1 = update(assign(cents0)).withColumn("cn2", qdot(col("c"), col("c")))
-    update(assign(c1))
+    val c1 = KMeans.update(KMeans.assign(q, cents0), 64)
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    KMeans.update(KMeans.assign(q, c1), 64)
       .select(col("cluster").as("cluster_id"),
         posexplode(col("c")).as(Seq("dim", "cd")), col("n"))
       .select(col("cluster_id"), col("dim").cast("long").as("dim"),
