@@ -105,7 +105,7 @@ object VolumeProbe {
     // Optional comma-separated query-name filter for iterating on one
     // entry without paying the full ~25-min probe. The canonical 100×
     // artifact (VOLPROBE_r{N}.json) must come from an unfiltered run —
-    // all 15 entries present; the 1000× decade artifact
+    // ALL entries present (17 as of round 13); the 1000× decade artifact
     // (VOLPROBE_1000X_r{N}.json) is a DELIBERATELY filtered run over the
     // flagship dedup chain + the span/audit families (the full family at
     // 1000× would spill the exact-baseline entries' ~37 GB each for no
@@ -118,7 +118,12 @@ object VolumeProbe {
     val dirN = Files.createTempDirectory(s"graft-vol$factor").toString
     var exitCode = 0
     try {
-      val embNames = Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh")
+      val embNames =
+        Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh", "emb_kmeans")
+      // Entries whose declared plans carry exact-allowlisted bounded
+      // broadcast cross joins (BroadcastGuardSpec documents the bounds);
+      // their plan-shape arm pins the BNLJ count instead (see below).
+      val boundedNested = Set("emb_kmeans", "sample_dsir_weights")
       val triName = "graph_triangle_count"
       val fuzzyName = "text_fuzzy_join_blocked"
       val fuzzyMultiName = "text_fuzzy_join_multikey"
@@ -380,7 +385,24 @@ object VolumeProbe {
             DedupQueries.dedupEmbeddingPairsPlanes(4),
             // Both (k, L) dials via the fixed-point rule above — (12, 5)
             // at factor 100; RecallSpec pins that form at ≥0.9 recall.
-            DedupQueries.dedupEmbeddingPairsPlanes(pairPlanes, pairTables)))
+            DedupQueries.dedupEmbeddingPairsPlanes(pairPlanes, pairTables)),
+          // round 13 (r12 verdict #1): the two r12-landed operators get
+          // their 100× point. kmeans runs the DECLARED fixed-2-iteration
+          // form at both arms (k = 8 is the operator's parameter, not a
+          // scale dial — the ×8 cross-join expansion collapses in-stage,
+          // so records and join rows are ~16·n at any corpus size and
+          // the flat 2×-linear gates ARE the per-iteration gates);
+          // per-copy ±1 diagonals change which vectors seed init across
+          // arms, which affects no gated ratio.
+          sym("emb_kmeans", SimilarityQueries.embKmeans),
+          // dsir: the ≤ 2·DsirB-row stats table is the only broadcast
+          // side by construction; the entry's extra gate records, at
+          // BOTH arms, how many broadcast subtrees contain a documents
+          // file scan and requires ZERO — the structural form of "the
+          // pool token stream was never the elected/forced build side"
+          // (the un-pinned fixture-scale plan DID broadcast it).
+          sym("sample_dsir_weights",
+            graft.queries.SamplingQueries.sampleDsirWeights))
           .filter(t => wanted(t._1))
       }
 
@@ -395,7 +417,8 @@ object VolumeProbe {
       // partition-layout-invariant; PartitionInvarianceSpec pins the
       // results themselves).
       val partsN = math.min(1024, cpus.toInt * math.max(1, factor / 100))
-      def measure(q: DedupQueries.Q, dir: String, parts: Int): (Double, Metrics.TaskWork, Boolean) = {
+      def measure(q: DedupQueries.Q, dir: String, parts: Int)
+          : (Double, Metrics.TaskWork, Seq[org.apache.spark.sql.execution.SparkPlan]) = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         val t0 = System.nanoTime()
         val (_, work, plans) = Metrics.withTaskWorkPlans(spark) {
@@ -404,7 +427,7 @@ object VolumeProbe {
         }
         val wall = (System.nanoTime() - t0) / 1e9
         Sessions.releaseSnapshots()
-        (wall, work, !Metrics.hasNestedLoop(plans))
+        (wall, work, plans)
       }
 
       // Warm-up (JIT, codegen, parquet reader) so the 1× baseline isn't
@@ -414,10 +437,23 @@ object VolumeProbe {
 
       var allPass = true
       val entries = queries.map { case (name, q1, qN) =>
-        val (w1, k1, _) = measure(q1, dir1, cpus.toInt)
+        val (w1, k1, plans1) = measure(q1, dir1, cpus.toInt)
         val rounds1 = graft.operators.Components.lastRounds
-        val (wN, kN, planSane) = measure(qN, dirN, partsN)
+        val (wN, kN, plansN) = measure(qN, dirN, partsN)
         val roundsN = graft.operators.Components.lastRounds
+        // Entries whose DECLARED plan carries bounded nested-loop joins
+        // (the exact-allowlisted <= k-row broadcast cross joins: kmeans
+        // centroid tables, dsir's scalar totals row) get the bounded
+        // posture instead of the blanket no-nested-loop arm: no
+        // CartesianProduct anywhere, and the BNLJ COUNT pinned equal at
+        // both arms — a nested loop APPEARING at factor x that was not
+        // in the 1x plan is exactly the regression the blanket arm
+        // catches elsewhere.
+        val planSane =
+          if (boundedNested.contains(name))
+            !Metrics.hasCartesian(plansN) &&
+              Metrics.nestedLoopCount(plansN) == Metrics.nestedLoopCount(plans1)
+          else !Metrics.hasNestedLoop(plansN)
         val recRatio = kN.shuffleRecordsRead.toDouble / math.max(k1.shuffleRecordsRead, 1L)
         val joinRatio = kN.joinOutputRows.toDouble / math.max(k1.joinOutputRows, 1L)
         var recOk = kN.shuffleRecordsRead <=
@@ -571,6 +607,25 @@ object VolumeProbe {
           extra ++= s""""gate_rounds":$roundsOk,"""
           extra ++= s""""joinrows_gate":"joinrows<=2x_linear_per_round","""
           customJoinGate = true
+        }
+        // round 13: bounded-BNLJ entries record both arms' nested-loop
+        // counts (the pinned-equality gate is folded into planSane
+        // above); dsir additionally gates that NO broadcast subtree
+        // contains a documents scan at either arm — the recorded
+        // join-side evidence round-12 verdict #1 asked for.
+        if (boundedNested.contains(name)) {
+          val b1 = Metrics.nestedLoopCount(plans1)
+          val bN = Metrics.nestedLoopCount(plansN)
+          extra ++= s""""bnlj_1x":$b1,"bnlj_${factor}x":$bN,"""
+          extra ++= s""""plan_sane_gate":"no_cartesian_and_bnlj_count_pinned","""
+        }
+        if (name == "sample_dsir_weights") {
+          val cb1 = Metrics.broadcastsContainingScan(plans1, "documents.parquet")
+          val cbN = Metrics.broadcastsContainingScan(plansN, "documents.parquet")
+          val noCorpusBroadcast = cb1 == 0 && cbN == 0
+          entryExtraOk = noCorpusBroadcast
+          extra ++= s""""corpus_broadcasts_1x":$cb1,"corpus_broadcasts_${factor}x":$cbN,"""
+          extra ++= s""""gate_no_corpus_broadcast":$noCorpusBroadcast,"""
         }
         // Floor-admission flag (round-6 ADVICE): true when the pass rode
         // the 10k-record floor rather than 2×-linear growth of the

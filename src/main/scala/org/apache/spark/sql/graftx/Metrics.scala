@@ -184,6 +184,71 @@ object Metrics {
     plans.exists(walk)
   }
 
+  /** AQE-aware children: adaptive roots descend through the FINAL
+    * executed plan, stages through their materialized plan. */
+  private def planKids(p: SparkPlan): Seq[SparkPlan] = (p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case qs: QueryStageExec => Seq(qs.plan)
+    case o => o.children
+  }) ++ p.subqueries
+
+  private def collectNodes(plans: Seq[SparkPlan])(
+      pred: SparkPlan => Boolean): Seq[SparkPlan] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean])
+    val out = Seq.newBuilder[SparkPlan]
+    def walk(p: SparkPlan): Unit = if (seen.add(p)) {
+      if (pred(p)) out += p
+      planKids(p).foreach(walk)
+    }
+    plans.foreach(walk)
+    out.result()
+  }
+
+  /** BroadcastNestedLoopJoin node count — for probe entries whose
+    * DECLARED plan legitimately carries bounded (≤ k-row broadcast)
+    * cross joins, the gate pins this count equal across probe arms
+    * instead of forbidding the node class outright (round-13: the
+    * kmeans/dsir VolumeProbe entries). */
+  def nestedLoopCount(plans: Seq[SparkPlan]): Int = {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    collectNodes(plans) {
+      case _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }.size
+  }
+
+  /** True if any plan contains an un-broadcast CartesianProduct — never
+    * acceptable, bounded-BNLJ posture or not. */
+  def hasCartesian(plans: Seq[SparkPlan]): Boolean = {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    collectNodes(plans) {
+      case _: CartesianProductExec => true
+      case _ => false
+    }.nonEmpty
+  }
+
+  /** Count of broadcast subtrees (BroadcastExchange, descending AQE
+    * stages) that contain a file-source scan whose location path matches
+    * `pathSubstr` — the structural form of "a corpus-growing relation
+    * was broadcast", recorded by the dsir probe entry at both arms to
+    * evidence the elected join side (round-12 verdict #1). */
+  def broadcastsContainingScan(plans: Seq[SparkPlan], pathSubstr: String): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val exchanges = collectNodes(plans) {
+      case _: BroadcastExchangeExec => true
+      case _ => false
+    }
+    exchanges.count { ex =>
+      collectNodes(Seq(ex)) {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains(pathSubstr))
+        case _ => false
+      }.nonEmpty
+    }
+  }
+
   /** Sum of `numOutputRows` over every join node (BaseJoinExec covers
     * sort-merge, shuffled-hash, broadcast-hash, broadcast-nested-loop and
     * cartesian) reachable from `plans`, descending through AQE roots
