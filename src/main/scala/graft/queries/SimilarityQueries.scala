@@ -369,6 +369,59 @@ object SimilarityQueries {
       .orderBy("cluster_id", "dim")
   }
 
+  /** Product-quantization encode (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the vector-compression
+    * step behind billion-scale ANN indexes: the 64-dim embedding splits
+    * into 8 contiguous 8-dim subvectors, each encoded as the id of its
+    * nearest seed-codebook entry, compressing a 256-byte float vector to
+    * 8 codebook ids (plus the per-subspace squared reconstruction error,
+    * the quantity IVF-PQ rankers correct with). Codebooks here are SEED
+    * codebooks — the subvectors of vec_id < 4 (the id-stable probe-set
+    * convention; training them is [[graft.operators.KMeans.lloyd]] per
+    * subspace) — so the whole query is one deterministic pass, exactly
+    * oracle-able.
+    *
+    * Exact integer arithmetic throughout: millunit subvectors,
+    * |s − c|² = |s|² − 2·(s·c) + |c|² over three codegen'd
+    * [[graft.functions.ColFns.qdot]]/[[graft.functions.ColFns.qnorm2]]
+    * terms (every term < 2²⁵ at |x| ≤ ~4e3 millunits), argmin ties on
+    * codebook id via the packed-long min (dist ≥ 0, cid ∈ [0, 4), so
+    * min(4·dist + cid) is the lexicographic (dist, cid) order — the
+    * emb_kmeans rule at k = 4).
+    *
+    * Scale shape: the subspace fan-out is a constant-arity explode
+    * (8 structs per vector, the operator's parameter); the codebook is
+    * ≤ 32 rows by the unique-key filter and broadcast-pinned
+    * (BroadcastGuardSpec allowlists it — the filter sits over a corpus
+    * scan, invisible to the root rules); the ×4 candidate expansion
+    * collapses in the same stage through a map-side-combined packed min
+    * HashAggregate, so the one exchange carries 8 partials per vector;
+    * codes never re-read the corpus. Reference principle: fixed-width
+    * per-key storage, `/root/reference/src/dist_map.h:36-47`. */
+  val embPqCodes: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+    val sub = q
+      .select(col("vec_id"), explode(array((0 until 8).map(m =>
+        struct(lit(m.toLong).as("m"),
+          slice(col("qv"), m * 8 + 1, 8).as("sv"))): _*)).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+      .withColumn("sn2", qnorm2(col("sv")))
+    val cb = sub.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("m").as("cm"),
+        col("sv").as("cv"), col("sn2").as("cn2"))
+    val dist = col("sn2") - lit(2L) * qdot(col("sv"), col("cv")) + col("cn2")
+    sub.join(broadcast(cb), col("m") === col("cm"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(dist * 4L + col("cid")).as("p"))
+      .select(col("vec_id"), col("m").as("subspace"),
+        pmod(col("p"), lit(4L)).as("code"),
+        call_function("div", col("p"), lit(4L)).as("err"))
+      .orderBy("vec_id", "subspace")
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_bucket_histogram" -> embBucketHistogram,
     "sim_ann_lsh" -> simAnnLsh,
@@ -376,9 +429,31 @@ object SimilarityQueries {
     "sim_knn_graph" -> simKnnGraph,
     "emb_centroids" -> embCentroids,
     "emb_kmeans" -> embKmeans,
+    "emb_pq_codes" -> embPqCodes,
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_pq_codes" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), sub AS (
+        |  SELECT vec_id, m, list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM q, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), subn AS (
+        |  SELECT vec_id, m, sv, (SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS sn2 FROM sub
+        |), cb AS (
+        |  SELECT vec_id AS cid, m AS cm, sv AS cv, sn2 AS cn2 FROM subn WHERE vec_id < 4
+        |), d AS (
+        |  SELECT s.vec_id, s.m,
+        |         (s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid AS p
+        |  FROM subn s JOIN cb c ON s.m = c.cm
+        |)
+        |SELECT vec_id, CAST(m AS BIGINT) AS subspace,
+        |       CAST(MIN(p) % 4 AS BIGINT) AS code,
+        |       CAST(MIN(p) // 4 AS BIGINT) AS err
+        |FROM d GROUP BY vec_id, m ORDER BY vec_id, subspace""".stripMargin,
     "emb_kmeans" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -76,6 +76,11 @@ class BroadcastGuardSpec extends SparkSpec {
         "AFTER an inner join against the Limit-3 standing-query table — " +
         "<= 3 rows by the join's term restriction, invisible to the " +
         "root rules because the aggregate sits above a corpus-side join"),
+    "emb_pq_codes" -> (1,
+      "seed codebooks: vec_id < 4 over the unique vec_id key (<= 4 " +
+        "vectors) x the fixed 8-subspace constant-arity explode = <= 32 " +
+        "rows at any corpus size; invisible to the root rules because " +
+        "the filter sits over a corpus scan under a Generate"),
     "sample_dsir_weights" -> (1,
       "hashed-feature stats table: grouped on pmod(md5, DsirB) so " +
         "<= 2*DsirB = 2048 rows at any corpus size by construction; it " +
