@@ -105,7 +105,7 @@ object VolumeProbe {
     // Optional comma-separated query-name filter for iterating on one
     // entry without paying the full ~25-min probe. The canonical 100×
     // artifact (VOLPROBE_r{N}.json) must come from an unfiltered run —
-    // ALL entries present (17 as of round 13); the 1000× decade artifact
+    // ALL entries present (18 as of round 13); the 1000× decade artifact
     // (VOLPROBE_1000X_r{N}.json) is a DELIBERATELY filtered run over the
     // flagship dedup chain + the span/audit families (the full family at
     // 1000× would spill the exact-baseline entries' ~37 GB each for no
