@@ -422,6 +422,64 @@ object SimilarityQueries {
       .orderBy("vec_id", "subspace")
   }
 
+  /** PQ asymmetric-distance top-k (the ADC scan of Jégou et al. 2011
+    * §IV) — the retrieval path that makes [[embPqCodes]]' compression
+    * pay: each probe precomputes a per-subspace table of exact distances
+    * to every codebook entry (8 × 4 = 32 integers per probe), and a
+    * candidate's approximate distance is the SUM of 8 table lookups
+    * keyed by its codes — the raw vectors are never touched at scan
+    * time. Probes are vec_id < 5 (the probe-set convention), ranked by
+    * (adist asc, cand asc), top-5 each, self excluded — the ADC
+    * companion to `sim_cosine_topk`'s exact baseline.
+    *
+    * Scale shape: the candidate side flows ONCE through the code
+    * pipeline (constant-arity subspace explode → pinned ≤ 32-row
+    * codebook broadcast → in-stage packed-min collapse, one exchange of
+    * 8 rows per vector), then joins the broadcast ≤ |probes|·32-row
+    * distance-table — so scan cost is |probes| lookups per CODE, not a
+    * 64-dim dot per vector, the entire point of PQ at 100 TB (codes are
+    * ~30× smaller than the vectors; a deployment scans codes clustered
+    * by IVF cell and batches probes). Both forced broadcasts are
+    * bounded by the unique-key probe/seed filters (allowlisted). */
+  val simPqAdcTopk: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+    val sub = q
+      .select(col("vec_id"), explode(array((0 until 8).map(m =>
+        struct(lit(m.toLong).as("m"),
+          slice(col("qv"), m * 8 + 1, 8).as("sv"))): _*)).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+      .withColumn("sn2", qnorm2(col("sv")))
+    val cb = sub.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("m").as("cm"),
+        col("sv").as("cv"), col("sn2").as("cn2"))
+    val dist = col("sn2") - lit(2L) * qdot(col("sv"), col("cv")) + col("cn2")
+    val codes = sub.join(broadcast(cb), col("m") === col("cm"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(dist * 4L + col("cid")).as("p"))
+      .select(col("vec_id"), col("m"), pmod(col("p"), lit(4L)).as("code"))
+    val dtab = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("m").as("pm"),
+        col("sv").as("psv"), col("sn2").as("psn2"))
+      .join(broadcast(cb), col("pm") === col("cm"))
+      .select(col("probe_id"), col("pm"), col("cid"),
+        (col("psn2") - lit(2L) * qdot(col("psv"), col("cv")) + col("cn2"))
+          .as("pdist"))
+    val w = Window.partitionBy("probe_id").orderBy(asc("adist"), asc("cand_id"))
+    codes.join(broadcast(dtab),
+        col("m") === col("pm") && col("code") === col("cid") &&
+          col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pdist")).as("adist"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"), col("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("adist"))
+      .orderBy("probe_id", "cand_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_bucket_histogram" -> embBucketHistogram,
     "sim_ann_lsh" -> simAnnLsh,
@@ -430,9 +488,41 @@ object SimilarityQueries {
     "emb_centroids" -> embCentroids,
     "emb_kmeans" -> embKmeans,
     "emb_pq_codes" -> embPqCodes,
+    "sim_pq_adc_topk" -> simPqAdcTopk,
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_adc_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), sub AS (
+        |  SELECT vec_id, m, list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM q, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), subn AS (
+        |  SELECT vec_id, m, sv, (SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS sn2 FROM sub
+        |), cb AS (
+        |  SELECT vec_id AS cid, m AS cm, sv AS cv, sn2 AS cn2 FROM subn WHERE vec_id < 4
+        |), codes AS (
+        |  SELECT vec_id, m,
+        |         CAST(MIN((sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(sv) AS x, UNNEST(cv) AS y)) + cn2) * 4 + cid) % 4 AS BIGINT) AS code
+        |  FROM subn s JOIN cb c ON s.m = c.cm GROUP BY vec_id, m
+        |), dtab AS (
+        |  SELECT p.vec_id AS probe_id, p.m AS pm, c.cid,
+        |         p.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(p.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2 AS pdist
+        |  FROM subn p JOIN cb c ON p.m = c.cm WHERE p.vec_id < 5
+        |), adc AS (
+        |  SELECT d.probe_id, k.vec_id AS cand_id, CAST(SUM(d.pdist) AS BIGINT) AS adist
+        |  FROM codes k JOIN dtab d ON k.m = d.pm AND k.code = d.cid AND k.vec_id <> d.probe_id
+        |  GROUP BY d.probe_id, k.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, cand_id, adist,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rk
+        |  FROM adc
+        |)
+        |SELECT probe_id, cand_id, adist FROM ranked WHERE rk <= 5
+        |ORDER BY probe_id, cand_id""".stripMargin,
     "emb_pq_codes" ->
       """WITH q AS (
         |  SELECT vec_id,

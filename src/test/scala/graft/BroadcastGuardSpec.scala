@@ -76,6 +76,13 @@ class BroadcastGuardSpec extends SparkSpec {
         "AFTER an inner join against the Limit-3 standing-query table — " +
         "<= 3 rows by the join's term restriction, invisible to the " +
         "root rules because the aggregate sits above a corpus-side join"),
+    "sim_pq_adc_topk" -> (3,
+      "seed codebooks (vec_id < 4 x 8 subspaces = <= 32 rows, the " +
+        "emb_pq_codes bound — hinted TWICE: once for the code-assignment " +
+        "join, once inside the distance-table build) and the probe " +
+        "distance tables (vec_id < 5 probes x 8 subspaces x 4 codebook " +
+        "entries = <= 160 rows); all three filters sit over corpus scans " +
+        "under Generates, invisible to the root rules"),
     "emb_pq_codes" -> (1,
       "seed codebooks: vec_id < 4 over the unique vec_id key (<= 4 " +
         "vectors) x the fixed 8-subspace constant-arity explode = <= 32 " +
