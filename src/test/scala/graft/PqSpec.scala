@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Planted-prototype semantics for the PQ pair (`emb_pq_codes`,
+  * `sim_pq_adc_topk`): four well-separated prototypes occupy vec_id 0–3
+  * (becoming the seed codebook in EVERY subspace), planted points are
+  * millunit-exact perturbations of their prototype, and probe vec_id 4
+  * is a near-copy of prototype 0 — so codes, reconstruction errors, and
+  * the full ADC ranking are all computable by hand. Beyond the DuckDB
+  * oracle (which pins arithmetic), this pins the SEMANTICS: cells route
+  * by proximity, ADC depends only on the candidate's codes, and ties
+  * break by candidate id.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Prototype p has every dim = (p+1)·0.1 → millunit value (p+1)·100;
+  // subvectors are pairwise ≥ 100 millunits apart per dim, so a ≤ 2
+  // millunit perturbation can never flip a nearest-codeword vote.
+  private def proto(p: Int): Seq[Float] = Seq.fill(64)(((p + 1) * 0.1).toFloat)
+  private def perturb(v: Seq[Float], dim: Int, millunits: Int): Seq[Float] =
+    v.updated(dim, v(dim) + millunits * 0.001f)
+
+  private def fixtureDir(): String = {
+    val rows =
+      (0 until 4).map(p => (p.toLong, proto(p))) ++          // prototypes = codebook
+      Seq((4L, perturb(proto(0), 0, 1))) ++                  // probe: proto 0 + 1 millunit
+      (for (p <- 0 until 4; j <- 0 until 10)
+        yield ((100 + p * 10 + j).toLong, perturb(proto(p), j % 64, (j % 2) + 1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    rows.toDF("vec_id", "embedding")
+      .withColumn("label", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+  }
+
+  test("every planted point codes to its prototype in all 8 subspaces; prototype err = 0") {
+    val dir = fixtureDir()
+    try {
+      val codes = graft.queries.SimilarityQueries.embPqCodes(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      // Prototypes code to themselves exactly.
+      for (p <- 0 until 4; m <- 0 until 8)
+        assert(codes((p.toLong, m.toLong)) == (p.toLong, 0L),
+          s"prototype $p subspace $m")
+      // Planted points: code = prototype id everywhere; err nonzero only
+      // in the one perturbed subspace (dim j%64 lives in subspace
+      // (j%64)/8) and equals the squared millunit perturbation there.
+      for (p <- 0 until 4; j <- 0 until 10; m <- 0 until 8) {
+        val id = (100 + p * 10 + j).toLong
+        val (code, err) = codes((id, m.toLong))
+        assert(code == p.toLong, s"point $id subspace $m routed to $code")
+        val pertSub = (j % 64) / 8
+        val expectedErr = if (m == pertSub) { val k = (j % 2) + 1; (k * k).toLong } else 0L
+        assert(err == expectedErr, s"point $id subspace $m err $err != $expectedErr")
+      }
+    } finally rmTree(dir)
+  }
+
+  test("ADC ranking for the near-prototype probe is the cluster-0 cells, id-tiebroken") {
+    val dir = fixtureDir()
+    try {
+      val adc = graft.queries.SimilarityQueries.simPqAdcTopk(spark, dir).collect()
+        .filter(_.getLong(0) == 4L).sortBy(_.getLong(1))
+      // Probe 4 = proto 0 + 1 millunit on dim 0: its distance-table row
+      // for codeword 0 is 1 in subspace 0 and 0 elsewhere, so EVERY
+      // candidate coded all-zeros has adist exactly 1, and the top-5 are
+      // the five lowest candidate ids in cluster 0: the prototype itself
+      // (vec 0) then planted points 100..103.
+      assert(adc.map(_.getLong(1)).toSeq == Seq(0L, 100L, 101L, 102L, 103L),
+        s"got ${adc.map(_.getLong(1)).toSeq}")
+      assert(adc.forall(_.getLong(2) == 1L),
+        s"all-zero-coded candidates must sit at adist 1, got ${adc.map(_.getLong(2)).toSeq}")
+    } finally rmTree(dir)
+  }
+}
