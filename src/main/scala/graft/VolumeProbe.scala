@@ -105,7 +105,7 @@ object VolumeProbe {
     // Optional comma-separated query-name filter for iterating on one
     // entry without paying the full ~25-min probe. The canonical 100×
     // artifact (VOLPROBE_r{N}.json) must come from an unfiltered run —
-    // ALL entries present (18 as of round 13); the 1000× decade artifact
+    // ALL entries present (20 as of round 13); the 1000× decade artifact
     // (VOLPROBE_1000X_r{N}.json) is a DELIBERATELY filtered run over the
     // flagship dedup chain + the span/audit families (the full family at
     // 1000× would spill the exact-baseline entries' ~37 GB each for no
@@ -119,7 +119,8 @@ object VolumeProbe {
     var exitCode = 0
     try {
       val embNames =
-        Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh", "emb_kmeans")
+        Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh",
+          "emb_kmeans", "emb_pq_codes", "sim_pq_adc_topk")
       // Entries whose declared plans carry exact-allowlisted bounded
       // broadcast cross joins (BroadcastGuardSpec documents the bounds);
       // their plan-shape arm pins the BNLJ count instead (see below).
@@ -402,7 +403,16 @@ object VolumeProbe {
           // pool token stream was never the elected/forced build side"
           // (the un-pinned fixture-scale plan DID broadcast it).
           sym("sample_dsir_weights",
-            graft.queries.SamplingQueries.sampleDsirWeights))
+            graft.queries.SamplingQueries.sampleDsirWeights),
+          // round 13: the PQ pair rides the embeddings fixture at its
+          // fixed operator parameters (8 subspaces, k = 4 seed codebook,
+          // 5 probes — none is a scale dial). Both collapse their
+          // candidate expansions in-stage through packed-min/sum
+          // aggregates over pinned bounded broadcasts, and neither plan
+          // has a nested loop (all joins are equi on the subspace key),
+          // so the blanket plan-sane arm applies.
+          sym("emb_pq_codes", SimilarityQueries.embPqCodes),
+          sym("sim_pq_adc_topk", SimilarityQueries.simPqAdcTopk))
           .filter(t => wanted(t._1))
       }
 
