@@ -456,10 +456,29 @@ object SimilarityQueries {
       .select(col("vec_id").as("cid"), col("m").as("cm"),
         col("sv").as("cv"), col("sn2").as("cn2"))
     val dist = col("sn2") - lit(2L) * qdot(col("sv"), col("cv")) + col("cn2")
+    // Codes aggregate by vec_id ALONE (8 conditional packed-mins, one
+    // per subspace), then re-explode AFTER the exchange — deliberately
+    // not the (vec_id, m) grouping emb_pq_codes outputs. The first 100×
+    // probe run failed this query's records gate at 309× on a plan that
+    // grouped by (vec_id, m): whether the downstream (probe, vec)
+    // partial aggregation collapses then depends on the PARTITION
+    // LAYOUT — at 1× AQE coalesced the codes exchange to few partitions
+    // so a vector's 8 subspace rows stayed together (partials collapsed
+    // 40n → 5n), while at 100× the (vec_id, m) hash scattered them and
+    // every pair shipped ~8 partials. Grouping by vec_id makes the
+    // collapse STRUCTURAL: the exchange carries one 8-column row per
+    // vector, the post-exchange explode keeps a vector's 8 rows in one
+    // partition by construction, and the ADC partial aggregation
+    // collapses to |probes| partials per vector at every scale.
     val codes = sub.join(broadcast(cb), col("m") === col("cm"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(dist * 4L + col("cid")).as("p"))
-      .select(col("vec_id"), col("m"), pmod(col("p"), lit(4L)).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("m") === 0, dist * 4L + col("cid"))).as("p0"),
+        (1 until 8).map(j =>
+          min(when(col("m") === j, dist * 4L + col("cid"))).as(s"p$j")): _*)
+      .select(col("vec_id"), explode(array((0 until 8).map(j =>
+        struct(lit(j.toLong).as("m"),
+          pmod(col(s"p$j"), lit(4L)).as("code"))): _*)).as("mc"))
+      .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
     val dtab = sub.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("m").as("pm"),
         col("sv").as("psv"), col("sn2").as("psn2"))
