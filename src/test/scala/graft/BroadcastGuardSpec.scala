@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.expressions.{Attribute, CreateArray, CreateMap, Expression}
-import org.apache.spark.sql.catalyst.expressions.{Explode, ExplodeBase, Inline, PosExplode, Stack}
+import org.apache.spark.sql.catalyst.expressions.{ExplodeBase, Inline, Stack}
 import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
