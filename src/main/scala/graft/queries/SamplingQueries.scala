@@ -28,11 +28,16 @@ object SamplingQueries {
 
   /** The single definition of the split rule — package-visible so specs
     * verify properties AGAINST it rather than re-deriving the salt/quota
-    * arithmetic (which would silently diverge on a deliberate re-split). */
-  private[graft] def splitCol(idCol: String) = {
-    val bucket = pmod(md5Long(concat(col(idCol), lit(splitSalt))), lit(100L))
+    * arithmetic (which would silently diverge on a deliberate re-split).
+    * Keyed on any expression: the id form below is the classic
+    * assignment, [[sampleSplitByContent]] keys the SAME rule on the
+    * normalized text digest. */
+  private[graft] def splitKeyed(key: org.apache.spark.sql.Column) = {
+    val bucket = pmod(md5Long(concat(key, lit(splitSalt))), lit(100L))
     when(bucket < 90L, "train").when(bucket < 95L, "val").otherwise("test")
   }
+
+  private[graft] def splitCol(idCol: String) = splitKeyed(col(idCol))
 
   /** Hash-based train/val/test assignment (90/5/5) keyed on doc_id, with
     * per-(source, split) counts and token mass. Pure map-side hashing
@@ -71,6 +76,30 @@ object SamplingQueries {
            sum(when(col("n_docs") > 1L && col("n_splits") > 1L, 1L).otherwise(0L)).as("n_leaky_groups"),
            sum(when(col("n_docs") > 1L && col("n_splits") > 1L, col("n_docs")).otherwise(0L)).as("n_leaky_docs"))
       .orderBy("source")
+
+  /** Content-keyed split assignment — the FIX for the contamination
+    * [[splitLeakageAudit]] detects: the split key is the normalized text
+    * digest (the dedup family's [[ColFns.normDigest]] equivalence)
+    * instead of the doc id, so every member of an exact-duplicate group
+    * lands in the SAME split by construction and train/eval leakage
+    * through verbatim copies is impossible — the audit run against this
+    * assignment reports zero leaky groups on ANY corpus
+    * (SamplingSpec plants cross-source duplicates whose id-keyed
+    * assignments straddle splits and pins both facts). Reports per
+    * (source, split) document counts, distinct content groups, and
+    * token mass. Same plan discipline as the audit: only 32-byte
+    * digests and labels shuffle, count-distinct collapses through two
+    * partial-agg levels, text never moves. */
+  val sampleSplitByContent: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("n_chars"), normDigest(col("text")).as("dg"))
+      .withColumn("split", splitKeyed(col("dg")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("dg")).as("n_groups"),
+           sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source", "split")
 
   /** Salt for the temperature-mix admission hash — versioned separately
     * from the split salt so re-mixing never moves split membership. */
@@ -185,6 +214,7 @@ object SamplingQueries {
 
   val queries: Map[String, Q] = Map(
     "sample_split_assign" -> sampleSplitAssign,
+    "sample_split_by_content" -> sampleSplitByContent,
     "split_leakage_audit" -> splitLeakageAudit,
     "sample_temperature_mix" -> sampleTemperatureMix,
     "sample_dsir_weights" -> sampleDsirWeights,
@@ -202,6 +232,19 @@ object SamplingQueries {
       s"""SELECT source, split, COUNT(*) AS n_docs,
          |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM (SELECT source, n_chars, $splitSqlExpr AS split FROM documents)
+         |GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "sample_split_by_content" ->
+      s"""SELECT source, split, COUNT(*) AS n_docs,
+         |       CAST(COUNT(DISTINCT dg) AS BIGINT) AS n_groups,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM (
+         |  SELECT source, n_chars, dg,
+         |         CASE WHEN CAST('0x' || substring(md5(dg || '$splitSalt'), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+         |              WHEN CAST('0x' || substring(md5(dg || '$splitSalt'), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (SELECT source, n_chars, md5(lower(trim(text))) AS dg
+         |        FROM documents WHERE text IS NOT NULL)
+         |)
          |GROUP BY source, split ORDER BY source, split""".stripMargin,
     "split_leakage_audit" ->
       s"""WITH grp AS (

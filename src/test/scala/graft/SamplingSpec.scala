@@ -83,6 +83,64 @@ class SamplingSpec extends SparkSpec {
     assert(out("src_clean") == ((0L, 0L, 0L)), s"got ${out("src_clean")}")
   }
 
+  test("content-keyed split is leak-proof on the corpus whose id-keyed split leaks") {
+    import spark.implicits._
+    // Same planted shape as the audit test above: the duplicate pair's
+    // IDS straddle train/test under the id-keyed rule (the audit flags
+    // it), but the content-keyed rule assigns by digest, so both copies
+    // MUST land together — split never fragments a content group.
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:graft-split-v1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val b = java.lang.Long.parseLong(hex, 16) % 100
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    val ids = (1L to 2000L)
+    val trainIds = ids.filter(splitOf(_) == "train")
+    val testIds = ids.filter(splitOf(_) == "test")
+    val rows = Seq(
+      (trainIds(0), "leaky duplicate text", "en", "src_dup", 20L),
+      (testIds(0), "leaky duplicate text", "en", "src_dup", 20L),
+      (trainIds(1), "contained duplicate text", "en", "src_dup", 24L),
+      (trainIds(2), "contained duplicate text", "en", "src_dup", 24L),
+      (trainIds(3), "unique text a", "en", "src_clean", 13L),
+      (testIds(1), "unique text b", "en", "src_clean", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csplit").toString
+    try {
+      rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SamplingQueries.sampleSplitByContent(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      // Groups never fragment: per source, Σ n_groups over splits equals
+      // the source's distinct-digest count (2 for each planted source),
+      // and every group's docs are all in one cell — so src_dup's 4 docs
+      // land as two (n_docs = 2, n_groups = 1) cells (possibly the same
+      // split) rather than the id-keyed rule's train/test straddle.
+      val bySource = out.groupBy(_._1._1)
+      assert(bySource("src_dup").map(_._2._2).sum == 2L)
+      assert(bySource("src_dup").forall { case (_, (nd, ng, _)) => nd == 2L * ng })
+      assert(bySource("src_clean").map(_._2._2).sum == 2L)
+      // And the direct fix claim: rebuilding the audit with the CONTENT
+      // key in place of the id key reports zero leaky groups.
+      val contentAudited = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          graft.functions.ColFns.normDigest(col("text")).as("dg"))
+        .withColumn("split", SamplingQueries.splitKeyed(col("dg")))
+        .groupBy("source", "dg")
+        .agg(countDistinct(col("split")).as("n_splits"))
+        .filter(col("n_splits") > 1L)
+        .count()
+      assert(contentAudited == 0L, "content-keyed split produced a leaky group")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("DSIR votes separate target-like from source-like documents on a planted bimodal corpus") {
     import spark.implicits._
     // Two disjoint vocabularies: the target domain (lang = 'en') speaks
