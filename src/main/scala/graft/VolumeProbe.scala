@@ -123,8 +123,14 @@ object VolumeProbe {
           "emb_kmeans", "emb_pq_codes", "sim_pq_adc_topk")
       // Entries whose declared plans carry exact-allowlisted bounded
       // broadcast cross joins (BroadcastGuardSpec documents the bounds);
-      // their plan-shape arm pins the BNLJ count instead (see below).
-      val boundedNested = Set("emb_kmeans", "sample_dsir_weights")
+      // their plan-shape arm pins the ABSOLUTE BNLJ count per entry at
+      // both arms (round-13 ADVICE: mere cross-arm equality would pass an
+      // unbounded nested loop present at BOTH arms — e.g. a regression
+      // that drops the broadcast bound at fixture scale too). The counts
+      // are the declared plans' own: emb_kmeans runs two Lloyd
+      // iterations = two ≤ 8-row centroid cross joins; dsir's one cross
+      // join is the scalar totals row.
+      val boundedNested = Map("emb_kmeans" -> 2, "sample_dsir_weights" -> 1)
       val triName = "graph_triangle_count"
       val fuzzyName = "text_fuzzy_join_blocked"
       val fuzzyMultiName = "text_fuzzy_join_multikey"
@@ -460,10 +466,13 @@ object VolumeProbe {
         // in the 1x plan is exactly the regression the blanket arm
         // catches elsewhere.
         val planSane =
-          if (boundedNested.contains(name))
-            !Metrics.hasCartesian(plansN) &&
-              Metrics.nestedLoopCount(plansN) == Metrics.nestedLoopCount(plans1)
-          else !Metrics.hasNestedLoop(plansN)
+          boundedNested.get(name) match {
+            case Some(expected) =>
+              !Metrics.hasCartesian(plansN) &&
+                Metrics.nestedLoopCount(plans1) == expected &&
+                Metrics.nestedLoopCount(plansN) == expected
+            case None => !Metrics.hasNestedLoop(plansN)
+          }
         val recRatio = kN.shuffleRecordsRead.toDouble / math.max(k1.shuffleRecordsRead, 1L)
         val joinRatio = kN.joinOutputRows.toDouble / math.max(k1.joinOutputRows, 1L)
         var recOk = kN.shuffleRecordsRead <=
@@ -623,11 +632,11 @@ object VolumeProbe {
         // above); dsir additionally gates that NO broadcast subtree
         // contains a documents scan at either arm — the recorded
         // join-side evidence round-12 verdict #1 asked for.
-        if (boundedNested.contains(name)) {
+        boundedNested.get(name).foreach { expected =>
           val b1 = Metrics.nestedLoopCount(plans1)
           val bN = Metrics.nestedLoopCount(plansN)
-          extra ++= s""""bnlj_1x":$b1,"bnlj_${factor}x":$bN,"""
-          extra ++= s""""plan_sane_gate":"no_cartesian_and_bnlj_count_pinned","""
+          extra ++= s""""bnlj_1x":$b1,"bnlj_${factor}x":$bN,"bnlj_expected":$expected,"""
+          extra ++= s""""plan_sane_gate":"no_cartesian_and_bnlj_count==expected_both_arms","""
         }
         if (name == "sample_dsir_weights") {
           val cb1 = Metrics.broadcastsContainingScan(plans1, "documents.parquet")

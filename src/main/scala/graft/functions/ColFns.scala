@@ -69,8 +69,12 @@ object ColFns {
   def floorDiv(c: Column, b: Column): Column =
     when(b > lit(0), call_function("div", c - pmod(c, b), b))
       .otherwise(raise_error(
+        // coalesce: a NULL divisor also lands here (b > 0 is null), and
+        // concat(..., null) would null the whole message — raise_error
+        // with a null message surfaces as an opaque failure instead of
+        // this diagnostic (round-13 ADVICE).
         concat(lit("floorDiv divisor must be positive, got "),
-          b.cast("string"))))
+          coalesce(b.cast("string"), lit("null")))))
 
   /** Seconds-precision epoch of a long-nanos timestamp column. Floor
     * division ([[floorDiv]]): the oracle side is

@@ -122,6 +122,12 @@ object KMeans {
   def lloyd(embeddings: DataFrame, k: Int, dims: Int = 64,
             loopParts: Int = 8, maxRounds: Int = 40): DataFrame = {
     require(k >= 1 && k <= 16, s"packed argmin carries labels in [0,16): k=$k")
+    // Reset the introspection fields at ENTRY: if a round's count job
+    // throws, a probe/test reading them afterwards must see "this run
+    // recorded nothing" (-1/false), not the PREVIOUS run's values
+    // (round-13 ADVICE — staleness-on-failure was undocumented).
+    lastRounds = -1
+    lastConverged = false
     val parent = embeddings.sparkSession
     val s = parent.newSession()
     Sessions.copyRuntimeConf(parent, s)

@@ -57,4 +57,38 @@ class FunctionsSpec extends SparkSpec {
     val df = Seq(1704079804729045799L).toDF("ts")
     assert(df.select(nsToEpochSec(col("ts"))).head().getLong(0) == 1704079804L)
   }
+
+  test("floorDiv's positivity guard folds away for literal divisors") {
+    // The hot constant-divisor path (nsToEpochSec etc.) relies on
+    // ConstantFolding + SimplifyConditionals stripping the guard branch;
+    // if a Spark upgrade stops folding it, every bucketing expression
+    // pays a per-row comparison AND carries a raise_error into codegen
+    // (round-13 ADVICE asked for exactly this plan assertion).
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, RaiseError}
+    val optimized = Seq(1L).toDF("ts").select(nsToEpochSec(col("ts")))
+      .queryExecution.optimizedPlan
+    val leftovers = optimized.expressions.flatMap(_.collect {
+      case c: CaseWhen => c
+      case r: RaiseError => r
+    })
+    assert(leftovers.isEmpty,
+      s"literal-divisor floorDiv guard did not fold: $leftovers")
+  }
+
+  test("floorDiv raises the diagnostic message on zero, negative, and NULL divisors") {
+    def failureMessage(divisor: java.lang.Long): String = {
+      val ex = intercept[Exception] {
+        Seq((10L, divisor)).toDF("a", "b")
+          .select(floorDiv(col("a"), col("b"))).collect()
+      }
+      Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    }
+    assert(failureMessage(0L).contains("floorDiv divisor must be positive, got 0"))
+    assert(failureMessage(-3L).contains("floorDiv divisor must be positive, got -3"))
+    // NULL divisor: b > 0 is null so the otherwise branch fires; without
+    // the coalesce the concat would null the whole message and the error
+    // surfaces as an opaque null rather than this diagnostic.
+    assert(failureMessage(null).contains("floorDiv divisor must be positive, got null"))
+  }
 }

@@ -66,12 +66,27 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = nodes(planOf("sim_pq_adc_topk")).collect {
       case e: ShuffleExchangeExec => e.outputPartitioning
     }
-    val byVecOnly = exchanges.collect {
-      case h: HashPartitioning if h.expressions.map(_.sql).exists(_.contains("vec_id")) => h
+    // Exact structural match (round-13 ADVICE): an exchange counts as
+    // "the vec_id exchange" only when its partitioning expressions
+    // reference the vec_id ATTRIBUTE — not when the rendered SQL merely
+    // mentions the name inside a larger expression, which would flip the
+    // test's meaning under a rename or a derived key.
+    def referencesVecId(h: HashPartitioning): Boolean =
+      h.expressions.exists(_.collectFirst {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if a.name == "vec_id" => a
+      }.isDefined)
+    val byVec = exchanges.collect {
+      case h: HashPartitioning if referencesVecId(h) => h
     }
-    assert(byVecOnly.nonEmpty, "no vec_id-keyed exchange found")
-    assert(byVecOnly.forall(_.expressions.size == 1),
-      s"a vec_id exchange carries extra keys (${byVecOnly.map(_.expressions.map(_.sql))}) — " +
-        "the layout-independent codes collapse regressed")
+    assert(byVec.nonEmpty, "no vec_id-keyed exchange found")
+    byVec.foreach { h =>
+      assert(h.expressions.size == 1,
+        s"a vec_id exchange carries extra keys (${h.expressions.map(_.sql)}) — " +
+          "the layout-independent codes collapse regressed")
+      assert(h.expressions.head.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.AttributeReference],
+        s"the vec_id exchange key is not a bare attribute: ${h.expressions.head.sql}")
+    }
   }
 }
