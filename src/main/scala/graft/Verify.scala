@@ -20,7 +20,13 @@ object Verify {
         .iterator().asScala.foreach(Files.delete)
     }
     Files.createDirectories(out)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated name filter — the subset-verify loop for
+    // iterating on one query without paying the full dump. The driver's
+    // gate runs unfiltered (env unset → every query).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    def wanted(n: String): Boolean = only.forall(_.contains(n))
+    SparkEntry.queries.filter(e => wanted(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case scala.util.control.NonFatal(e) =>
@@ -32,7 +38,7 @@ object Verify {
       org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
     }
     import Jsons.q
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(e => wanted(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

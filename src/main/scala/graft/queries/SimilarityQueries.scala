@@ -499,6 +499,131 @@ object SimilarityQueries {
       .orderBy("probe_id", "cand_id")
   }
 
+  /** IVF × PQ composed: the index build of the deployment-shaped
+    * retrieval scan (Jégou et al. 2011 §IV-B, "IVFADC") — returns the
+    * codes table (every vector's 8 PQ codes + its IVF cell) and the
+    * per-probe scan table (distance tables joined with each probe's
+    * routed cell). Factored out of [[simIvfPqTopk]] so the volume probe
+    * can snapshot the index once and measure the SCAN in isolation —
+    * the quantity whose sub-linearity (probed-cell fraction of the full
+    * ADC scan) is the entire point of composing IVF with PQ.
+    *
+    * Cells are the `label` partitions, the [[simAnnIvf]] convention: a
+    * coarse quantizer is k-means trained ([[graft.operators.KMeans
+    * .lloyd]] is that trainer; labels stand in as the id-stable cell
+    * assignment so the whole query stays one deterministic pass,
+    * exactly oracle-able). Probes route to the nearest cell centroid in
+    * cleared-denominator integer arithmetic (|n_l·p − S_l|², no
+    * division — the simAnnIvf rule), nprobe = 1.
+    *
+    * Scale shape, piece by piece:
+    *  - codes: the [[simPqAdcTopk]] wide-row discipline — the one
+    *    corpus exchange carries ONE row per vector (8 conditional
+    *    packed-mins), keyed (vec_id, label), both per-vector constants,
+    *    so a vector's re-exploded subspace rows stay co-partitioned by
+    *    construction at every scale;
+    *  - centroids: one aggregate to ≤ |cells| rows (10 here), broadcast;
+    *  - the scan table: ≤ |probes|·8·4 = 160 distance rows joined with
+    *    the ≤ |probes|-row routing — broadcast-pinned;
+    *  - the ADC scan itself ([[ivfpqScan]]): a broadcast hash join whose
+    *    key includes the CELL, so only probed-cell candidates produce
+    *    join output — the scan does |probes-in-cell| O(1) lookups per
+    *    code instead of touching raw vectors, and at a real deployment
+    *    the codes table is clustered by cell so non-probed cells are
+    *    never read at all. Reference principle: a point-get routes to
+    *    one owner shard instead of scanning all of them,
+    *    `/root/reference/src/dist_map.h:121-124`. */
+  private[graft] def ivfpqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+    val sub = q
+      .select(col("vec_id"), col("label"), explode(array((0 until 8).map(m =>
+        struct(lit(m.toLong).as("m"),
+          slice(col("qv"), m * 8 + 1, 8).as("sv"))): _*)).as("ms"))
+      .select(col("vec_id"), col("label"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+      .withColumn("sn2", qnorm2(col("sv")))
+    val cb = sub.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("m").as("cm"),
+        col("sv").as("cv"), col("sn2").as("cn2"))
+    val dist = col("sn2") - lit(2L) * qdot(col("sv"), col("cv")) + col("cn2")
+    // One wide row per vector through the exchange (the sim_pq_adc_topk
+    // structural-collapse rule); label rides as a second grouping key —
+    // functionally dependent on vec_id, so the group is unchanged and a
+    // vector's rows still hash to one partition.
+    val codes = sub.join(broadcast(cb), col("m") === col("cm"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("m") === 0, dist * 4L + col("cid"))).as("p0"),
+        (1 until 8).map(j =>
+          min(when(col("m") === j, dist * 4L + col("cid"))).as(s"p$j")): _*)
+      .select(col("vec_id"), col("label").as("cell"),
+        explode(array((0 until 8).map(j =>
+          struct(lit(j.toLong).as("m"),
+            pmod(col(s"p$j"), lit(4L)).as("code"))): _*)).as("mc"))
+      .select(col("vec_id"), col("cell"), col("mc.m").as("m"),
+        col("mc.code").as("code"))
+    // Coarse routing: nearest per-cell centroid by cleared-denominator
+    // integer distance (simAnnIvf), millunit scale throughout.
+    val sumCols = (0 until 64).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    val cents = q.groupBy("label")
+      .agg(count(lit(1)).as("n_l"), sumCols: _*)
+      .select(col("label").as("c_label"), col("n_l"),
+        array((0 until 64).map(i => col(s"s$i")): _*).as("cs"))
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("qv").as("p3"))
+    val rdist = qdot(zip_with(col("p3"), col("cs"), (x, s_) => col("n_l") * x - s_),
+                     zip_with(col("p3"), col("cs"), (x, s_) => col("n_l") * x - s_))
+    val wN = Window.partitionBy("probe_id").orderBy(asc("rdist"), asc("c_label"))
+    val assigned = probes.crossJoin(broadcast(cents))
+      .withColumn("rdist", rdist)
+      .withColumn("rk", row_number().over(wN))
+      .filter(col("rk") === 1)
+      .select(col("probe_id"), col("c_label"))
+    // Per-probe distance tables (the simPqAdcTopk dtab) + the routed cell.
+    val dtab = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("m").as("pm"),
+        col("sv").as("psv"), col("sn2").as("psn2"))
+      .join(broadcast(cb), col("pm") === col("cm"))
+      .select(col("pid"), col("pm"), col("cid"),
+        (col("psn2") - lit(2L) * qdot(col("psv"), col("cv")) + col("cn2"))
+          .as("pdist"))
+    val scanTab = dtab.join(broadcast(assigned), col("pid") === col("probe_id"))
+      .select(col("probe_id"), col("c_label").as("pcell"),
+        col("pm"), col("cid"), col("pdist"))
+    (codes, scanTab)
+  }
+
+  /** The ADC scan over an IVF×PQ index (see [[ivfpqIndex]]): candidates
+    * match on (subspace, code, CELL), so only probed-cell rows produce
+    * join output; adist = the 8-lookup sum; top-5 per probe, self
+    * excluded, (adist asc, cand asc) ties. */
+  private[graft] def ivfpqScan(codes: DataFrame, scanTab: DataFrame): DataFrame = {
+    val w = Window.partitionBy("probe_id").orderBy(asc("adist"), asc("cand_id"))
+    codes.join(broadcast(scanTab),
+        col("m") === col("pm") && col("code") === col("cid") &&
+          col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pdist")).as("adist"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"), col("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("adist"))
+      .orderBy("probe_id", "cand_id")
+  }
+
+  /** The declared IVF×PQ retrieval query — index build + routed ADC scan
+    * in one plan (round-13 verdict #1; the deployment shape
+    * [[simPqAdcTopk]]'s scaladoc promises: "a deployment scans codes
+    * clustered by IVF cell"). Results are approximate TWICE (cell
+    * routing can miss a neighbor outside the probed cell; ADC distances
+    * are quantized) — the oracle computes the identical composition so
+    * the check stays exact. */
+  val simIvfPqTopk: Q = (s, d) => {
+    val (codes, scanTab) = ivfpqIndex(s, d)
+    ivfpqScan(codes, scanTab)
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_bucket_histogram" -> embBucketHistogram,
     "sim_ann_lsh" -> simAnnLsh,
@@ -508,9 +633,62 @@ object SimilarityQueries {
     "emb_kmeans" -> embKmeans,
     "emb_pq_codes" -> embPqCodes,
     "sim_pq_adc_topk" -> simPqAdcTopk,
+    "sim_ivfpq_topk" -> simIvfPqTopk,
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_ivfpq_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), sub AS (
+        |  SELECT vec_id, label, m, list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM q, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), subn AS (
+        |  SELECT vec_id, label, m, sv, (SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS sn2 FROM sub
+        |), cb AS (
+        |  SELECT vec_id AS cid, m AS cm, sv AS cv, sn2 AS cn2 FROM subn WHERE vec_id < 4
+        |), codes AS (
+        |  SELECT s.vec_id, ANY_VALUE(s.label) AS cell, s.m,
+        |         CAST(MIN((s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid) % 4 AS BIGINT) AS code
+        |  FROM subn s JOIN cb c ON s.m = c.cm GROUP BY s.vec_id, s.m
+        |), cexp AS (
+        |  SELECT label, unnest(qv) AS v, unnest(generate_series(1, 64)) AS d FROM q
+        |), cents AS (
+        |  SELECT label AS c_label, d, SUM(v) AS s_d, COUNT(*) AS n_l
+        |  FROM cexp GROUP BY label, d
+        |), pexp AS (
+        |  SELECT vec_id AS probe_id, unnest(qv) AS v, unnest(generate_series(1, 64)) AS d
+        |  FROM q WHERE vec_id < 5
+        |), rdist AS (
+        |  SELECT probe_id, c_label,
+        |         SUM((n_l * v - s_d) * (n_l * v - s_d)) AS dist
+        |  FROM pexp JOIN cents USING (d)
+        |  GROUP BY probe_id, c_label
+        |), assigned AS (
+        |  SELECT probe_id, c_label FROM (
+        |    SELECT probe_id, c_label,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, c_label) AS rk
+        |    FROM rdist) WHERE rk = 1
+        |), dtab AS (
+        |  SELECT p.vec_id AS probe_id, p.m AS pm, c.cid,
+        |         p.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(p.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2 AS pdist
+        |  FROM subn p JOIN cb c ON p.m = c.cm WHERE p.vec_id < 5
+        |), adc AS (
+        |  SELECT d.probe_id, k.vec_id AS cand_id, CAST(SUM(d.pdist) AS BIGINT) AS adist
+        |  FROM codes k
+        |  JOIN assigned a ON k.cell = a.c_label
+        |  JOIN dtab d ON k.m = d.pm AND k.code = d.cid
+        |             AND d.probe_id = a.probe_id AND k.vec_id <> d.probe_id
+        |  GROUP BY d.probe_id, k.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, cand_id, adist,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rk
+        |  FROM adc
+        |)
+        |SELECT probe_id, cand_id, adist FROM ranked WHERE rk <= 5
+        |ORDER BY probe_id, cand_id""".stripMargin,
     "sim_pq_adc_topk" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -35,9 +35,11 @@ class BroadcastGuardSpec extends SparkSpec {
   private val dimTables = Seq("region.parquet", "nation.parquet")
 
   /** Catalog-bounded enumeration columns: grouping on ONLY these yields a
-    * row count bounded by the catalog (a handful of sources / languages),
-    * independent of corpus row count. */
-  private val boundedGroupCols = Set("source", "lang")
+    * row count bounded by the catalog (a handful of sources / languages /
+    * embedding class labels — `label` is 10 values at every SF, the IVF
+    * cell id of sim_ann_ivf / sim_ivfpq_topk), independent of corpus row
+    * count. */
+  private val boundedGroupCols = Set("source", "lang", "label")
 
   /** Justified exceptions: query name → (EXACT unproven-hint count, why
     * bounded). Every entry must cite a bound the structural rules cannot
@@ -48,10 +50,19 @@ class BroadcastGuardSpec extends SparkSpec {
       "bucket carry: exactly 256 hex-prefix buckets per source by " +
         "construction (the sub-bucketed running sum), so the carry table " +
         "is 256 * |sources| rows at any corpus size"),
-    "sim_ann_ivf" -> (2,
-      "centroids (fixed k, derived from a seeded sample) and the " +
-        "probe-to-centroid assignment (<= |probes| * nprobe rows; probes " +
-        "are vec_id < 5 over the unique vec_id key)"),
+    "sim_ann_ivf" -> (1,
+      "probe-to-centroid assignment (<= |probes| * nprobe rows; probes " +
+        "are vec_id < 5 over the unique vec_id key); the centroid table " +
+        "itself is now PROVEN (label-grouped aggregate, label a bounded " +
+        "enumeration column)"),
+    "sim_ivfpq_topk" -> (4,
+      "seed codebooks (<= 32 rows, the emb_pq_codes bound — hinted twice: " +
+        "code assignment + distance-table build), the probe-to-cell " +
+        "routing (<= |probes| rows after the rk = 1 filter; probes are " +
+        "vec_id < 5 over the unique vec_id key), and the scan table " +
+        "(distance tables x routing = <= |probes| * 32 = 160 rows); the " +
+        "cell-centroid broadcast is PROVEN (label-grouped aggregate). " +
+        "All four sit over corpus scans, invisible to the root rules"),
     "sim_ann_lsh" -> (2,
       "probe set: vec_id < 5 over the unique vec_id key — <= 5 probes; " +
         "the multi-probe fan-out adds NTables*(1+nPlanes) rows per probe"),

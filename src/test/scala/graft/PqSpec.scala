@@ -65,6 +65,43 @@ class PqSpec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("ivfpq: the ADC scan never leaves the probed cell") {
+    // Cells split the corpus: cell "a" holds the proto-0/1 families (and
+    // the probe), cell "b" the proto-2/3 families — EXCEPT planted points
+    // 100 and 101 (proto-0 family), deliberately mislabeled into "b".
+    // Under the full ADC scan (sim_pq_adc_topk semantics) probe 4's top-5
+    // would be 0,100,101,102,103 — every all-zero-coded candidate sits at
+    // adist exactly 1 and ties break by id. The IVF×PQ scan routes probe
+    // 4 to cell "a" (its centroid is ~0.05/dim away vs ~0.23 for "b",
+    // and the cleared-denominator n²·|p−c|² form preserves that order at
+    // these cell sizes), so 100/101 must be INVISIBLE to it: the top-5
+    // are the next lowest all-zero-coded ids in cell a — 0,102,103,104,105.
+    val rows =
+      (0 until 4).map(p => (p.toLong, proto(p))) ++
+      Seq((4L, perturb(proto(0), 0, 1))) ++
+      (for (p <- 0 until 4; j <- 0 until 10)
+        yield ((100 + p * 10 + j).toLong, perturb(proto(p), j % 64, (j % 2) + 1)))
+    def cell(id: Long, protoId: Long): String =
+      if (id == 100L || id == 101L) "b"
+      else if (protoId < 2) "a" else "b"
+    val labeled = rows.map { case (id, emb) =>
+      val protoId = if (id < 4) id else if (id == 4) 0L else (id - 100) / 10
+      (id, emb, cell(id, protoId))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    try {
+      labeled.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = graft.queries.SimilarityQueries.simIvfPqTopk(spark, dir).collect()
+        .filter(_.getLong(0) == 4L).sortBy(_.getLong(1))
+      assert(out.map(_.getLong(1)).toSeq == Seq(0L, 102L, 103L, 104L, 105L),
+        s"probed-cell restriction violated: got ${out.map(_.getLong(1)).toSeq}")
+      assert(out.forall(_.getLong(2) == 1L),
+        s"all-zero-coded cell-a candidates must sit at adist 1, got " +
+          s"${out.map(_.getLong(2)).toSeq}")
+    } finally rmTree(dir)
+  }
+
   test("ADC ranking for the near-prototype probe is the cluster-0 cells, id-tiebroken") {
     val dir = fixtureDir()
     try {
