@@ -102,6 +102,42 @@ class PqSpec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("trained codebooks recover the planted prototypes exactly (integer fixpoint)") {
+    // The trained path (round-13 verdict #3): Pq.trainCodebooks runs
+    // KMeans.lloyd per subspace. The corpus plants the four prototypes at
+    // vec_id 0–3 (the lloyd init convention seeds them as the initial
+    // codebook) plus SYMMETRIC ±1-millunit pairs around each prototype on
+    // three different dims — every cluster's per-dim sum is exactly
+    // n·proto, so the floor-mean centroid equals the prototype in every
+    // round and the integer fixpoint is the prototype table itself.
+    // Trajectory: round 1 re-derives the same centroids but the seed row
+    // carries n = 0 vs the real count (a change); round 2 is identical —
+    // convergence observed. rounds = 2 in every subspace.
+    val rows =
+      (0 until 4).map(p => (p.toLong, proto(p))) ++
+      (for (p <- 0 until 4; j <- 0 until 3; sgn <- Seq(1, -1))
+        yield ((100 + p * 10 + j * 2 + (if (sgn > 0) 0 else 1)).toLong,
+          perturb(proto(p), j * 7, sgn)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val trained = graft.operators.Pq.trainCodebooks(emb, m = 8, subDim = 8, k = 4,
+      loopParts = 3).collect()
+    org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+    assert(graft.operators.Pq.lastRoundsPerSubspace == Seq.fill(8)(2),
+      s"expected 2 lloyd rounds per subspace, got " +
+        s"${graft.operators.Pq.lastRoundsPerSubspace}")
+    // 8 subspaces x 4 codewords x 8 dims.
+    assert(trained.length == 8 * 4 * 8)
+    trained.foreach { r =>
+      val (sub, cid, dim, c, n) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // Prototype p has every dim = (p+1)·100 millunits → (p+1)·100000
+      // micro-units; cluster p holds the prototype + its 6 paired points.
+      assert(c == (cid + 1) * 100000L,
+        s"subspace $sub codeword $cid dim $dim: centroid $c is not the prototype")
+      assert(n == 7L, s"subspace $sub codeword $cid: n_vecs $n != 7")
+    }
+  }
+
   test("ADC ranking for the near-prototype probe is the cluster-0 cells, id-tiebroken") {
     val dir = fixtureDir()
     try {
