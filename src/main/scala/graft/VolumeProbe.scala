@@ -120,7 +120,10 @@ object VolumeProbe {
     try {
       val embNames =
         Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh",
-          "emb_kmeans", "emb_pq_codes", "sim_pq_adc_topk")
+          "emb_kmeans", "emb_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk")
+      // The lloyd loop's planted-chain fixture (see below) — its own
+      // corpus, not the embeddings fixture.
+      val kmlName = "kmeans_lloyd"
       // Entries whose declared plans carry exact-allowlisted bounded
       // broadcast cross joins (BroadcastGuardSpec documents the bounds);
       // their plan-shape arm pins the ABSOLUTE BNLJ count per entry at
@@ -129,17 +132,22 @@ object VolumeProbe {
       // that drops the broadcast bound at fixture scale too). The counts
       // are the declared plans' own: emb_kmeans runs two Lloyd
       // iterations = two ≤ 8-row centroid cross joins; dsir's one cross
-      // join is the scalar totals row.
-      val boundedNested = Map("emb_kmeans" -> 2, "sample_dsir_weights" -> 1)
+      // join is the scalar totals row; ivfpq's is the ≤ |cells|-row
+      // probe-routing cross. kmeans_lloyd's count is ROUNDS-dependent
+      // (one centroid cross per round) and pinned separately below.
+      val boundedNested = Map("emb_kmeans" -> 2, "sample_dsir_weights" -> 1,
+        "sim_ivfpq_topk" -> 1)
       val triName = "graph_triangle_count"
       val fuzzyName = "text_fuzzy_join_blocked"
       val fuzzyMultiName = "text_fuzzy_join_multikey"
       val fuzzyNames = Set(fuzzyName, fuzzyMultiName)
       val needDocs = only.forall(_.exists(n =>
-        !embNames.contains(n) && n != triName && !fuzzyNames.contains(n)))
+        !embNames.contains(n) && n != triName && !fuzzyNames.contains(n) &&
+          n != kmlName))
       val needEmb = only.forall(_.exists(embNames.contains))
       val needTri = wanted(triName)
       val needPart = fuzzyNames.exists(wanted)
+      val needKml = wanted(kmlName)
 
       if (needDocs) {
         val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -249,6 +257,56 @@ object VolumeProbe {
           .unionByName(hotNames(20L * factor))
           .write.mode("overwrite").parquet(s"$dirN/part.parquet")
       }
+
+      // Planted migration-chain fixture for the kmeans_lloyd entry
+      // (round-13 verdict #4): a heavy blob at 0 plus a LINEAR chain of
+      // distinct points — k = 2 Lloyd with the top chain point as the
+      // second seed makes the cluster boundary DESCEND the chain
+      // geometrically (the captured centroid's mean walks ~3/4 of the
+      // way down per round), so convergence rounds grow ~log₂ of the
+      // chain extent: measured by exact integer simulation, 5 rounds at
+      // L = 100 and 11 at L = 10 000. The factor× arm scales BOTH the
+      // blob (records grow ~factor× per round) and the chain length
+      // (rounds grow with the copy count — the property the
+      // rounds-normalized gate exists to exercise; a fixed-rounds
+      // fixture would never distinguish the normalized gate from the
+      // flat one). Values are millunit-exact (chain step 10 millunits =
+      // 0.01f), so quantization is lossless and the trajectory is the
+      // simulated one. vec_id 0 = a blob point (seed centroid 0), vec_id
+      // 1 = the chain top (seed centroid 1) — the lloyd init convention.
+      val kmlBlob1 = 5000L
+      val kmlChain1 = 100L
+      if (needKml) {
+        def kmlFixture(dir: String, blob: Long, chain: Long): Unit = {
+          val blobPts = spark.range(blob)
+            .select(when(col("id") === 0, 0L).otherwise(col("id") + 1).as("vec_id"),
+              lit(0.0f).as("x"))
+          val chainPts = spark.range(chain)
+            .select(when(col("id") === chain - 1, 1L)
+                .otherwise(col("id") + blob + 1).as("vec_id"),
+              (((col("id") + 1) * 10L).cast("double") * lit(0.001d))
+                .cast("float").as("x"))
+          blobPts.unionByName(chainPts)
+            .select(col("vec_id"),
+              concat(array(col("x")), array_repeat(lit(0.0f), 63)).as("embedding"))
+            .write.mode("overwrite").parquet(s"$dir/kml/embeddings.parquet")
+        }
+        kmlFixture(dir1, kmlBlob1, kmlChain1)
+        kmlFixture(dirN, kmlBlob1 * factor, kmlChain1 * factor)
+      }
+
+      // Shuffle partitions TRACK the measured volume (hoisted above the
+      // query list so the lloyd closures can size their loop width) —
+      // the deployment posture: a 1000-executor cluster sizes partitions
+      // to a fixed per-partition byte budget, not a fixed count. At
+      // factor ≤ 100 this is the same 32 every committed artifact used;
+      // at 1000× a fixed 32 would pack 10× the 100× partition size and
+      // the probe OOMs on execution memory — a fixture-host artifact,
+      // not an operator property. Partition count changes NO gated
+      // quantity (shuffle records, join rows, and plan class are
+      // partition-layout-invariant; PartitionInvarianceSpec pins the
+      // results themselves).
+      val partsN = math.min(1024, cpus.toInt * math.max(1, factor / 100))
 
       // ⌈log₂ factor⌉ extra LSH planes at factor× vectors — the
       // deployment re-parameterization the embedding entries gate.
@@ -418,21 +476,32 @@ object VolumeProbe {
           // has a nested loop (all joins are equi on the subspace key),
           // so the blanket plan-sane arm applies.
           sym("emb_pq_codes", SimilarityQueries.embPqCodes),
-          sym("sim_pq_adc_topk", SimilarityQueries.simPqAdcTopk))
+          sym("sim_pq_adc_topk", SimilarityQueries.simPqAdcTopk),
+          // round 14: the IVF×PQ composition (r13 verdict #1), fixed
+          // operator parameters like the PQ pair. The blanket arms gate
+          // the whole declared plan; its entry-specific arm below
+          // measures the ADC SCAN in isolation over a snapshotted index
+          // and pins scan join rows to the probed-cell mass — the
+          // sub-linear-scan property that justifies composing IVF in.
+          sym("sim_ivfpq_topk", SimilarityQueries.simIvfPqTopk),
+          // round 14 (r13 verdict #4): the run-to-convergence Lloyd loop
+          // on the planted migration-chain fixture — rounds GROW with
+          // the chain extent (5 → ~11 at 100×, by exact simulation), so
+          // the records/joinrows gates normalize by measured rounds,
+          // the dedup_clusters_raw discipline. loopParts tracks the
+          // probe's volume-scaled width.
+          (kmlName,
+            (s: SparkSession, dd: String) =>
+              graft.operators.KMeans.lloyd(
+                s.read.parquet(s"$dd/kml/embeddings.parquet"),
+                k = 2, dims = 64, loopParts = cpus.toInt, maxRounds = 40),
+            (s: SparkSession, dd: String) =>
+              graft.operators.KMeans.lloyd(
+                s.read.parquet(s"$dd/kml/embeddings.parquet"),
+                k = 2, dims = 64, loopParts = partsN, maxRounds = 40)))
           .filter(t => wanted(t._1))
       }
 
-      // Shuffle partitions TRACK the measured volume — the deployment
-      // posture (a 1000-executor cluster sizes partitions to a fixed
-      // per-partition byte budget, not a fixed count). At factor ≤ 100
-      // this is the same 32 every committed artifact used; at 1000× a
-      // fixed 32 would pack 10× the 100× partition size and the probe
-      // OOMs on execution memory — a fixture-host artifact, not an
-      // operator property. Partition count changes NO gated quantity
-      // (shuffle records, join rows, and plan class are
-      // partition-layout-invariant; PartitionInvarianceSpec pins the
-      // results themselves).
-      val partsN = math.min(1024, cpus.toInt * math.max(1, factor / 100))
       def measure(q: DedupQueries.Q, dir: String, parts: Int)
           : (Double, Metrics.TaskWork, Seq[org.apache.spark.sql.execution.SparkPlan]) = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
@@ -455,8 +524,12 @@ object VolumeProbe {
       val entries = queries.map { case (name, q1, qN) =>
         val (w1, k1, plans1) = measure(q1, dir1, cpus.toInt)
         val rounds1 = graft.operators.Components.lastRounds
+        val kmRounds1 = graft.operators.KMeans.lastRounds
+        val kmConv1 = graft.operators.KMeans.lastConverged
         val (wN, kN, plansN) = measure(qN, dirN, partsN)
         val roundsN = graft.operators.Components.lastRounds
+        val kmRoundsN = graft.operators.KMeans.lastRounds
+        val kmConvN = graft.operators.KMeans.lastConverged
         // Entries whose DECLARED plan carries bounded nested-loop joins
         // (the exact-allowlisted <= k-row broadcast cross joins: kmeans
         // centroid tables, dsir's scalar totals row) get the bounded
@@ -465,12 +538,16 @@ object VolumeProbe {
         // both arms — a nested loop APPEARING at factor x that was not
         // in the 1x plan is exactly the regression the blanket arm
         // catches elsewhere.
-        val planSane =
+        var planSane =
           boundedNested.get(name) match {
             case Some(expected) =>
               !Metrics.hasCartesian(plansN) &&
                 Metrics.nestedLoopCount(plans1) == expected &&
                 Metrics.nestedLoopCount(plansN) == expected
+            // kmeans_lloyd's expected BNLJ count is rounds-dependent;
+            // its entry block below REASSIGNS planSane with the
+            // one-bounded-cross-per-round pin.
+            case None if name == kmlName => !Metrics.hasCartesian(plansN)
             case None => !Metrics.hasNestedLoop(plansN)
           }
         val recRatio = kN.shuffleRecordsRead.toDouble / math.max(k1.shuffleRecordsRead, 1L)
@@ -645,6 +722,92 @@ object VolumeProbe {
           entryExtraOk = noCorpusBroadcast
           extra ++= s""""corpus_broadcasts_1x":$cb1,"corpus_broadcasts_${factor}x":$cbN,"""
           extra ++= s""""gate_no_corpus_broadcast":$noCorpusBroadcast,"""
+        }
+        // round 14 (r13 verdict #1 done-criterion): the IVF×PQ scan in
+        // isolation — snapshot the index (codes + per-probe scan table),
+        // measure ONLY the ADC scan, and pin its join output to the
+        // probed-cell mass: exactly 8 lookups per probed-cell candidate,
+        // ≤ 2× for metric slack, and ≤ HALF the full-scan equivalent
+        // (8 · |probes| · n — what sim_pq_adc_topk's unrouted scan pays).
+        // With the fixture's 10 cells the measured mass sits near n/10
+        // per probe; a regression that drops the cell key from the scan
+        // join reverts to ~n per probe and fails both arms of the gate.
+        if (name == "sim_ivfpq_topk") {
+          def scanProbe(dir: String, parts: Int): (Long, Long, Long) = {
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            val (codes, scanTab) = SimilarityQueries.ivfpqIndex(spark, dir)
+            val (cRdd, codesSnap) = Sessions.snapshot(codes)
+            val (tRdd, tabSnap) = Sessions.snapshot(scanTab)
+            val nVec = codesSnap.count() / 8 // materializes the snapshot
+            tabSnap.count()
+            val (_, work, _) = Metrics.withTaskWorkPlans(spark) {
+              SimilarityQueries.ivfpqScan(codesSnap, tabSnap)
+                .write.mode("overwrite").format("noop").save()
+            }
+            // Expected scan mass from the routed cells themselves:
+            // 8 code rows per candidate in each probe's routed cell,
+            // minus the probe's own rows when it lives in that cell.
+            val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+            val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+              .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+            val probeLbl = emb.filter(col("vec_id") < 5)
+              .select(col("vec_id"), col("label")).collect()
+              .map(r => r.getLong(0) -> r.get(1).toString).toMap
+            val routed = tabSnap.select(col("probe_id"), col("pcell")).distinct()
+              .collect().map(r => (r.getLong(0), r.get(1).toString))
+            val expected = routed.map { case (p, c) =>
+              8L * (sizes(c) - (if (probeLbl(p) == c) 1L else 0L)) }.sum
+            val fullEquiv = 8L * routed.length * (nVec - 1)
+            cRdd.unpersist(blocking = false)
+            tRdd.unpersist(blocking = false)
+            (work.joinOutputRows, expected, fullEquiv)
+          }
+          val (scan1, exp1, full1) = scanProbe(dir1, cpus.toInt)
+          val (scanN, expN, fullN) = scanProbe(dirN, partsN)
+          // The 10× smoke run measured scan == expected EXACTLY at both
+          // arms (the join is deterministic and the metric counts its
+          // output rows); 1.25× is headroom for metric semantics only.
+          val scanOk = 4 * scan1 <= 5 * exp1 && 4 * scanN <= 5 * expN &&
+            2 * scanN <= fullN
+          entryExtraOk = scanOk
+          extra ++= s""""scan_joinrows_1x":$scan1,"scan_expected_1x":$exp1,"""
+          extra ++= s""""scan_joinrows_${factor}x":$scanN,"scan_expected_${factor}x":$expN,"""
+          extra ++= s""""scan_fullscan_equiv_${factor}x":$fullN,"""
+          extra ++= s""""gate_scan_cell_bounded":$scanOk,"""
+          extra ++= s""""scan_gate":"isolated_scan_joinrows<=2x_probed_cell_mass_and<=half_full_scan","""
+        }
+        // round 14 (r13 verdict #4): kmeans_lloyd normalizes by MEASURED
+        // rounds — every round re-scans the corpus once (assign+update
+        // collapsed into the round's one action), so records/joinrows
+        // are rounds × O(n); rounds grow ~log₂ chain extent on this
+        // fixture (the planted property), bounded additively like the
+        // CC entry. Plan pin: exactly ONE bounded broadcast cross join
+        // per round (the ≤ k-row centroid table), no Cartesian, and the
+        // loop must actually CONVERGE at both arms (an exit-on-cap would
+        // silently cap the normalizer).
+        if (name == kmlName && kmRounds1 > 0 && kmRoundsN > 0) {
+          val roundScale = kmRoundsN.toDouble / kmRounds1
+          recOk = kN.shuffleRecordsRead.toDouble <=
+            2.0 * factor * roundScale * math.max(k1.shuffleRecordsRead, 10000L)
+          joinOk = kN.joinOutputRows.toDouble <=
+            2.0 * factor * roundScale * math.max(k1.joinOutputRows, 10000L)
+          customRecGate = true
+          customJoinGate = true
+          val roundsOk = kmRoundsN <=
+            kmRounds1 + math.ceil(math.log(factor) / math.log(2)).toInt + 2
+          val b1 = Metrics.nestedLoopCount(plans1)
+          val bN = Metrics.nestedLoopCount(plansN)
+          planSane = !Metrics.hasCartesian(plans1) &&
+            !Metrics.hasCartesian(plansN) &&
+            b1 == kmRounds1 && bN == kmRoundsN
+          entryExtraOk = roundsOk && kmConv1 && kmConvN
+          extra ++= s""""rounds_1x":$kmRounds1,"rounds_${factor}x":$kmRoundsN,"""
+          extra ++= s""""converged_1x":$kmConv1,"converged_${factor}x":$kmConvN,"""
+          extra ++= s""""bnlj_1x":$b1,"bnlj_${factor}x":$bN,"""
+          extra ++= s""""gate_rounds":$roundsOk,"""
+          extra ++= s""""records_gate":"records<=2x_linear_per_round","""
+          extra ++= s""""joinrows_gate":"joinrows<=2x_linear_per_round","""
+          extra ++= s""""plan_sane_gate":"no_cartesian_and_one_bounded_cross_per_round","""
         }
         // Floor-admission flag (round-6 ADVICE): true when the pass rode
         // the 10k-record floor rather than 2×-linear growth of the

@@ -31,6 +31,14 @@ class EquivalenceSpec extends SparkSpec {
     val grown = DedupQueries.dedupSimhashBandedBlocks(7, 3)(spark, sfDir)
       .collect().map(_.toSeq).toSet
     assert(grown == brute, s"(7,3) ${grown.size} vs brute ${brute.size}")
+    // (8,4) — the ladder's 5M-doc step (the 1000× decade parameterization;
+    // C(8,4)=70 quadruples of 28–30-bit keys). The pigeonhole is TIGHT
+    // here: Hamming ≤ 4 guarantees exactly ≥ 4 identical blocks, one full
+    // quadruple — the last rung before the 60-bit signature is out of
+    // key material.
+    val grown84 = DedupQueries.dedupSimhashBandedBlocks(8, 4)(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(grown84 == brute, s"(8,4) ${grown84.size} vs brute ${brute.size}")
   }
 
   test("simhash banding ladder: rule picks by corpus size, rejects sub-pigeonhole forms") {
