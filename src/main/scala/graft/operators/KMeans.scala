@@ -70,7 +70,13 @@ object KMeans {
     * SortAggregate over the ×k-expanded stream; round-12 verdict #5
     * measurement). qv rides as a grouping key, not a first() aggregate:
     * vec_id is unique so the group is unchanged, but an array aggregate
-    * buffer would also force the sort. */
+    * buffer would also force the sort.
+    *
+    * Domain: 16·dist must fit a long, so |1000·qv − c| < ~7.6e8 per the
+    * packing — i.e. coordinates within ~±7.6e5 millunits of any live
+    * centroid (embeddings sit at ±4e3). Out-of-domain inputs RAISE
+    * (ANSI overflow) rather than corrupt the argmin — measured at a
+    * probe fixture whose 1e6-millunit chain extent crossed the bound. */
   private[graft] def assign(q: DataFrame, cents: DataFrame): DataFrame = {
     val dist = lit(1000000L) * col("n2") -
       lit(2000L) * qdot(col("qv"), col("c")) + col("cn2")
