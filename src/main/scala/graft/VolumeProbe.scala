@@ -120,7 +120,8 @@ object VolumeProbe {
     try {
       val embNames =
         Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh",
-          "emb_kmeans", "emb_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk")
+          "emb_kmeans", "emb_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk",
+          "sim_ivfpq_residual_topk")
       // The lloyd loop's planted-chain fixture (see below) — its own
       // corpus, not the embeddings fixture.
       val kmlName = "kmeans_lloyd"
@@ -136,7 +137,7 @@ object VolumeProbe {
       // probe-routing cross. kmeans_lloyd's count is ROUNDS-dependent
       // (one centroid cross per round) and pinned separately below.
       val boundedNested = Map("emb_kmeans" -> 2, "sample_dsir_weights" -> 1,
-        "sim_ivfpq_topk" -> 1)
+        "sim_ivfpq_topk" -> 1, "sim_ivfpq_residual_topk" -> 1)
       val triName = "graph_triangle_count"
       val fuzzyName = "text_fuzzy_join_blocked"
       val fuzzyMultiName = "text_fuzzy_join_multikey"
@@ -490,6 +491,10 @@ object VolumeProbe {
           // and pins scan join rows to the probed-cell mass — the
           // sub-linear-scan property that justifies composing IVF in.
           sym("sim_ivfpq_topk", SimilarityQueries.simIvfPqTopk),
+          // round 14: the residual-encoded IVFADC twin — same fixture,
+          // same blanket + scan-isolation arms (the entry block below
+          // picks the residual index builder by name).
+          sym("sim_ivfpq_residual_topk", SimilarityQueries.simIvfPqResidualTopk),
           // round 14 (r13 verdict #4): the run-to-convergence Lloyd loop
           // on the planted migration-chain fixture — rounds GROW with
           // the chain extent (5 → ~11 at 100×, by exact simulation), so
@@ -762,10 +767,13 @@ object VolumeProbe {
         // With the fixture's 10 cells the measured mass sits near n/10
         // per probe; a regression that drops the cell key from the scan
         // join reverts to ~n per probe and fails both arms of the gate.
-        if (name == "sim_ivfpq_topk") {
+        if (name == "sim_ivfpq_topk" || name == "sim_ivfpq_residual_topk") {
           def scanProbe(dir: String, parts: Int): (Long, Long, Long) = {
             spark.conf.set("spark.sql.shuffle.partitions", parts)
-            val (codes, scanTab) = SimilarityQueries.ivfpqIndex(spark, dir)
+            val (codes, scanTab) =
+              if (name == "sim_ivfpq_residual_topk")
+                SimilarityQueries.ivfpqResidualIndex(spark, dir)
+              else SimilarityQueries.ivfpqIndex(spark, dir)
             val (cRdd, codesSnap) = Sessions.snapshot(codes)
             val (tRdd, tabSnap) = Sessions.snapshot(scanTab)
             val nVec = codesSnap.count() / 8 // materializes the snapshot

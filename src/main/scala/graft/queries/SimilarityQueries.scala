@@ -624,6 +624,116 @@ object SimilarityQueries {
     ivfpqScan(codes, scanTab)
   }
 
+  /** RESIDUAL-encoded IVF×PQ — the exact IVFADC of Jégou et al. 2011
+    * §IV-B: PQ quantizes each vector's residual `y − c(y)` against its
+    * cell centroid rather than the raw vector, which is what makes a
+    * 4-entry codebook accurate inside a coarse cell (residual energy is
+    * a fraction of vector energy). [[simIvfPqTopk]] is the non-residual
+    * variant (FAISS's IVFPQ with by_residual = false); this is the
+    * textbook form.
+    *
+    * Everything stays exact integers: the cell centroid is the
+    * emb_kmeans floor-mean, c_d = floor(1000·Σqv_d / n_l) micro-units
+    * (an interpreted transform over ≤ |cells| rows — the 64 KB codegen
+    * rule), so the residual r_d = 1000·qv_d − c_d is an exact micro-unit
+    * integer (|r| ≤ ~8e6 per dim keeps every PQ distance term and the
+    * ×4+cid packing far inside a long). On a ONE-cell corpus residual
+    * ADC distances equal the plain ADC's algebraically (|((p−c) −
+    * (x−c))_s| = |(p − x)_s| and the codebook shifts by the same c) —
+    * at exactly 10⁶× the plain adist scale, micro² vs millunit² — a
+    * closed-form identity PqSpec pins against [[simPqAdcTopk]].
+    *
+    * Scale shape = [[ivfpqIndex]] plus one proven broadcast: the ≤
+    * |cells|-row centroid table joins the corpus stream once to form
+    * residuals (label-grouped aggregate — provably bounded, no
+    * allowlist slot); codes keep the wide-row collapse keyed by
+    * per-vector constants; the scan is [[ivfpqScan]] itself, cell-key
+    * bounded. The probe's residual is computed against its ROUTED
+    * cell's centroid — probe-side only, ≤ |probes| rows. */
+  private[graft] def ivfpqResidualIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+    // ONE per-cell aggregate feeds both consumers: (n_l, cs) for the
+    // cleared-denominator routing, cmean (floor-mean micro-units) for
+    // the residuals. The division lambda is interpreted over ≤ |cells|
+    // rows (the emb_kmeans update rule).
+    val sumCols = (0 until 64).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    val cents = q.groupBy("label")
+      .agg(count(lit(1)).as("n_l"), sumCols: _*)
+      .select(col("label").as("c_label"), col("n_l"),
+        array((0 until 64).map(i => col(s"s$i")): _*).as("cs"))
+      .withColumn("cmean",
+        transform(col("cs"), sd => {
+          val a = sd * 1000L
+          call_function("div", a - pmod(a, col("n_l")), col("n_l")) }))
+    // Residual stream: one proven broadcast join (label-grouped
+    // aggregate) against the corpus scan; zip_with runs once per row —
+    // the quantize-transform cost class, not the per-pair one.
+    val rq = q.join(broadcast(cents.select(col("c_label").as("rl"), col("cmean"))),
+        col("label") === col("rl"))
+      .select(col("vec_id"), col("label"),
+        zip_with(col("qv"), col("cmean"), (x, c) => x * 1000L - c).as("rv"))
+    val sub = rq
+      .select(col("vec_id"), col("label"), explode(array((0 until 8).map(m =>
+        struct(lit(m.toLong).as("m"),
+          slice(col("rv"), m * 8 + 1, 8).as("sv"))): _*)).as("ms"))
+      .select(col("vec_id"), col("label"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+      .withColumn("sn2", qnorm2(col("sv")))
+    val cb = sub.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("m").as("cm"),
+        col("sv").as("cv"), col("sn2").as("cn2"))
+    val dist = col("sn2") - lit(2L) * qdot(col("sv"), col("cv")) + col("cn2")
+    val codes = sub.join(broadcast(cb), col("m") === col("cm"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("m") === 0, dist * 4L + col("cid"))).as("p0"),
+        (1 until 8).map(j =>
+          min(when(col("m") === j, dist * 4L + col("cid"))).as(s"p$j")): _*)
+      .select(col("vec_id"), col("label").as("cell"),
+        explode(array((0 until 8).map(j =>
+          struct(lit(j.toLong).as("m"),
+            pmod(col(s"p$j"), lit(4L)).as("code"))): _*)).as("mc"))
+      .select(col("vec_id"), col("cell"), col("mc.m").as("m"),
+        col("mc.code").as("code"))
+    // Routing — identical to ivfpqIndex (cleared-denominator metric).
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("qv").as("p3"))
+    val rdist = qdot(zip_with(col("p3"), col("cs"), (x, s_) => col("n_l") * x - s_),
+                     zip_with(col("p3"), col("cs"), (x, s_) => col("n_l") * x - s_))
+    val wN = Window.partitionBy("probe_id").orderBy(asc("rdist"), asc("c_label"))
+    val assigned = probes.crossJoin(broadcast(cents.select(col("c_label"), col("n_l"), col("cs"))))
+      .withColumn("rdist", rdist)
+      .withColumn("rk", row_number().over(wN))
+      .filter(col("rk") === 1)
+      .select(col("probe_id"), col("c_label"))
+    // Probe residual vs the ROUTED cell's centroid (≤ |probes| rows).
+    val pr = probes.join(broadcast(assigned), Seq("probe_id"))
+      .join(broadcast(cents.select(col("c_label").as("pl"), col("cmean").as("pcm"))),
+        col("c_label") === col("pl"))
+      .select(col("probe_id"), col("c_label").as("pcell"),
+        zip_with(col("p3"), col("pcm"), (x, c) => x * 1000L - c).as("prv"))
+    val dtab = pr
+      .select(col("probe_id"), col("pcell"), explode(array((0 until 8).map(m =>
+        struct(lit(m.toLong).as("m"),
+          slice(col("prv"), m * 8 + 1, 8).as("sv"))): _*)).as("ms"))
+      .select(col("probe_id"), col("pcell"), col("ms.m").as("pm"),
+        col("ms.sv").as("psv"))
+      .withColumn("psn2", qnorm2(col("psv")))
+      .join(broadcast(cb), col("pm") === col("cm"))
+      .select(col("probe_id"), col("pcell"), col("pm"), col("cid"),
+        (col("psn2") - lit(2L) * qdot(col("psv"), col("cv")) + col("cn2"))
+          .as("pdist"))
+    (codes, dtab)
+  }
+
+  /** The declared residual IVFADC query — see [[ivfpqResidualIndex]];
+    * the scan is [[ivfpqScan]] itself (same codes/scan-table contract). */
+  val simIvfPqResidualTopk: Q = (s, d) => {
+    val (codes, scanTab) = ivfpqResidualIndex(s, d)
+    ivfpqScan(codes, scanTab)
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_bucket_histogram" -> embBucketHistogram,
     "sim_ann_lsh" -> simAnnLsh,
@@ -634,9 +744,80 @@ object SimilarityQueries {
     "emb_pq_codes" -> embPqCodes,
     "sim_pq_adc_topk" -> simPqAdcTopk,
     "sim_ivfpq_topk" -> simIvfPqTopk,
+    "sim_ivfpq_residual_topk" -> simIvfPqResidualTopk,
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_ivfpq_residual_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), cexp AS (
+        |  SELECT label, unnest(qv) AS v, unnest(generate_series(1, 64)) AS d FROM q
+        |), cents AS (
+        |  SELECT label AS c_label, d, SUM(v) AS s_d, COUNT(*) AS n_l
+        |  FROM cexp GROUP BY label, d
+        |), cmean AS (
+        |  SELECT c_label,
+        |         list((1000 * s_d - ((1000 * s_d % n_l + n_l) % n_l)) // n_l ORDER BY d) AS cm
+        |  FROM cents GROUP BY c_label
+        |), rq AS (
+        |  SELECT vec_id, label,
+        |         list_transform(generate_series(1, 64), i -> qv[i] * 1000 - cm[i]) AS rv
+        |  FROM q JOIN cmean ON label = c_label
+        |), sub AS (
+        |  SELECT vec_id, label, m, list_slice(rv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM rq, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), subn AS (
+        |  SELECT vec_id, label, m, sv, (SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS sn2 FROM sub
+        |), cb AS (
+        |  SELECT vec_id AS cid, m AS cbm, sv AS cv, sn2 AS cn2 FROM subn WHERE vec_id < 4
+        |), codes AS (
+        |  SELECT s.vec_id, ANY_VALUE(s.label) AS cell, s.m,
+        |         CAST(MIN((s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid) % 4 AS BIGINT) AS code
+        |  FROM subn s JOIN cb c ON s.m = c.cbm GROUP BY s.vec_id, s.m
+        |), pexp AS (
+        |  SELECT vec_id AS probe_id, unnest(qv) AS v, unnest(generate_series(1, 64)) AS d
+        |  FROM q WHERE vec_id < 5
+        |), rdist AS (
+        |  SELECT probe_id, c_label,
+        |         SUM((n_l * v - s_d) * (n_l * v - s_d)) AS dist
+        |  FROM pexp JOIN cents USING (d)
+        |  GROUP BY probe_id, c_label
+        |), assigned AS (
+        |  SELECT probe_id, c_label FROM (
+        |    SELECT probe_id, c_label,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, c_label) AS rk
+        |    FROM rdist) WHERE rk = 1
+        |), pr AS (
+        |  SELECT a.probe_id, a.c_label AS pcell,
+        |         list_transform(generate_series(1, 64), i -> p.qv[i] * 1000 - cm.cm[i]) AS prv
+        |  FROM assigned a
+        |  JOIN q p ON p.vec_id = a.probe_id
+        |  JOIN cmean cm ON cm.c_label = a.c_label
+        |), psub AS (
+        |  SELECT probe_id, pcell, m, list_slice(prv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM pr, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), dtab AS (
+        |  SELECT p.probe_id, p.pcell, p.m AS pm, c.cid,
+        |         (SELECT SUM(u * u) FROM UNNEST(p.sv) AS t(u))
+        |           - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(p.sv) AS x, UNNEST(c.cv) AS y))
+        |           + c.cn2 AS pdist
+        |  FROM psub p JOIN cb c ON p.m = c.cbm
+        |), adc AS (
+        |  SELECT d.probe_id, k.vec_id AS cand_id, CAST(SUM(d.pdist) AS BIGINT) AS adist
+        |  FROM codes k
+        |  JOIN dtab d ON k.m = d.pm AND k.code = d.cid
+        |             AND k.cell = d.pcell AND k.vec_id <> d.probe_id
+        |  GROUP BY d.probe_id, k.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, cand_id, adist,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rk
+        |  FROM adc
+        |)
+        |SELECT probe_id, cand_id, adist FROM ranked WHERE rk <= 5
+        |ORDER BY probe_id, cand_id""".stripMargin,
     "sim_ivfpq_topk" ->
       """WITH q AS (
         |  SELECT vec_id, label,

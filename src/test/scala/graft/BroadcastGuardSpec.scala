@@ -99,6 +99,12 @@ class BroadcastGuardSpec extends SparkSpec {
         "vectors) x the fixed 8-subspace constant-arity explode = <= 32 " +
         "rows at any corpus size; invisible to the root rules because " +
         "the filter sits over a corpus scan under a Generate"),
+    "sim_ivfpq_residual_topk" -> (4,
+      "same bounds as sim_ivfpq_topk: seed codebooks (<= 32 residual " +
+        "rows, hinted twice), the probe-to-cell routing (<= |probes| " +
+        "rows), and the scan table (<= 160 rows); the TWO centroid " +
+        "broadcasts (routing + residual forming) are PROVEN " +
+        "(label-grouped aggregates)"),
     "sample_dsir_weights" -> (1,
       "hashed-feature stats table: grouped on pmod(md5, DsirB) so " +
         "<= 2*DsirB = 2048 rows at any corpus size by construction; it " +

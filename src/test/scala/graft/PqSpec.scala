@@ -102,6 +102,61 @@ class PqSpec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("residual IVFADC equals plain ADC on a one-cell corpus (algebraic identity)") {
+    // With a single cell every residual is y − c for the SAME c, so
+    // pairwise subvector distances are unchanged (|(p−c)−(x−c)| =
+    // |p−x|) and the codebook shifts with its inputs — assignments,
+    // distance tables, and adist values must all be IDENTICAL to the
+    // raw-vector ADC. The one-cell PqSpec fixture (label "t"
+    // everywhere) pins the identity row for row; it also exercises the
+    // full centroid/residual machinery, since c is a nonzero floor-mean.
+    // Scale note: residuals live in MICRO-units (1000·qv − c, the
+    // centroid's floor-mean precision) where plain ADC subvectors are
+    // millunits, so every residual distance is exactly 10⁶× the plain
+    // one — same ranking, same ties, adist scaled.
+    val dir = fixtureDir()
+    try {
+      val plain = graft.queries.SimilarityQueries.simPqAdcTopk(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val residual = graft.queries.SimilarityQueries.simIvfPqResidualTopk(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(plain.nonEmpty)
+      assert(residual == plain.map { case (p, c, a) => (p, c, a * 1000000L) },
+        s"one-cell residual IVFADC diverged from plain ADC:\n$residual\nvs\n$plain")
+    } finally rmTree(dir)
+  }
+
+  test("residual ivfpq: the ADC scan never leaves the probed cell") {
+    // The mislabel fixture from the non-residual test: planted points
+    // 100/101 (proto-0 family) sit in cell "b". Residual encoding does
+    // not change the expectations — within cell "a" every proto-0-family
+    // residual still codes to codeword 0 (codebook entry 0 is proto 0's
+    // OWN residual vs c_a, so their distance is just the perturbation),
+    // and probe 4's distance-table row for codeword 0 is 1 in subspace 0
+    // and 0 elsewhere. Top-5 = the lowest all-zero-coded ids IN cell a.
+    val rows =
+      (0 until 4).map(p => (p.toLong, proto(p))) ++
+      Seq((4L, perturb(proto(0), 0, 1))) ++
+      (for (p <- 0 until 4; j <- 0 until 10)
+        yield ((100 + p * 10 + j).toLong, perturb(proto(p), j % 64, (j % 2) + 1)))
+    def cell(id: Long, protoId: Long): String =
+      if (id == 100L || id == 101L) "b"
+      else if (protoId < 2) "a" else "b"
+    val labeled = rows.map { case (id, emb) =>
+      val protoId = if (id < 4) id else if (id == 4) 0L else (id - 100) / 10
+      (id, emb, cell(id, protoId))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqr").toString
+    try {
+      labeled.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = graft.queries.SimilarityQueries.simIvfPqResidualTopk(spark, dir)
+        .collect().filter(_.getLong(0) == 4L).sortBy(_.getLong(1))
+      assert(out.map(_.getLong(1)).toSeq == Seq(0L, 102L, 103L, 104L, 105L),
+        s"probed-cell restriction violated: got ${out.map(_.getLong(1)).toSeq}")
+    } finally rmTree(dir)
+  }
+
   test("trained codebooks recover the planted prototypes exactly (integer fixpoint)") {
     // The trained path (round-13 verdict #3): Pq.trainCodebooks runs
     // KMeans.lloyd per subspace. The corpus plants the four prototypes at
