@@ -59,31 +59,34 @@ class PlanShapeSpec extends SparkSpec {
         "token stream must never be the build side (the stats pin regressed)")
   }
 
-  test("sim_ivfpq_topk's codes exchange carries per-vector constants only") {
+  test("the ivfpq family's codes exchanges carry per-vector constants only") {
     // The ivfpq codes collapse groups by (vec_id, label) — label is
     // functionally dependent on vec_id, so a vector's re-exploded
     // subspace rows still land in one partition by construction. Any
     // third key (e.g. the subspace index m creeping back in) would
     // reintroduce the layout-dependent collapse this family's round-13
-    // probe failure taught.
-    val exchanges = nodes(planOf("sim_ivfpq_topk")).collect {
-      case e: ShuffleExchangeExec => e.outputPartitioning
-    }
+    // probe failure taught. Both the raw-vector and residual variants
+    // share the shape.
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     def names(h: HashPartitioning): Seq[String] =
       h.expressions.collect { case a: AttributeReference => a.name }
-    // The (probe_id, vec_id) exchange is the downstream ADC final
-    // aggregation — legitimate; the CODES exchange is the vec_id-keyed
-    // one without a probe key.
-    val codesExchanges = exchanges.collect {
-      case h: HashPartitioning
-        if names(h).contains("vec_id") && !names(h).contains("probe_id") => h
-    }
-    assert(codesExchanges.nonEmpty, "no vec_id-keyed codes exchange found")
-    codesExchanges.foreach { h =>
-      assert(names(h).toSet.subsetOf(Set("vec_id", "label")) &&
-          h.expressions.size == names(h).size,
-        s"codes exchange keys regressed: ${h.expressions.map(_.sql)}")
+    Seq("sim_ivfpq_topk", "sim_ivfpq_residual_topk").foreach { q =>
+      val exchanges = nodes(planOf(q)).collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning
+      }
+      // The (probe_id, vec_id) exchange is the downstream ADC final
+      // aggregation — legitimate; the CODES exchange is the vec_id-keyed
+      // one without a probe key.
+      val codesExchanges = exchanges.collect {
+        case h: HashPartitioning
+          if names(h).contains("vec_id") && !names(h).contains("probe_id") => h
+      }
+      assert(codesExchanges.nonEmpty, s"$q: no vec_id-keyed codes exchange found")
+      codesExchanges.foreach { h =>
+        assert(names(h).toSet.subsetOf(Set("vec_id", "label")) &&
+            h.expressions.size == names(h).size,
+          s"$q: codes exchange keys regressed: ${h.expressions.map(_.sql)}")
+      }
     }
   }
 
