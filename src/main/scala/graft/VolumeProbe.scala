@@ -121,7 +121,7 @@ object VolumeProbe {
       val embNames =
         Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh",
           "emb_kmeans", "emb_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk",
-          "sim_ivfpq_residual_topk")
+          "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk")
       // The lloyd loop's planted-chain fixture (see below) — its own
       // corpus, not the embeddings fixture.
       val kmlName = "kmeans_lloyd"
@@ -136,8 +136,18 @@ object VolumeProbe {
       // join is the scalar totals row; ivfpq's is the ≤ |cells|-row
       // probe-routing cross. kmeans_lloyd's count is ROUNDS-dependent
       // (one centroid cross per round) and pinned separately below.
+      // The trained-cell ivfpq's count is the PLAN-TREE node count of
+      // its bounded assign crosses after physical subtree sharing: the
+      // logical tree duplicates the c2-fed chains, the planner shares
+      // part of them, and the identity-deduped walk measures 6 BNLJ
+      // nodes at every scale (4 distinct assigns — c1, c2, cells, probe
+      // routing — plus the two re-rooted copies the sharing leaves).
+      // AQE's stage cache dedupes the actual WORK down to exactly three
+      // corpus assignment passes (BroadcastGuardSpec's allowlist
+      // measurement).
       val boundedNested = Map("emb_kmeans" -> 2, "sample_dsir_weights" -> 1,
-        "sim_ivfpq_topk" -> 1, "sim_ivfpq_residual_topk" -> 1)
+        "sim_ivfpq_topk" -> 1, "sim_ivfpq_residual_topk" -> 1,
+        "sim_ivfpq_trained_topk" -> 6)
       val triName = "graph_triangle_count"
       val fuzzyName = "text_fuzzy_join_blocked"
       val fuzzyMultiName = "text_fuzzy_join_multikey"
@@ -495,6 +505,10 @@ object VolumeProbe {
           // same blanket + scan-isolation arms (the entry block below
           // picks the residual index builder by name).
           sym("sim_ivfpq_residual_topk", SimilarityQueries.simIvfPqResidualTopk),
+          // round 14: the TRAINED-cell IVFADC (cells = two-Lloyd
+          // k-means assignment instead of labels; cell sizes for the
+          // scan gate come from the codes frame itself).
+          sym("sim_ivfpq_trained_topk", SimilarityQueries.simIvfPqTrainedTopk),
           // round 14 (r13 verdict #4): the run-to-convergence Lloyd loop
           // on the planted migration-chain fixture — rounds GROW with
           // the chain extent (5 → ~11 at 100×, by exact simulation), so
@@ -767,12 +781,14 @@ object VolumeProbe {
         // With the fixture's 10 cells the measured mass sits near n/10
         // per probe; a regression that drops the cell key from the scan
         // join reverts to ~n per probe and fails both arms of the gate.
-        if (name == "sim_ivfpq_topk" || name == "sim_ivfpq_residual_topk") {
+        if (name.startsWith("sim_ivfpq")) {
           def scanProbe(dir: String, parts: Int): (Long, Long, Long) = {
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             val (codes, scanTab) =
               if (name == "sim_ivfpq_residual_topk")
                 SimilarityQueries.ivfpqResidualIndex(spark, dir)
+              else if (name == "sim_ivfpq_trained_topk")
+                SimilarityQueries.ivfpqTrainedIndex(spark, dir)
               else SimilarityQueries.ivfpqIndex(spark, dir)
             val (cRdd, codesSnap) = Sessions.snapshot(codes)
             val (tRdd, tabSnap) = Sessions.snapshot(scanTab)
@@ -785,16 +801,18 @@ object VolumeProbe {
             // Expected scan mass from the routed cells themselves:
             // 8 code rows per candidate in each probe's routed cell,
             // minus the probe's own rows when it lives in that cell.
-            val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-            val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("sz"))
-              .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
-            val probeLbl = emb.filter(col("vec_id") < 5)
-              .select(col("vec_id"), col("label")).collect()
+            // Cell sizes and probe membership come from the CODES frame
+            // (8 rows per vector), so the computation is identical for
+            // label cells and trained (k-means) cells.
+            val sizes = codesSnap.groupBy(col("cell")).agg(count(lit(1)).as("c8"))
+              .collect().map(r => r.get(0).toString -> r.getLong(1) / 8).toMap
+            val probeCell = codesSnap.filter(col("vec_id") < 5)
+              .select(col("vec_id"), col("cell")).distinct().collect()
               .map(r => r.getLong(0) -> r.get(1).toString).toMap
             val routed = tabSnap.select(col("probe_id"), col("pcell")).distinct()
               .collect().map(r => (r.getLong(0), r.get(1).toString))
             val expected = routed.map { case (p, c) =>
-              8L * (sizes(c) - (if (probeLbl(p) == c) 1L else 0L)) }.sum
+              8L * (sizes(c) - (if (probeCell(p) == c) 1L else 0L)) }.sum
             val fullEquiv = 8L * routed.length * (nVec - 1)
             cRdd.unpersist(blocking = false)
             tRdd.unpersist(blocking = false)

@@ -734,6 +734,87 @@ object SimilarityQueries {
     ivfpqScan(codes, scanTab)
   }
 
+  /** TRAINED-cell IVF×PQ — the coarse quantizer is the actual k-means
+    * of `emb_kmeans` (k = 8, two Lloyd rounds from the vec_id < 8
+    * seeds, exact fixed-point integers) instead of the label stand-in:
+    * every vector is assigned to its nearest trained centroid by the
+    * same packed-long argmin the training ran, probes route through
+    * the identical assignment, and the ADC scan (codes on seed
+    * codebooks, [[simPqAdcTopk]]'s) touches only the probed cell. With
+    * this query both trained halves of the IVFADC appear in a DECLARED
+    * plan — cells from Lloyd here, codebooks from
+    * [[graft.operators.Pq.trainCodebooks]] in its spec — while the
+    * iteration count stays fixed at two so the DuckDB oracle remains
+    * straight-line CTEs (the emb_kmeans doctrine; the run-to-fixpoint
+    * form is `KMeans.lloyd`).
+    *
+    * Scale shape: three corpus passes through the ≤ 8-row broadcast
+    * centroid cross join (two Lloyd rounds + the final cell
+    * assignment), each collapsed in-stage by the map-side packed-min
+    * HashAggregate — all four bounded crosses (incl. the ≤ 5-row probe
+    * routing) allowlisted; the PQ/ADC half is [[ivfpqIndex]]'s shape
+    * with `cluster` as the cell (a per-vector constant, so the codes
+    * exchange stays layout-independent); the scan is [[ivfpqScan]],
+    * whose cell-key bound the volume probe measures exactly on the
+    * sibling ivfpq entries (this query's kmeans passes are gated by the
+    * emb_kmeans entry — same blocks, same plans). */
+  private[graft] def ivfpqTrainedIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.operators.KMeans
+    val q = org.apache.spark.sql.graftx.Sessions.snapshot(
+      KMeans.quantize(Tables.embeddings(s, d)))._2
+    val cents0 = q.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), transform(col("qv"), _ * 1000L).as("c"))
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    val c1 = KMeans.update(KMeans.assign(q, cents0), 64)
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    val c2 = KMeans.update(KMeans.assign(q, c1), 64)
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    // Cells: the whole corpus assigned under the trained table — assign
+    // carries qv through, so the PQ half reads this frame directly (no
+    // corpus-corpus re-join).
+    val cells = KMeans.assign(q, c2)
+    val sub = cells
+      .select(col("vec_id"), col("cluster"), explode(array((0 until 8).map(m =>
+        struct(lit(m.toLong).as("m"),
+          slice(col("qv"), m * 8 + 1, 8).as("sv"))): _*)).as("ms"))
+      .select(col("vec_id"), col("cluster"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+      .withColumn("sn2", qnorm2(col("sv")))
+    val cb = sub.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("m").as("cm"),
+        col("sv").as("cv"), col("sn2").as("cn2"))
+    val dist = col("sn2") - lit(2L) * qdot(col("sv"), col("cv")) + col("cn2")
+    val codes = sub.join(broadcast(cb), col("m") === col("cm"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(min(when(col("m") === 0, dist * 4L + col("cid"))).as("p0"),
+        (1 until 8).map(j =>
+          min(when(col("m") === j, dist * 4L + col("cid"))).as(s"p$j")): _*)
+      .select(col("vec_id"), col("cluster").as("cell"),
+        explode(array((0 until 8).map(j =>
+          struct(lit(j.toLong).as("m"),
+            pmod(col(s"p$j"), lit(4L)).as("code"))): _*)).as("mc"))
+      .select(col("vec_id"), col("cell"), col("mc.m").as("m"),
+        col("mc.code").as("code"))
+    // Probe routing: the SAME assignment operator on the probe subset.
+    val assigned = KMeans.assign(q.filter(col("vec_id") < 5), c2)
+      .select(col("vec_id").as("probe_id"), col("cluster").as("pcell"))
+    val dtab = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("m").as("pm"),
+        col("sv").as("psv"), col("sn2").as("psn2"))
+      .join(broadcast(cb), col("pm") === col("cm"))
+      .select(col("pid"), col("pm"), col("cid"),
+        (col("psn2") - lit(2L) * qdot(col("psv"), col("cv")) + col("cn2"))
+          .as("pdist"))
+      .join(broadcast(assigned), col("pid") === col("probe_id"))
+      .select(col("probe_id"), col("pcell"), col("pm"), col("cid"), col("pdist"))
+    (codes, dtab)
+  }
+
+  /** The declared trained-cell IVFADC query — see [[ivfpqTrainedIndex]]. */
+  val simIvfPqTrainedTopk: Q = (s, d) => {
+    val (codes, scanTab) = ivfpqTrainedIndex(s, d)
+    ivfpqScan(codes, scanTab)
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_bucket_histogram" -> embBucketHistogram,
     "sim_ann_lsh" -> simAnnLsh,
@@ -745,9 +826,93 @@ object SimilarityQueries {
     "sim_pq_adc_topk" -> simPqAdcTopk,
     "sim_ivfpq_topk" -> simIvfPqTopk,
     "sim_ivfpq_residual_topk" -> simIvfPqResidualTopk,
+    "sim_ivfpq_trained_topk" -> simIvfPqTrainedTopk,
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_ivfpq_trained_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), qn AS (
+        |  SELECT vec_id, qv, (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2 FROM q
+        |), c0 AS (
+        |  SELECT vec_id AS cluster, list_transform(qv, x -> x * 1000) AS c
+        |  FROM q WHERE vec_id < 8
+        |), c0n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c0
+        |), a1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c0n c) WHERE rk = 1
+        |), s1 AS (
+        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM a1 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
+        |  GROUP BY cluster, d
+        |), c1 AS (
+        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
+        |  FROM s1 GROUP BY cluster
+        |), c1n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c1
+        |), a2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c1n c) WHERE rk = 1
+        |), s2 AS (
+        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM a2 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
+        |  GROUP BY cluster, d
+        |), c2 AS (
+        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
+        |  FROM s2 GROUP BY cluster
+        |), c2n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c2
+        |), a3 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c2n c) WHERE rk = 1
+        |), sub AS (
+        |  SELECT vec_id, m, list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM q, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), subn AS (
+        |  SELECT vec_id, m, sv, (SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS sn2 FROM sub
+        |), cb AS (
+        |  SELECT vec_id AS cid, m AS cbm, sv AS cv, sn2 AS cn2 FROM subn WHERE vec_id < 4
+        |), codes AS (
+        |  SELECT s.vec_id, s.m,
+        |         CAST(MIN((s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid) % 4 AS BIGINT) AS code
+        |  FROM subn s JOIN cb c ON s.m = c.cbm GROUP BY s.vec_id, s.m
+        |), dtab AS (
+        |  SELECT p.vec_id AS probe_id, p.m AS pm, c.cid,
+        |         p.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(p.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2 AS pdist
+        |  FROM subn p JOIN cb c ON p.m = c.cbm WHERE p.vec_id < 5
+        |), adc AS (
+        |  SELECT d.probe_id, k.vec_id AS cand_id, CAST(SUM(d.pdist) AS BIGINT) AS adist
+        |  FROM codes k
+        |  JOIN dtab d ON k.m = d.pm AND k.code = d.cid AND k.vec_id <> d.probe_id
+        |  JOIN a3 kc ON kc.vec_id = k.vec_id
+        |  JOIN a3 pc ON pc.vec_id = d.probe_id AND pc.cluster = kc.cluster
+        |  GROUP BY d.probe_id, k.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, cand_id, adist,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rk
+        |  FROM adc
+        |)
+        |SELECT probe_id, cand_id, adist FROM ranked WHERE rk <= 5
+        |ORDER BY probe_id, cand_id""".stripMargin,
     "sim_ivfpq_residual_topk" ->
       """WITH q AS (
         |  SELECT vec_id, label,

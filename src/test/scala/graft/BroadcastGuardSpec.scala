@@ -105,6 +105,23 @@ class BroadcastGuardSpec extends SparkSpec {
         "rows), and the scan table (<= 160 rows); the TWO centroid " +
         "broadcasts (routing + residual forming) are PROVEN " +
         "(label-grouped aggregates)"),
+    "sim_ivfpq_trained_topk" -> (19,
+      "EIGHT distinct bounded tables, 19 hint NODES: the analyzed plan " +
+        "is a tree, so every reuse of a hinted frame copies its subtree " +
+        "(c2 feeds both the cell assignment and probe routing, each " +
+        "carrying c1+seed hints; the codebook feeds codes and the " +
+        "distance table; the scan table wraps all of the probe side). " +
+        "Every distinct table is <= k-row: Lloyd centroids <= 8 " +
+        "(cluster-grouped aggregates — Lloyd never mints a label), seed " +
+        "codebooks <= 32, probe routing <= 5, scan table <= 160. At " +
+        "runtime AQE's exchange-reuse stage cache dedupes identical " +
+        "broadcast stages (all copies share the one snapshot " +
+        "LogicalRDD), MEASURED: the executed plan's join rows at sf0.1 " +
+        "decompose to exactly three corpus assignment passes (122,392 " +
+        "= 3x16,000 assigns + 64,000 codes + scan), where no-reuse " +
+        "would be >= 5 passes — so the duplication is a logical-tree " +
+        "counting artifact; the snapshot corpus is also what keeps " +
+        "every subtree unprovable to the root rules"),
     "sample_dsir_weights" -> (1,
       "hashed-feature stats table: grouped on pmod(md5, DsirB) so " +
         "<= 2*DsirB = 2048 rows at any corpus size by construction; it " +

@@ -70,24 +70,27 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     def names(h: HashPartitioning): Seq[String] =
       h.expressions.collect { case a: AttributeReference => a.name }
-    Seq("sim_ivfpq_topk", "sim_ivfpq_residual_topk").foreach { q =>
-      val exchanges = nodes(planOf(q)).collect {
-        case e: ShuffleExchangeExec => e.outputPartitioning
+    // Allowed second keys: label (the fixture-cell variants) or cluster
+    // (the trained-cell variant) — both per-vector constants.
+    Seq("sim_ivfpq_topk", "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk")
+      .foreach { q =>
+        val exchanges = nodes(planOf(q)).collect {
+          case e: ShuffleExchangeExec => e.outputPartitioning
+        }
+        // The (probe_id, vec_id) exchange is the downstream ADC final
+        // aggregation — legitimate; the CODES exchange is the vec_id-keyed
+        // one without a probe key.
+        val codesExchanges = exchanges.collect {
+          case h: HashPartitioning
+            if names(h).contains("vec_id") && !names(h).contains("probe_id") => h
+        }
+        assert(codesExchanges.nonEmpty, s"$q: no vec_id-keyed codes exchange found")
+        codesExchanges.foreach { h =>
+          assert(names(h).toSet.subsetOf(Set("vec_id", "label", "cluster")) &&
+              h.expressions.size == names(h).size,
+            s"$q: codes exchange keys regressed: ${h.expressions.map(_.sql)}")
+        }
       }
-      // The (probe_id, vec_id) exchange is the downstream ADC final
-      // aggregation — legitimate; the CODES exchange is the vec_id-keyed
-      // one without a probe key.
-      val codesExchanges = exchanges.collect {
-        case h: HashPartitioning
-          if names(h).contains("vec_id") && !names(h).contains("probe_id") => h
-      }
-      assert(codesExchanges.nonEmpty, s"$q: no vec_id-keyed codes exchange found")
-      codesExchanges.foreach { h =>
-        assert(names(h).toSet.subsetOf(Set("vec_id", "label")) &&
-            h.expressions.size == names(h).size,
-          s"$q: codes exchange keys regressed: ${h.expressions.map(_.sql)}")
-      }
-    }
   }
 
   test("sim_pq_adc_topk's codes exchange is keyed by vec_id alone") {

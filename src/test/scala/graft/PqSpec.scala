@@ -157,6 +157,47 @@ class PqSpec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("trained-cell ivfpq: Lloyd cells separate planted blobs, empties drop, scan stays in-cell") {
+    // Two well-separated blobs (proto 0 and proto 3, 300 millunits apart
+    // per dim). The fixture's ids < 8 seed FIVE Lloyd clusters, three of
+    // them EXACT DUPLICATES (ids 0,2,4 = proto 0; ids 1,3 = proto 3), so
+    // round 1 ties every point to the LOWEST duplicate cluster (the
+    // packed-min rule), clusters 2/3/4 empty and DROP (the documented
+    // Lloyd degeneracy), and the trained cells converge to exact blob
+    // membership {0: proto-0 family, 1: proto-3 family} — symmetric ±
+    // pairs keep both floor-mean centroids exactly on the prototypes.
+    // Every probe equals a prototype, so its distance table row for its
+    // own blob's codeword is all-zero and EVERY in-cell candidate sits
+    // at adist 0, id-tiebroken; cross-blob candidates must never appear.
+    val pairs = Seq((2, 1), (3, 2), (4, 1)) // (dim, ±millunits)
+    val rows =
+      Seq(0L -> proto(0), 1L -> proto(3), 2L -> proto(0), 3L -> proto(3),
+          4L -> proto(0)) ++
+      pairs.zipWithIndex.flatMap { case ((dim, k), j) =>
+        Seq((100L + 2 * j) -> perturb(proto(0), dim, k),
+            (101L + 2 * j) -> perturb(proto(0), dim, -k)) } ++
+      pairs.zipWithIndex.flatMap { case ((dim, k), j) =>
+        Seq((130L + 2 * j) -> perturb(proto(3), dim, k),
+            (131L + 2 * j) -> perturb(proto(3), dim, -k)) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqt").toString
+    try {
+      rows.toDF("vec_id", "embedding").withColumn("label", lit("t"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = graft.queries.SimilarityQueries.simIvfPqTrainedTopk(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+      val expected = Seq(
+        0L -> Seq(2L, 4L, 100L, 101L, 102L),
+        1L -> Seq(3L, 130L, 131L, 132L, 133L),
+        2L -> Seq(0L, 4L, 100L, 101L, 102L),
+        3L -> Seq(1L, 130L, 131L, 132L, 133L),
+        4L -> Seq(0L, 2L, 100L, 101L, 102L)
+      ).flatMap { case (p, cands) => cands.map(c => (p, c, 0L)) }
+      assert(out.sorted.toSeq == expected.sorted,
+        s"trained-cell ADC diverged:\n${out.sorted.toSeq}\nvs\n${expected.sorted}")
+    } finally rmTree(dir)
+  }
+
   test("trained codebooks recover the planted prototypes exactly (integer fixpoint)") {
     // The trained path (round-13 verdict #3): Pq.trainCodebooks runs
     // KMeans.lloyd per subspace. The corpus plants the four prototypes at
