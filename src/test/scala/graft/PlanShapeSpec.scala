@@ -70,8 +70,11 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     def names(h: HashPartitioning): Seq[String] =
       h.expressions.collect { case a: AttributeReference => a.name }
-    // Allowed second keys: label (the fixture-cell variants) or cluster
-    // (the trained-cell variant) — both per-vector constants.
+    // Allowed second keys, all per-vector constants: label (the
+    // fixture-cell variants), cluster (the trained-cell variant), and
+    // qv (the KMeans.assign argmin exchanges inside the trained plan —
+    // the documented hash-aggregatable grouping). The regression this
+    // pin exists for is the SUBSPACE index m creeping into a codes key.
     Seq("sim_ivfpq_topk", "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk")
       .foreach { q =>
         val exchanges = nodes(planOf(q)).collect {
@@ -86,7 +89,7 @@ class PlanShapeSpec extends SparkSpec {
         }
         assert(codesExchanges.nonEmpty, s"$q: no vec_id-keyed codes exchange found")
         codesExchanges.foreach { h =>
-          assert(names(h).toSet.subsetOf(Set("vec_id", "label", "cluster")) &&
+          assert(names(h).toSet.subsetOf(Set("vec_id", "label", "cluster", "qv")) &&
               h.expressions.size == names(h).size,
             s"$q: codes exchange keys regressed: ${h.expressions.map(_.sql)}")
         }
