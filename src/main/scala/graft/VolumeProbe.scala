@@ -121,7 +121,8 @@ object VolumeProbe {
       val embNames =
         Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh",
           "emb_kmeans", "emb_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk",
-          "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk")
+          "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk",
+          "sim_ivfpq_rerank_topk")
       // The lloyd loop's planted-chain fixture (see below) — its own
       // corpus, not the embeddings fixture.
       val kmlName = "kmeans_lloyd"
@@ -147,7 +148,10 @@ object VolumeProbe {
       // measurement).
       val boundedNested = Map("emb_kmeans" -> 2, "sample_dsir_weights" -> 1,
         "sim_ivfpq_topk" -> 1, "sim_ivfpq_residual_topk" -> 1,
-        "sim_ivfpq_trained_topk" -> 6)
+        "sim_ivfpq_trained_topk" -> 6,
+        // rerank wraps the sim_ivfpq_topk plan once (its one routing
+        // cross) — the refine stage adds equi joins only.
+        "sim_ivfpq_rerank_topk" -> 1)
       val triName = "graph_triangle_count"
       val fuzzyName = "text_fuzzy_join_blocked"
       val fuzzyMultiName = "text_fuzzy_join_multikey"
@@ -509,6 +513,13 @@ object VolumeProbe {
           // k-means assignment instead of labels; cell sizes for the
           // scan gate come from the codes frame itself).
           sym("sim_ivfpq_trained_topk", SimilarityQueries.simIvfPqTrainedTopk),
+          // round 14: the exact re-rank refine stage over the IVFADC
+          // shortlist — blanket arms over the whole two-stage plan; its
+          // entry arm below snapshots the shortlist and pins the refine
+          // join output CONSTANT across arms (≤ 2·|probes|·R rows at any
+          // corpus size — the fetch-by-id property that makes re-rank
+          // the deployment answer to PQ loss).
+          sym("sim_ivfpq_rerank_topk", SimilarityQueries.simIvfPqRerankTopk),
           // round 14 (r13 verdict #4): the run-to-convergence Lloyd loop
           // on the planted migration-chain fixture — rounds GROW with
           // the chain extent (5 → ~11 at 100×, by exact simulation), so
@@ -781,7 +792,7 @@ object VolumeProbe {
         // With the fixture's 10 cells the measured mass sits near n/10
         // per probe; a regression that drops the cell key from the scan
         // join reverts to ~n per probe and fails both arms of the gate.
-        if (name.startsWith("sim_ivfpq")) {
+        if (name.startsWith("sim_ivfpq") && name != "sim_ivfpq_rerank_topk") {
           def scanProbe(dir: String, parts: Int): (Long, Long, Long) = {
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             val (codes, scanTab) =
@@ -831,6 +842,40 @@ object VolumeProbe {
           extra ++= s""""scan_fullscan_equiv_${factor}x":$fullN,"""
           extra ++= s""""gate_scan_cell_bounded":$scanOk,"""
           extra ++= s""""scan_gate":"isolated_scan_joinrows<=2x_probed_cell_mass_and<=half_full_scan","""
+        }
+        // round 14: the re-rank refine stage in isolation — snapshot the
+        // ADC shortlist, measure ONLY the exact re-score, and pin its
+        // join output CONSTANT across arms: two equi joins (fetch-by-id
+        // + probe vectors) over a ≤ |probes|·R-row build side produce
+        // exactly 2·|shortlist| rows at ANY corpus size. A regression
+        // that lets the refine touch corpus-many raw vectors (e.g. the
+        // rank filter slipping above the join) blows the constant bound
+        // by the corpus factor.
+        if (name == "sim_ivfpq_rerank_topk") {
+          def refineProbe(dir: String, parts: Int): (Long, Long) = {
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            val (codes, scanTab) = SimilarityQueries.ivfpqIndex(spark, dir)
+            val (sRdd, shortSnap) = Sessions.snapshot(
+              SimilarityQueries.ivfpqCandidates(codes, scanTab,
+                SimilarityQueries.RerankShortlist))
+            val nShort = shortSnap.count() // materializes the snapshot
+            val (_, work, _) = Metrics.withTaskWorkPlans(spark) {
+              SimilarityQueries.rerankRefine(spark, dir, shortSnap)
+                .write.mode("overwrite").format("noop").save()
+            }
+            sRdd.unpersist(blocking = false)
+            (work.joinOutputRows, nShort)
+          }
+          val (ref1, n1) = refineProbe(dir1, cpus.toInt)
+          val (refN, nN) = refineProbe(dirN, partsN)
+          val bound = 2L * 5 * SimilarityQueries.RerankShortlist
+          val refineOk = ref1 == 2 * n1 && refN == 2 * nN &&
+            refN <= bound && refN == ref1
+          entryExtraOk = refineOk
+          extra ++= s""""refine_joinrows_1x":$ref1,"shortlist_1x":$n1,"""
+          extra ++= s""""refine_joinrows_${factor}x":$refN,"shortlist_${factor}x":$nN,"""
+          extra ++= s""""refine_bound":$bound,"gate_refine_constant":$refineOk,"""
+          extra ++= s""""refine_gate":"isolated_refine_joinrows==2x_shortlist_constant_across_arms","""
         }
         // round 14 (r13 verdict #4): kmeans_lloyd normalizes by MEASURED
         // rounds — every round re-scans the corpus once (assign+update

@@ -594,11 +594,14 @@ object SimilarityQueries {
     (codes, scanTab)
   }
 
-  /** The ADC scan over an IVF×PQ index (see [[ivfpqIndex]]): candidates
-    * match on (subspace, code, CELL), so only probed-cell rows produce
-    * join output; adist = the 8-lookup sum; top-5 per probe, self
-    * excluded, (adist asc, cand asc) ties. */
-  private[graft] def ivfpqScan(codes: DataFrame, scanTab: DataFrame): DataFrame = {
+  /** The ADC candidate stage over an IVF×PQ index (see [[ivfpqIndex]]):
+    * candidates match on (subspace, code, CELL), so only probed-cell rows
+    * produce join output; adist = the 8-lookup sum; top-`r` per probe,
+    * self excluded, (adist asc, cand asc) ties. `r = 5` IS the declared
+    * scan ([[ivfpqScan]]); `r = RerankShortlist` feeds the exact re-rank
+    * refine stage ([[simIvfPqRerankTopk]]). */
+  private[graft] def ivfpqCandidates(codes: DataFrame, scanTab: DataFrame,
+      r: Int): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(asc("adist"), asc("cand_id"))
     codes.join(broadcast(scanTab),
         col("m") === col("pm") && col("code") === col("cid") &&
@@ -607,10 +610,15 @@ object SimilarityQueries {
       .agg(sum(col("pdist")).as("adist"))
       .select(col("probe_id"), col("vec_id").as("cand_id"), col("adist"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= r)
       .select(col("probe_id"), col("cand_id"), col("adist"))
-      .orderBy("probe_id", "cand_id")
   }
+
+  /** The ADC scan over an IVF×PQ index — [[ivfpqCandidates]] at the
+    * declared k = 5, deterministically ordered. */
+  private[graft] def ivfpqScan(codes: DataFrame, scanTab: DataFrame): DataFrame =
+    ivfpqCandidates(codes, scanTab, 5)
+      .orderBy("probe_id", "cand_id")
 
   /** The declared IVF×PQ retrieval query — index build + routed ADC scan
     * in one plan (round-13 verdict #1; the deployment shape
@@ -815,6 +823,60 @@ object SimilarityQueries {
     ivfpqScan(codes, scanTab)
   }
 
+  /** The re-rank shortlist width R: the ADC scan keeps its top-R per
+    * probe, and ONLY those R rows ever see a raw vector again. Probe-
+    * visible so the volume probe can pin the refine join to |probes|·R. */
+  private[graft] val RerankShortlist = 20
+
+  /** Exact re-rank over the IVFADC shortlist — the refine stage of the
+    * standard two-stage retrieval (Jégou et al. 2011 §V "re-ranking";
+    * FAISS's IVFPQR): the routed ADC scan produces a top-R shortlist per
+    * probe by quantized distance, then the R candidates — and ONLY those
+    * R — are re-scored with the exact millunit squared L2 against the
+    * raw vectors, fixing the ADC's quantization-induced rank inversions
+    * (PqSpec plants one and checks the fix). Output: exact top-5 per
+    * probe with both distances, (edist asc, cand_id asc) ties.
+    *
+    * Scale shape — the reason re-rank is THE deployment answer to "PQ is
+    * lossy" rather than bigger codebooks: the shortlist is ≤ |probes|·R
+    * rows by the rank filter (structurally bounded, not data-dependent),
+    * so the refine stage touches raw vectors for 100 candidates total
+    * regardless of corpus size. Both refine-side broadcasts are pinned:
+    * the shortlist (≤ 100 rows) and the probe vectors (≤ 5 rows), so the
+    * one remaining corpus pass is the broadcast-hash fetch-by-id — the
+    * reference's point-get routed to the owner shard
+    * (`/root/reference/src/dist_map.h:121-124`) done as a batch. The
+    * exact distance is one codegen'd qdot over the 64-dim difference per
+    * shortlist row; no corpus-side exchange is added beyond the scan's
+    * own ([[ivfpqCandidates]] keeps the wide-row codes collapse). */
+  val simIvfPqRerankTopk: Q = (s, d) => {
+    val (codes, scanTab) = ivfpqIndex(s, d)
+    rerankRefine(s, d, ivfpqCandidates(codes, scanTab, RerankShortlist))
+  }
+
+  /** The refine stage alone — exact re-score of a (probe_id, cand_id,
+    * adist) shortlist against the raw vectors. Factored out so the
+    * volume probe can snapshot the shortlist and measure the refine's
+    * join output in isolation (its corpus-size-INDEPENDENCE is the
+    * stage's whole scale claim). */
+  private[graft] def rerankRefine(s: SparkSession, d: String,
+      shortlist: DataFrame): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+    val pv = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("p_id"), col("qv").as("pqv"))
+    val diff = zip_with(col("qv"), col("pqv"), (x, y) => x - y)
+    val w = Window.partitionBy("probe_id").orderBy(asc("edist"), asc("cand_id"))
+    q.join(broadcast(shortlist), col("vec_id") === col("cand_id"))
+      .join(broadcast(pv), col("probe_id") === col("p_id"))
+      .withColumn("edist", qdot(diff, diff))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("adist"), col("edist"))
+      .orderBy("probe_id", "cand_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_bucket_histogram" -> embBucketHistogram,
     "sim_ann_lsh" -> simAnnLsh,
@@ -827,6 +889,7 @@ object SimilarityQueries {
     "sim_ivfpq_topk" -> simIvfPqTopk,
     "sim_ivfpq_residual_topk" -> simIvfPqResidualTopk,
     "sim_ivfpq_trained_topk" -> simIvfPqTrainedTopk,
+    "sim_ivfpq_rerank_topk" -> simIvfPqRerankTopk,
   )
 
   val oracles: Map[String, String] = Map(
@@ -982,6 +1045,70 @@ object SimilarityQueries {
         |  FROM adc
         |)
         |SELECT probe_id, cand_id, adist FROM ranked WHERE rk <= 5
+        |ORDER BY probe_id, cand_id""".stripMargin,
+    "sim_ivfpq_rerank_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), sub AS (
+        |  SELECT vec_id, label, m, list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM q, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), subn AS (
+        |  SELECT vec_id, label, m, sv, (SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS sn2 FROM sub
+        |), cb AS (
+        |  SELECT vec_id AS cid, m AS cm, sv AS cv, sn2 AS cn2 FROM subn WHERE vec_id < 4
+        |), codes AS (
+        |  SELECT s.vec_id, ANY_VALUE(s.label) AS cell, s.m,
+        |         CAST(MIN((s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid) % 4 AS BIGINT) AS code
+        |  FROM subn s JOIN cb c ON s.m = c.cm GROUP BY s.vec_id, s.m
+        |), cexp AS (
+        |  SELECT label, unnest(qv) AS v, unnest(generate_series(1, 64)) AS d FROM q
+        |), cents AS (
+        |  SELECT label AS c_label, d, SUM(v) AS s_d, COUNT(*) AS n_l
+        |  FROM cexp GROUP BY label, d
+        |), pexp AS (
+        |  SELECT vec_id AS probe_id, unnest(qv) AS v, unnest(generate_series(1, 64)) AS d
+        |  FROM q WHERE vec_id < 5
+        |), rdist AS (
+        |  SELECT probe_id, c_label,
+        |         SUM((n_l * v - s_d) * (n_l * v - s_d)) AS dist
+        |  FROM pexp JOIN cents USING (d)
+        |  GROUP BY probe_id, c_label
+        |), assigned AS (
+        |  SELECT probe_id, c_label FROM (
+        |    SELECT probe_id, c_label,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, c_label) AS rk
+        |    FROM rdist) WHERE rk = 1
+        |), dtab AS (
+        |  SELECT p.vec_id AS probe_id, p.m AS pm, c.cid,
+        |         p.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(p.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2 AS pdist
+        |  FROM subn p JOIN cb c ON p.m = c.cm WHERE p.vec_id < 5
+        |), adc AS (
+        |  SELECT d.probe_id, k.vec_id AS cand_id, CAST(SUM(d.pdist) AS BIGINT) AS adist
+        |  FROM codes k
+        |  JOIN assigned a ON k.cell = a.c_label
+        |  JOIN dtab d ON k.m = d.pm AND k.code = d.cid
+        |             AND d.probe_id = a.probe_id AND k.vec_id <> d.probe_id
+        |  GROUP BY d.probe_id, k.vec_id
+        |), shortlist AS (
+        |  SELECT probe_id, cand_id, adist FROM (
+        |    SELECT probe_id, cand_id, adist,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rk
+        |    FROM adc) WHERE rk <= 20
+        |), exact AS (
+        |  SELECT s.probe_id, s.cand_id, s.adist,
+        |         CAST((SELECT SUM((x - y) * (x - y))
+        |               FROM (SELECT UNNEST(qc.qv) AS x, UNNEST(qp.qv) AS y)) AS BIGINT) AS edist
+        |  FROM shortlist s
+        |  JOIN q qc ON qc.vec_id = s.cand_id
+        |  JOIN q qp ON qp.vec_id = s.probe_id
+        |), eranked AS (
+        |  SELECT probe_id, cand_id, adist, edist,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY edist, cand_id) AS rk
+        |  FROM exact
+        |)
+        |SELECT probe_id, cand_id, adist, edist FROM eranked WHERE rk <= 5
         |ORDER BY probe_id, cand_id""".stripMargin,
     "sim_ivfpq_topk" ->
       """WITH q AS (

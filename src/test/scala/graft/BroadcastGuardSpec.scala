@@ -99,6 +99,14 @@ class BroadcastGuardSpec extends SparkSpec {
         "vectors) x the fixed 8-subspace constant-arity explode = <= 32 " +
         "rows at any corpus size; invisible to the root rules because " +
         "the filter sits over a corpus scan under a Generate"),
+    "sim_ivfpq_rerank_topk" -> (6,
+      "the sim_ivfpq_topk index/scan bounds (4 hint nodes: seed " +
+        "codebooks twice, probe routing, scan table) plus the two " +
+        "refine-stage pins: the ADC shortlist (<= |probes| * R = 100 " +
+        "rows by the rank <= R filter — structurally bounded but " +
+        "invisible to the root rules because the window sits over a " +
+        "corpus-side join) and the probe vectors (vec_id < 5 over the " +
+        "unique vec_id key)"),
     "sim_ivfpq_residual_topk" -> (4,
       "same bounds as sim_ivfpq_topk: seed codebooks (<= 32 residual " +
         "rows, hinted twice), the probe-to-cell routing (<= |probes| " +

@@ -75,7 +75,8 @@ class PlanShapeSpec extends SparkSpec {
     // qv (the KMeans.assign argmin exchanges inside the trained plan —
     // the documented hash-aggregatable grouping). The regression this
     // pin exists for is the SUBSPACE index m creeping into a codes key.
-    Seq("sim_ivfpq_topk", "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk")
+    Seq("sim_ivfpq_topk", "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk",
+        "sim_ivfpq_rerank_topk")
       .foreach { q =>
         val exchanges = nodes(planOf(q)).collect {
           case e: ShuffleExchangeExec => e.outputPartitioning

@@ -234,6 +234,32 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("exact re-rank fixes the ADC's planted rank inversions") {
+    // The fixture plants the inversion by construction: probe 4 is
+    // proto 0 + 1 millunit on dim 0, and EVERY proto-0-family candidate
+    // codes all-zeros, so the ADC sees them all at adist exactly 1 and
+    // ranks by id — 0,100,101,102,103. The EXACT distances differ:
+    // candidate 100 (perturbed +1 on the probe's own dim) sits at
+    // edist 0, the odd-j candidates (±2 perturbations) at 5, the even-j
+    // ones at 2, the prototype itself at 1. The refine stage must
+    // surface 104 and 106 (edist 2, invisible to the ADC's id
+    // tiebreak) and drop 101/103 (edist 5): top-5 = 100,0,102,104,106,
+    // output id-ordered with both distances carried.
+    val dir = fixtureDir()
+    try {
+      val out = graft.queries.SimilarityQueries.simIvfPqRerankTopk(spark, dir)
+        .collect().filter(_.getLong(0) == 4L).sortBy(_.getLong(1))
+      assert(out.map(_.getLong(1)).toSeq == Seq(0L, 100L, 102L, 104L, 106L),
+        s"re-rank did not fix the planted inversion: got " +
+          s"${out.map(_.getLong(1)).toSeq}")
+      assert(out.map(_.getLong(3)).toSeq == Seq(1L, 0L, 2L, 2L, 2L),
+        s"exact distances wrong: ${out.map(_.getLong(3)).toSeq}")
+      assert(out.forall(_.getLong(2) == 1L),
+        s"shortlist adist must be 1 for all-zero-coded candidates, got " +
+          s"${out.map(_.getLong(2)).toSeq}")
+    } finally rmTree(dir)
+  }
+
   test("ADC ranking for the near-prototype probe is the cluster-0 cells, id-tiebroken") {
     val dir = fixtureDir()
     try {
