@@ -122,7 +122,7 @@ object VolumeProbe {
         Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh",
           "emb_kmeans", "emb_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk",
           "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk",
-          "sim_ivfpq_rerank_topk")
+          "sim_ivfpq_rerank_topk", "sim_ivfpq_nprobe_topk")
       // The lloyd loop's planted-chain fixture (see below) — its own
       // corpus, not the embeddings fixture.
       val kmlName = "kmeans_lloyd"
@@ -150,8 +150,9 @@ object VolumeProbe {
         "sim_ivfpq_topk" -> 1, "sim_ivfpq_residual_topk" -> 1,
         "sim_ivfpq_trained_topk" -> 6,
         // rerank wraps the sim_ivfpq_topk plan once (its one routing
-        // cross) — the refine stage adds equi joins only.
-        "sim_ivfpq_rerank_topk" -> 1)
+        // cross) — the refine stage adds equi joins only; nprobe=2 is
+        // the same index plan with a wider routing filter.
+        "sim_ivfpq_rerank_topk" -> 1, "sim_ivfpq_nprobe_topk" -> 1)
       val triName = "graph_triangle_count"
       val fuzzyName = "text_fuzzy_join_blocked"
       val fuzzyMultiName = "text_fuzzy_join_multikey"
@@ -520,6 +521,11 @@ object VolumeProbe {
           // corpus size — the fetch-by-id property that makes re-rank
           // the deployment answer to PQ loss).
           sym("sim_ivfpq_rerank_topk", SimilarityQueries.simIvfPqRerankTopk),
+          // round 14: nprobe = 2 multi-cell routing — the scan gate sums
+          // probed-cell mass over BOTH routed cells per probe (the
+          // routed list below carries (probe, cell) pairs, so the
+          // expected-mass computation is nprobe-generic already).
+          sym("sim_ivfpq_nprobe_topk", SimilarityQueries.simIvfPqNprobeTopk),
           // round 14 (r13 verdict #4): the run-to-convergence Lloyd loop
           // on the planted migration-chain fixture — rounds GROW with
           // the chain extent (5 → ~11 at 100×, by exact simulation), so
@@ -800,6 +806,8 @@ object VolumeProbe {
                 SimilarityQueries.ivfpqResidualIndex(spark, dir)
               else if (name == "sim_ivfpq_trained_topk")
                 SimilarityQueries.ivfpqTrainedIndex(spark, dir)
+              else if (name == "sim_ivfpq_nprobe_topk")
+                SimilarityQueries.ivfpqIndexNprobe(spark, dir, 2)
               else SimilarityQueries.ivfpqIndex(spark, dir)
             val (cRdd, codesSnap) = Sessions.snapshot(codes)
             val (tRdd, tabSnap) = Sessions.snapshot(scanTab)
@@ -824,7 +832,11 @@ object VolumeProbe {
               .collect().map(r => (r.getLong(0), r.get(1).toString))
             val expected = routed.map { case (p, c) =>
               8L * (sizes(c) - (if (probeCell(p) == c) 1L else 0L)) }.sum
-            val fullEquiv = 8L * routed.length * (nVec - 1)
+            // Denominator = what the UNROUTED scan pays: 8 lookups per
+            // (probe, candidate) pair — per PROBE, not per routed cell,
+            // so the nprobe = 2 entry is honestly compared against one
+            // full scan, not two.
+            val fullEquiv = 8L * probeCell.size * (nVec - 1)
             cRdd.unpersist(blocking = false)
             tRdd.unpersist(blocking = false)
             (work.joinOutputRows, expected, fullEquiv)

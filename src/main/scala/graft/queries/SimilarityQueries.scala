@@ -533,7 +533,19 @@ object SimilarityQueries {
     *    never read at all. Reference principle: a point-get routes to
     *    one owner shard instead of scanning all of them,
     *    `/root/reference/src/dist_map.h:121-124`. */
-  private[graft] def ivfpqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def ivfpqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    ivfpqIndexNprobe(s, d, 1)
+
+  /** [[ivfpqIndex]] with an explicit probed-cell count — nprobe is THE
+    * IVF recall dial (Jégou et al. §IV-B: recall lost to cell routing is
+    * bought back by scanning the nprobe nearest cells, multiplying scan
+    * work by nprobe/|cells| of the corpus, never all of it). The scan
+    * table simply carries one row set per (probe, routed cell); the ADC
+    * scan's (subspace, code, CELL) join key needs no change — cells
+    * partition the corpus, so candidates from different probed cells are
+    * disjoint and the 8-lookup sums stay per-candidate exact. */
+  private[graft] def ivfpqIndexNprobe(s: SparkSession, d: String,
+      nprobe: Int): (DataFrame, DataFrame) = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
@@ -578,9 +590,9 @@ object SimilarityQueries {
     val assigned = probes.crossJoin(broadcast(cents))
       .withColumn("rdist", rdist)
       .withColumn("rk", row_number().over(wN))
-      .filter(col("rk") === 1)
+      .filter(col("rk") <= nprobe)
       .select(col("probe_id"), col("c_label"))
-    // Per-probe distance tables (the simPqAdcTopk dtab) + the routed cell.
+    // Per-probe distance tables (the simPqAdcTopk dtab) + the routed cell(s).
     val dtab = sub.filter(col("vec_id") < 5)
       .select(col("vec_id").as("pid"), col("m").as("pm"),
         col("sv").as("psv"), col("sn2").as("psn2"))
@@ -877,6 +889,21 @@ object SimilarityQueries {
       .orderBy("probe_id", "cand_id")
   }
 
+  /** Multi-cell-routed IVFADC — [[ivfpqIndexNprobe]] at nprobe = 2, the
+    * deployment recall dial: a neighbor whose vector sits just across a
+    * cell boundary is invisible to the nprobe = 1 scan ([[simIvfPqTopk]])
+    * but found here, at 2/|cells| of the corpus scanned instead of
+    * 1/|cells| — still sub-linear, never all of it (PqSpec's mislabel
+    * fixture shows exactly this recovery: the two deliberately
+    * mislabeled planted points reappear in the top-5). Scale shape is
+    * [[ivfpqIndex]]'s with the scan table at ≤ |probes|·nprobe·32 rows;
+    * the volume probe's cell-bounded scan gate sums the probed-cell
+    * mass over BOTH routed cells per probe. */
+  val simIvfPqNprobeTopk: Q = (s, d) => {
+    val (codes, scanTab) = ivfpqIndexNprobe(s, d, 2)
+    ivfpqScan(codes, scanTab)
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_bucket_histogram" -> embBucketHistogram,
     "sim_ann_lsh" -> simAnnLsh,
@@ -890,6 +917,7 @@ object SimilarityQueries {
     "sim_ivfpq_residual_topk" -> simIvfPqResidualTopk,
     "sim_ivfpq_trained_topk" -> simIvfPqTrainedTopk,
     "sim_ivfpq_rerank_topk" -> simIvfPqRerankTopk,
+    "sim_ivfpq_nprobe_topk" -> simIvfPqNprobeTopk,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1038,6 +1066,58 @@ object SimilarityQueries {
         |  FROM codes k
         |  JOIN dtab d ON k.m = d.pm AND k.code = d.cid
         |             AND k.cell = d.pcell AND k.vec_id <> d.probe_id
+        |  GROUP BY d.probe_id, k.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, cand_id, adist,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rk
+        |  FROM adc
+        |)
+        |SELECT probe_id, cand_id, adist FROM ranked WHERE rk <= 5
+        |ORDER BY probe_id, cand_id""".stripMargin,
+    "sim_ivfpq_nprobe_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), sub AS (
+        |  SELECT vec_id, label, m, list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM q, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), subn AS (
+        |  SELECT vec_id, label, m, sv, (SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS sn2 FROM sub
+        |), cb AS (
+        |  SELECT vec_id AS cid, m AS cm, sv AS cv, sn2 AS cn2 FROM subn WHERE vec_id < 4
+        |), codes AS (
+        |  SELECT s.vec_id, ANY_VALUE(s.label) AS cell, s.m,
+        |         CAST(MIN((s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid) % 4 AS BIGINT) AS code
+        |  FROM subn s JOIN cb c ON s.m = c.cm GROUP BY s.vec_id, s.m
+        |), cexp AS (
+        |  SELECT label, unnest(qv) AS v, unnest(generate_series(1, 64)) AS d FROM q
+        |), cents AS (
+        |  SELECT label AS c_label, d, SUM(v) AS s_d, COUNT(*) AS n_l
+        |  FROM cexp GROUP BY label, d
+        |), pexp AS (
+        |  SELECT vec_id AS probe_id, unnest(qv) AS v, unnest(generate_series(1, 64)) AS d
+        |  FROM q WHERE vec_id < 5
+        |), rdist AS (
+        |  SELECT probe_id, c_label,
+        |         SUM((n_l * v - s_d) * (n_l * v - s_d)) AS dist
+        |  FROM pexp JOIN cents USING (d)
+        |  GROUP BY probe_id, c_label
+        |), assigned AS (
+        |  SELECT probe_id, c_label FROM (
+        |    SELECT probe_id, c_label,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, c_label) AS rk
+        |    FROM rdist) WHERE rk <= 2
+        |), dtab AS (
+        |  SELECT p.vec_id AS probe_id, p.m AS pm, c.cid,
+        |         p.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(p.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2 AS pdist
+        |  FROM subn p JOIN cb c ON p.m = c.cm WHERE p.vec_id < 5
+        |), adc AS (
+        |  SELECT d.probe_id, k.vec_id AS cand_id, CAST(SUM(d.pdist) AS BIGINT) AS adist
+        |  FROM codes k
+        |  JOIN assigned a ON k.cell = a.c_label
+        |  JOIN dtab d ON k.m = d.pm AND k.code = d.cid
+        |             AND d.probe_id = a.probe_id AND k.vec_id <> d.probe_id
         |  GROUP BY d.probe_id, k.vec_id
         |), ranked AS (
         |  SELECT probe_id, cand_id, adist,

@@ -99,6 +99,11 @@ class BroadcastGuardSpec extends SparkSpec {
         "vectors) x the fixed 8-subspace constant-arity explode = <= 32 " +
         "rows at any corpus size; invisible to the root rules because " +
         "the filter sits over a corpus scan under a Generate"),
+    "sim_ivfpq_nprobe_topk" -> (4,
+      "the sim_ivfpq_topk bounds at nprobe = 2: seed codebooks (<= 32 " +
+        "rows, hinted twice), the probe-to-cell routing (<= |probes| * " +
+        "nprobe = 10 rows after the rk <= 2 filter), and the scan table " +
+        "(<= |probes| * nprobe * 32 = 320 rows)"),
     "sim_ivfpq_rerank_topk" -> (6,
       "the sim_ivfpq_topk index/scan bounds (4 hint nodes: seed " +
         "codebooks twice, probe routing, scan table) plus the two " +

@@ -76,7 +76,7 @@ class PlanShapeSpec extends SparkSpec {
     // the documented hash-aggregatable grouping). The regression this
     // pin exists for is the SUBSPACE index m creeping into a codes key.
     Seq("sim_ivfpq_topk", "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk",
-        "sim_ivfpq_rerank_topk")
+        "sim_ivfpq_rerank_topk", "sim_ivfpq_nprobe_topk")
       .foreach { q =>
         val exchanges = nodes(planOf(q)).collect {
           case e: ShuffleExchangeExec => e.outputPartitioning

@@ -234,6 +234,41 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("nprobe=2 routing recovers the cross-cell neighbors nprobe=1 loses") {
+    // The mislabel fixture from the in-cell test: planted points 100/101
+    // (proto-0 family, probe 4's true 2nd/3rd neighbors) deliberately sit
+    // in cell "b" while probe 4 routes to "a" — the nprobe=1 scan
+    // provably cannot see them (the sibling test asserts exactly that).
+    // With nprobe = 2 and only two cells, BOTH are probed, so the top-5
+    // must equal the full-ADC answer: 0,100,101,102,103 at adist 1 —
+    // recall bought back for 2/|cells| of the corpus scanned.
+    val rows =
+      (0 until 4).map(p => (p.toLong, proto(p))) ++
+      Seq((4L, perturb(proto(0), 0, 1))) ++
+      (for (p <- 0 until 4; j <- 0 until 10)
+        yield ((100 + p * 10 + j).toLong, perturb(proto(p), j % 64, (j % 2) + 1)))
+    def cell(id: Long, protoId: Long): String =
+      if (id == 100L || id == 101L) "b"
+      else if (protoId < 2) "a" else "b"
+    val labeled = rows.map { case (id, emb) =>
+      val protoId = if (id < 4) id else if (id == 4) 0L else (id - 100) / 10
+      (id, emb, cell(id, protoId))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqn").toString
+    try {
+      labeled.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = graft.queries.SimilarityQueries.simIvfPqNprobeTopk(spark, dir)
+        .collect().filter(_.getLong(0) == 4L).sortBy(_.getLong(1))
+      assert(out.map(_.getLong(1)).toSeq == Seq(0L, 100L, 101L, 102L, 103L),
+        s"nprobe=2 did not recover the mislabeled neighbors: got " +
+          s"${out.map(_.getLong(1)).toSeq}")
+      assert(out.forall(_.getLong(2) == 1L),
+        s"all-zero-coded candidates must sit at adist 1, got " +
+          s"${out.map(_.getLong(2)).toSeq}")
+    } finally rmTree(dir)
+  }
+
   test("exact re-rank fixes the ADC's planted rank inversions") {
     // The fixture plants the inversion by construction: probe 4 is
     // proto 0 + 1 millunit on dim 0, and EVERY proto-0-family candidate
