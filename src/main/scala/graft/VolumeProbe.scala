@@ -122,7 +122,8 @@ object VolumeProbe {
         Set("sim_knn_graph", "dedup_embedding_pairs", "sim_ann_lsh",
           "emb_kmeans", "emb_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk",
           "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk",
-          "sim_ivfpq_rerank_topk", "sim_ivfpq_nprobe_topk")
+          "sim_ivfpq_rerank_topk", "sim_ivfpq_nprobe_topk",
+          "emb_pq_trained_codes")
       // The lloyd loop's planted-chain fixture (see below) — its own
       // corpus, not the embeddings fixture.
       val kmlName = "kmeans_lloyd"
@@ -526,6 +527,12 @@ object VolumeProbe {
           // routed list below carries (probe, cell) pairs, so the
           // expected-mass computation is nprobe-generic already).
           sym("sim_ivfpq_nprobe_topk", SimilarityQueries.simIvfPqNprobeTopk),
+          // round 14: the trained-codebook PQ encode — three corpus
+          // passes (two Lloyd rounds + the final encode), each an EQUI
+          // broadcast-hash join on the subspace index collapsed by the
+          // packed-min aggregate; the blanket no-nested-loop arm
+          // applies (no cross join anywhere in this plan).
+          sym("emb_pq_trained_codes", SimilarityQueries.embPqTrainedCodes),
           // round 14 (r13 verdict #4): the run-to-convergence Lloyd loop
           // on the planted migration-chain fixture — rounds GROW with
           // the chain extent (5 → ~11 at 100×, by exact simulation), so

@@ -422,6 +422,79 @@ object SimilarityQueries {
       .orderBy("vec_id", "subspace")
   }
 
+  /** PQ encode against TRAINED codebooks — [[embPqCodes]] with the seed
+    * codebook replaced by two fixed Lloyd rounds per subspace (Jégou et
+    * al. §II-C: codebooks are learned by k-means on the subvectors;
+    * [[graft.operators.Pq.trainCodebooks]] is the run-to-convergence
+    * form, this is its declared straight-line-oracle instance — the
+    * emb_kmeans doctrine at (k = 4, dims = 8) × 8 subspaces). With this
+    * query BOTH trained halves of the IVFADC are declared: cells in
+    * `sim_ivfpq_trained_topk`, codebooks here.
+    *
+    * Exact integer arithmetic: millunit subvectors, micro-unit
+    * floor-mean centroids (c_d = floor(1000·Σsv_d / n)), squared
+    * distance 10⁶·|sv|² − 2000·(sv·cv) + |cv|² over codegen'd qdot
+    * terms, packed-long argmin (dist ≥ 0, cid ∈ [0, 4)). err is the
+    * micro² quantization error against the TRAINED codebook — at the
+    * seed codebook it would be 10⁶× [[embPqCodes]]' err; training can
+    * only shrink the per-cluster sum of it (the Lloyd descent
+    * property).
+    *
+    * Scale shape — BETTER than emb_kmeans's: every assignment is an
+    * EQUI join on the subspace index (m === cm, a broadcast hash join —
+    * no nested-loop cross anywhere), collapsed in-stage by the map-side
+    * packed-min HashAggregate grouped on (vec_id, m, sv); each round's
+    * codebook is a (m, cluster)-grouped aggregate of ≤ 32 rows,
+    * broadcast-pinned. Three corpus passes total (two training rounds +
+    * the final encode), each one scan + one in-stage collapse. */
+  val embPqTrainedCodes: Q = (s, d) => {
+    val q = org.apache.spark.sql.graftx.Sessions.snapshot(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => round(x.cast("double") * 1000d).cast("long")).as("qv")))._2
+    val sub = q
+      .select(col("vec_id"), explode(array((0 until 8).map(m =>
+        struct(lit(m.toLong).as("m"),
+          slice(col("qv"), m * 8 + 1, 8).as("sv"))): _*)).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+      .withColumn("sn2", qnorm2(col("sv")))
+    def withCn2(cb: DataFrame): DataFrame =
+      cb.withColumn("cn2", qdot(col("cv"), col("cv")))
+    val c0 = withCn2(sub.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("m").as("cm"),
+        transform(col("sv"), _ * 1000L).as("cv")))
+    // Assignment: the KMeans.assign shape per subspace — packed-long
+    // argmin over the broadcast codebook, sv riding as a grouping key.
+    def assignSub(cb: DataFrame): DataFrame = {
+      val dist = lit(1000000L) * col("sn2") -
+        lit(2000L) * qdot(col("sv"), col("cv")) + col("cn2")
+      sub.join(broadcast(cb), col("m") === col("cm"))
+        .groupBy(col("vec_id"), col("m"), col("sv"))
+        .agg(min(dist * 4L + col("cid")).as("p"))
+        .select(col("vec_id"), col("m"), col("sv"),
+          pmod(col("p"), lit(4L)).as("cluster"),
+          call_function("div", col("p"), lit(4L)).as("dist"))
+    }
+    // Update: the KMeans.update shape — floor-mean micro centroids via
+    // an interpreted transform over ≤ 32 final rows (the 64 KB rule).
+    def updateSub(assigned: DataFrame): DataFrame = {
+      val sums = (0 until 8).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+      withCn2(assigned.groupBy(col("m"), col("cluster"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("m").as("cm"), col("cluster").as("cid"),
+          transform(array((0 until 8).map(i => col(s"s$i")): _*),
+            sd => { val a = sd * 1000L
+                    call_function("div", a - pmod(a, col("n")), col("n")) })
+            .as("cv")))
+    }
+    val c1 = updateSub(assignSub(c0))
+    val c2 = updateSub(assignSub(c1))
+    assignSub(c2)
+      .select(col("vec_id"), col("m").as("subspace"),
+        col("cluster").as("code"), col("dist").as("err"))
+      .orderBy("vec_id", "subspace")
+  }
+
   /** PQ asymmetric-distance top-k (the ADC scan of Jégou et al. 2011
     * §IV) — the retrieval path that makes [[embPqCodes]]' compression
     * pay: each probe precomputes a per-subspace table of exact distances
@@ -912,6 +985,7 @@ object SimilarityQueries {
     "emb_centroids" -> embCentroids,
     "emb_kmeans" -> embKmeans,
     "emb_pq_codes" -> embPqCodes,
+    "emb_pq_trained_codes" -> embPqTrainedCodes,
     "sim_pq_adc_topk" -> simPqAdcTopk,
     "sim_ivfpq_topk" -> simIvfPqTopk,
     "sim_ivfpq_residual_topk" -> simIvfPqResidualTopk,
@@ -1273,6 +1347,72 @@ object SimilarityQueries {
         |)
         |SELECT probe_id, cand_id, adist FROM ranked WHERE rk <= 5
         |ORDER BY probe_id, cand_id""".stripMargin,
+    "emb_pq_trained_codes" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), sub AS (
+        |  SELECT vec_id, m, list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM q, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), subn AS (
+        |  SELECT vec_id, m, sv, (SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS sn2 FROM sub
+        |), c0 AS (
+        |  SELECT vec_id AS cid, m AS cm, list_transform(sv, x -> x * 1000) AS cv
+        |  FROM sub WHERE vec_id < 4
+        |), c0n AS (
+        |  SELECT cid, cm, cv, (SELECT SUM(u * u) FROM UNNEST(cv) AS t(u)) AS cn2 FROM c0
+        |), a1 AS (
+        |  SELECT vec_id, m, cluster FROM (
+        |    SELECT s.vec_id, s.m, c.cid AS cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        |             1000000 * s.sn2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y))
+        |             + c.cn2, c.cid) AS rk
+        |    FROM subn s JOIN c0n c ON s.m = c.cm) WHERE rk = 1
+        |), s1 AS (
+        |  SELECT m, cluster, d, CAST(SUM(sv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM a1 JOIN sub USING (vec_id, m), UNNEST(generate_series(1, 8)) AS t(d)
+        |  GROUP BY m, cluster, d
+        |), c1 AS (
+        |  SELECT m AS cm, cluster AS cid,
+        |         list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS cv
+        |  FROM s1 GROUP BY m, cluster
+        |), c1n AS (
+        |  SELECT cid, cm, cv, (SELECT SUM(u * u) FROM UNNEST(cv) AS t(u)) AS cn2 FROM c1
+        |), a2 AS (
+        |  SELECT vec_id, m, cluster FROM (
+        |    SELECT s.vec_id, s.m, c.cid AS cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        |             1000000 * s.sn2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y))
+        |             + c.cn2, c.cid) AS rk
+        |    FROM subn s JOIN c1n c ON s.m = c.cm) WHERE rk = 1
+        |), s2 AS (
+        |  SELECT m, cluster, d, CAST(SUM(sv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM a2 JOIN sub USING (vec_id, m), UNNEST(generate_series(1, 8)) AS t(d)
+        |  GROUP BY m, cluster, d
+        |), c2 AS (
+        |  SELECT m AS cm, cluster AS cid,
+        |         list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS cv
+        |  FROM s2 GROUP BY m, cluster
+        |), c2n AS (
+        |  SELECT cid, cm, cv, (SELECT SUM(u * u) FROM UNNEST(cv) AS t(u)) AS cn2 FROM c2
+        |), a3 AS (
+        |  SELECT vec_id, m, cluster, dist FROM (
+        |    SELECT s.vec_id, s.m, c.cid AS cluster,
+        |           1000000 * s.sn2
+        |           - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y))
+        |           + c.cn2 AS dist,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        |             1000000 * s.sn2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y))
+        |             + c.cn2, c.cid) AS rk
+        |    FROM subn s JOIN c2n c ON s.m = c.cm) WHERE rk = 1
+        |)
+        |SELECT vec_id, CAST(m AS BIGINT) AS subspace,
+        |       CAST(cluster AS BIGINT) AS code, CAST(dist AS BIGINT) AS err
+        |FROM a3 ORDER BY vec_id, subspace""".stripMargin,
     "emb_pq_codes" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -94,6 +94,13 @@ class BroadcastGuardSpec extends SparkSpec {
         "distance tables (vec_id < 5 probes x 8 subspaces x 4 codebook " +
         "entries = <= 160 rows); all three filters sit over corpus scans " +
         "under Generates, invisible to the root rules"),
+    "emb_pq_trained_codes" -> (3,
+      "the three per-round codebook tables, each <= 8 subspaces * 4 " +
+        "codewords = 32 rows: the seed (vec_id < 4 over the unique " +
+        "vec_id key, over a snapshot LogicalRDD no root rule can see) " +
+        "and the two Lloyd updates ((m, cluster)-grouped aggregates — " +
+        "cluster ids are a subset of the seed's 4, Lloyd never mints a " +
+        "label, and m is the fixed 8-subspace explode index)"),
     "emb_pq_codes" -> (1,
       "seed codebooks: vec_id < 4 over the unique vec_id key (<= 4 " +
         "vectors) x the fixed 8-subspace constant-arity explode = <= 32 " +

@@ -59,6 +59,25 @@ class PlanShapeSpec extends SparkSpec {
         "token stream must never be the build side (the stats pin regressed)")
   }
 
+  test("emb_pq_trained_codes: hash aggregates and equi joins only") {
+    // The per-subspace Lloyd assignments are EQUI broadcast-hash joins
+    // on the subspace index (m === cm) — unlike emb_kmeans there is no
+    // bounded cross join to allowlist, and the packed-min argmin must
+    // stay hash-aggregatable (a struct/array buffer would plan the ×4
+    // candidate stream through SortAggregates, the round-12 lesson).
+    val ps = nodes(planOf("emb_pq_trained_codes"))
+    val sorts = ps.collect { case s: SortAggregateExec => s }
+    assert(sorts.isEmpty,
+      s"emb_pq_trained_codes regressed to ${sorts.size} SortAggregate(s)")
+    val nested = ps.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nested.isEmpty,
+      s"emb_pq_trained_codes has ${nested.size} nested-loop join(s) — " +
+        "every assignment must stay an equi join on the subspace index")
+  }
+
   test("the ivfpq family's codes exchanges carry per-vector constants only") {
     // The ivfpq codes collapse groups by (vec_id, label) — label is
     // functionally dependent on vec_id, so a vector's re-exploded

@@ -234,6 +234,38 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("declared trained-codebook encode: prototypes recovered, closed-form errs") {
+    // The trainCodebooks fixture (symmetric ±1-millunit pairs around
+    // each prototype on dims 0/7/14): per-subspace cluster sums are
+    // exactly n·proto, so both Lloyd rounds return the prototype table
+    // itself and the TRAINED codebook equals the seed. Every point then
+    // codes to its own family in all 8 subspaces; err (micro²) is 10⁶
+    // exactly in the one perturbed subspace (dims 0 and 7 both live in
+    // subspace 0, dim 14 in subspace 1) and 0 everywhere else.
+    val rows =
+      (0 until 4).map(p => (p.toLong, proto(p))) ++
+      (for (p <- 0 until 4; j <- 0 until 3; sgn <- Seq(1, -1))
+        yield ((100 + p * 10 + j * 2 + (if (sgn > 0) 0 else 1)).toLong,
+          perturb(proto(p), j * 7, sgn)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqt").toString
+    try {
+      rows.toDF("vec_id", "embedding").withColumn("label", lit("t"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = graft.queries.SimilarityQueries.embPqTrainedCodes(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+      for ((id, _) <- rows; m <- 0 until 8) {
+        val p = if (id < 4) id else (id - 100) / 10
+        val pertSub = if (id < 4) -1 else (((id - 100) % 10) / 2).toInt * 7 / 8
+        val (code, err) = out((id, m.toLong))
+        assert(code == p, s"point $id subspace $m coded to $code, not $p")
+        val expectedErr = if (m == pertSub) 1000000L else 0L
+        assert(err == expectedErr, s"point $id subspace $m err $err != $expectedErr")
+      }
+    } finally rmTree(dir)
+  }
+
   test("nprobe=2 routing recovers the cross-cell neighbors nprobe=1 loses") {
     // The mislabel fixture from the in-cell test: planted points 100/101
     // (proto-0 family, probe 4's true 2nd/3rd neighbors) deliberately sit
