@@ -705,6 +705,130 @@ object DedupQueries {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("score"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540) —
+    * SET-level semantic dedup: partition the embedding space into cells,
+    * compare pairs only WITHIN a cell, and for every pair above the
+    * cosine threshold KEEP the member farthest from the cell centroid
+    * (the paper's keep-low-centroid-similarity rule: prototypical
+    * near-dups drop, outliers survive — the opposite bias of
+    * [[dedupKeepCanonical]]'s min-id rule). Unlike
+    * [[dedupEmbeddingPairs]] (a candidate PAIR list), the output is the
+    * corpus partition itself: every vector with its cell, its exact
+    * integer squared distance to the cell seed, and the kept/dropped
+    * verdict — the frame a curation pipeline filters the corpus by.
+    *
+    * Cells here are the Voronoi cells of the k = [[SemdedupCells]] seed
+    * vectors (vec_id < k, the id-stable emb_kmeans init convention) —
+    * k-means at zero Lloyd iterations, keeping the declared query one
+    * deterministic oracle-able pass; the trained-cell form composes with
+    * [[graft.operators.KMeans.lloyd]] exactly as
+    * `sim_ivfpq_trained_topk` composes its cells (and the paper itself
+    * treats the clustering as a pluggable preprocessing step).
+    *
+    * Exact integer arithmetic end to end — the output carries NO
+    * doubles: millunit vectors (the KMeans.quantize scale), cell
+    * assignment by packed-long argmin over dist = n2 − 2·(q·c) + |c|²
+    * (seed cells are member vectors, so centroids stay in millunits and
+    * dist ≤ ~4·|q|² — the ×k packing is safe through k ~ 2⁴⁰), and the
+    * cosine threshold cos ≥ 0.3 cross-multiplied into integers:
+    * dot > 0 ∧ 100·dot² ≥ 9·n2a·n2b (τ² = 9/100 exactly; 100·dot² ≤
+    * 100·n2a·n2b ≤ 1e14 at the ~unit-norm embedding domain — longs
+    * overflow only past |q|² ~ 3e8 millunit², ~300× the fixture norm,
+    * where the compare would move to decimal). The keep rule is a
+    * lexicographic (cdist, vec_id) struct compare — the pair member with
+    * the SMALLER distance (more prototypical; ties on the lower id)
+    * drops. A vector drops if it loses ANY qualifying pair.
+    *
+    * Scale shape: the threshold rides IN the join condition (the simhash
+    * in-join-residual move), so the pair join's output is the qualifying
+    * pairs only — the within-cell candidate superset never materializes
+    * downstream. The assignment is one broadcast cross join against the
+    * ≤ k-row seed table collapsed in-stage by the map-side packed-min
+    * HashAggregate (the emb_kmeans shape; one BNLJ, probe-pinned), and
+    * the assigned frame is snapshotted ONCE (read three times: both pair
+    * sides + the verdict join). Per-cell CANDIDATE mass is (n/k)² — the
+    * deployment dial is k ∝ n (the paper runs 50 k cells on 440 M
+    * embeddings), which holds candidate mass linear and is what the 100×
+    * probe runs ([[dedupSemdedupCells]] at k·factor, isolated-candidate
+    * gate measured 99.6× at factor 100). The QUALIFYING subset is corpus
+    * truth, not a plan property — on an isotropic corpus the true
+    * cos ≥ τ pair mass is ~p₀·n²/2, so finer cells finding a larger
+    * slice of it grows the result super-linearly by construction (the
+    * probe records it as context, the simhash result-growth doctrine).
+    * The n·k assignment term the dial adds is gated structurally
+    * (joinrows accounted against n·k + candidates + n exactly) and
+    * routes sub-linearly through an IVF index at deployment (this
+    * library's own `sim_ivfpq_*` machinery). Reference principle:
+    * partition-scoped work via two-level hash partitioning,
+    * `/root/reference/src/dist_map.h:36-47`. */
+  val dedupSemdedup: Q = (s, d) => dedupSemdedupCells(SemdedupCells)(s, d)
+
+  /** Declared cell count for [[dedupSemdedup]] — the recall/cost dial
+    * (more cells = finer partition = fewer comparisons AND fewer caught
+    * dups, the paper's own trade). */
+  val SemdedupCells = 8
+
+  /** The cell-assignment stage of [[dedupSemdedup]]: the snapshotted
+    * (vec_id, qv, n2, cluster, cdist) frame — one broadcast cross join
+    * against the ≤ k-row seed table collapsed by the packed-min
+    * HashAggregate. Factored out so the volume probe can materialize it
+    * once and measure the pair stage in isolation. */
+  private[graft] def semdedupAssigned(k: Int): Q = (s, d) => {
+    val kL = k.toLong
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+      .withColumn("n2", qnorm2(col("qv")))
+    val cents = q.filter(col("vec_id") < kL)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
+    val dist = col("n2") - lit(2L) * qdot(col("qv"), col("cv")) + col("cn2")
+    Sessions.snapshot(
+      q.crossJoin(broadcast(cents))
+        .groupBy(col("vec_id"), col("qv"), col("n2"))
+        .agg(min(dist * kL + col("cid")).as("p"))
+        .select(col("vec_id"), col("qv"), col("n2"),
+          pmod(col("p"), lit(kL)).as("cluster"),
+          call_function("div", col("p"), lit(kL)).as("cdist")))._2
+  }
+
+  private[graft] def dedupSemdedupCells(k: Int): Q = (s, d) => {
+    val assigned = semdedupAssigned(k)(s, d)
+    val losers = semdedupLosers(assigned)
+    assigned.join(losers.withColumn("l", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("cdist"),
+        coalesce(col("l"), lit(false)) === false)
+      .toDF("vec_id", "cluster", "cdist", "kept")
+      .orderBy("vec_id")
+  }
+
+  /** Probe-only: the within-cell candidate pair join WITHOUT the cosine
+    * residual — the raw Σ(cell size choose 2) mass the cells dial
+    * exists to bound (the implementation-controlled quadratic-risk
+    * term; the qualifying subset the residual keeps is corpus truth,
+    * not a plan property — see the probe entry's isotropy note). */
+  private[graft] def semdedupCandidates(assigned: DataFrame): DataFrame =
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+
+  /** The pair stage of [[dedupSemdedup]] in isolation — the dropped-id
+    * set from the within-cell qualifying pairs. Factored out so the
+    * volume probe can measure the pair join's output rows alone
+    * against the candidate bound. */
+  private[graft] def semdedupLosers(assigned: DataFrame): DataFrame = {
+    val dot = qdot(col("a.qv"), col("b.qv"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          dot > 0L && lit(100L) * dot * dot >= lit(9L) * col("a.n2") * col("b.n2"))
+      .select(when(
+          struct(col("a.cdist"), col("a.vec_id")) <
+            struct(col("b.cdist"), col("b.vec_id")),
+          col("a.vec_id")).otherwise(col("b.vec_id")).as("vec_id"))
+      .distinct()
+  }
+
   /** Degree histogram of the near-dup candidate graph — the shape
     * diagnostic run BEFORE committing to a clustering pass: a heavy tail
     * here (one doc paired with thousands — boilerplate, licence
@@ -797,9 +921,45 @@ object DedupQueries {
     "dedup_containment" -> dedupContainment,
     "dedup_simhash_banded" -> dedupSimhashBanded,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
+    "dedup_semdedup" -> dedupSemdedup,
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_semdedup" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), qn AS (
+        |  SELECT vec_id, qv,
+        |         CAST((SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS BIGINT) AS n2
+        |  FROM q
+        |), cents AS (
+        |  SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM qn WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT vec_id, qv, n2, cluster, cdist FROM (
+        |    SELECT q.vec_id, q.qv, q.n2, c.cid AS cluster,
+        |           CAST(q.n2
+        |             - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(q.qv) AS x, UNNEST(c.cv) AS y))
+        |             + c.cn2 AS BIGINT) AS cdist,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |             q.n2
+        |             - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(q.qv) AS x, UNNEST(c.cv) AS y))
+        |             + c.cn2, c.cid) AS rk
+        |    FROM qn q JOIN cents c ON TRUE) WHERE rk = 1
+        |), pair AS (
+        |  SELECT a.vec_id AS va, a.cdist AS da, b.vec_id AS vb, b.cdist AS db,
+        |         a.n2 AS na, b.n2 AS nb,
+        |         CAST((SELECT SUM(x * y) FROM (SELECT UNNEST(a.qv) AS x, UNNEST(b.qv) AS y)) AS BIGINT) AS dot
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |), losers AS (
+        |  SELECT DISTINCT CASE WHEN (da, va) < (db, vb) THEN va ELSE vb END AS vec_id
+        |  FROM pair WHERE dot > 0 AND 100 * dot * dot >= 9 * na * nb
+        |)
+        |SELECT a.vec_id, a.cluster, a.cdist, l.vec_id IS NULL AS kept
+        |FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     "dedup_incremental" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),

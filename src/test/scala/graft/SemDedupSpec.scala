@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins `dedup_semdedup`'s semantics on a planted-clique fixture where
+  * every verdict is closed-form (the PqSpec planted-prototype doctrine):
+  *
+  *  - 8 BLOCK-ORTHOGONAL prototypes (dims 8p..8p+7 = 1.0, else 0) as the
+  *    seed vectors (vec_id 0..7). Cross-block dot products are exactly 0,
+  *    so no qualifying pair (`dot > 0` fails) ever crosses cells — family
+  *    isolation is structural, not statistical.
+  *  - Families planted on prototypes 0..3: members 100+10p+j (j = 0,1,2)
+  *    perturb proto p by exactly j millunits on dim 8p, so cdist = j²
+  *    exactly and within-family cosines are ≈ 1 ≫ τ = 0.3: each family —
+  *    INCLUDING its seed — is one qualifying clique.
+  *  - Seeds 4..7 stay singletons (no members, orthogonal to everything
+  *    else): kept, trivially.
+  *
+  * In a qualifying clique the keep-farthest rule leaves exactly ONE
+  * survivor — the lexicographic max of (cdist, vec_id): every other
+  * member loses at least the pair against that max. Here that is the
+  * j = 2 member (cdist 4). The seed (cdist 0) loses its tie against the
+  * j = 0 exact copy (cdist 0 = 0, lower id drops), pinning the id
+  * tie-break too. */
+class SemDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def proto(p: Int): Seq[Float] =
+    (0 until 64).map(i => if (i / 8 == p) 1.0f else 0.0f)
+
+  private def perturb(v: Seq[Float], dim: Int, millunits: Int): Seq[Float] =
+    v.updated(dim, v(dim) + millunits * 0.001f)
+
+  private def rmTree(dir: String): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("planted cliques: one keep-farthest survivor each, exact cdist, id tie-break") {
+    val rows =
+      (0 until 8).map(p => (p.toLong, proto(p))) ++
+      (for (p <- 0 until 4; j <- 0 until 3)
+        yield ((100 + p * 10 + j).toLong, perturb(proto(p), p * 8, j)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+    try {
+      rows.toDF("vec_id", "embedding").withColumn("label", lit("t"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = graft.queries.DedupQueries.dedupSemdedup(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toMap
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+      assert(out.size == rows.size)
+      for ((id, _) <- rows) {
+        val famP = if (id < 8) id.toInt else ((id - 100) / 10).toInt
+        val (cluster, cdist, kept) = out(id)
+        assert(cluster == famP, s"vector $id assigned to cell $cluster, not $famP")
+        val expectedCdist = if (id < 8) 0L else { val j = (id - 100) % 10; j * j }
+        assert(cdist == expectedCdist,
+          s"vector $id cdist $cdist != $expectedCdist")
+        val expectedKept =
+          if (id >= 4 && id < 8) true                 // singleton seeds
+          else if (id >= 100 && id % 10 == 2) true    // clique max (cdist 4)
+          else false                                  // seed 0..3 / j = 0,1
+        assert(kept == expectedKept,
+          s"vector $id kept=$kept, expected $expectedKept")
+      }
+    } finally rmTree(dir)
+  }
+
+  test("the cells dial: finer cells keep every verdict deterministic and split no clique") {
+    // k = 16 makes seeds of vectors that are family members at k = 8 —
+    // planted members sit ≤ 2 millunits from their own prototype, so the
+    // extra seeds (ids 8..15 = the first two families' j-members) pull
+    // ONLY their own family, never another block: verdict set unchanged
+    // except cells renumber. This is the probe's k·factor arm in
+    // miniature — the dial must not change which cliques exist.
+    val rows =
+      (0 until 8).map(p => (p.toLong, proto(p))) ++
+      (for (p <- 0 until 4; j <- 0 until 3)
+        yield ((100 + p * 10 + j).toLong, perturb(proto(p), p * 8, j)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdd2").toString
+    try {
+      rows.toDF("vec_id", "embedding").withColumn("label", lit("t"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // ids are sparse (0..7, 100..132), so vec_id < 16 still selects
+      // exactly the 8 prototypes: same seeds, k = 16 — the dial's only
+      // effect here is the packing constant, pinning its correctness.
+      val out = graft.queries.DedupQueries.dedupSemdedupCells(16)(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+      for ((id, _) <- rows) {
+        val expectedKept =
+          if (id >= 4 && id < 8) true
+          else if (id >= 100 && id % 10 == 2) true
+          else false
+        assert(out(id) == expectedKept, s"vector $id flipped under the k dial")
+      }
+    } finally rmTree(dir)
+  }
+}
