@@ -407,6 +407,12 @@ object VolumeProbe {
             { val (m, r) = DedupQueries.simhashBandedParamsFor(nDocs1 * factor)
               DedupQueries.dedupSimhashBandedBlocks(m, r) }),
           sym("text_dup_span_ratio", graft.queries.TextQueries.textDupSpanRatio),
+          // round 14: the bigram-LM fluency scorer — per-copy word
+          // tagging makes each copy's bigram vocabulary disjoint, so
+          // the model table, the collapsed per-doc bigram stream, and
+          // the one corpus-scale scoring join all grow exactly
+          // factor×; the flat gates apply unmodified.
+          sym("text_lm_fluency", graft.queries.TextQueries.textLmFluency),
           // round 11 (r10 verdict #3): the two linkage operators that had
           // only a 10× point. The fuzzy join rides the salted-vocab +
           // unsalted-hot-block part fixture above; its entry gate also

@@ -91,6 +91,62 @@ object TextQueries {
           6).as("score"))
       .orderBy("doc_id")
 
+  /** Corpus-trained bigram-LM fluency scoring — the language-model
+    * quality filter of CCNet-style curation (Wenzek et al. 2020,
+    * "CCNet: Extracting high quality monolingual datasets from web
+    * crawl data", LREC — there a KenLM 5-gram scores perplexity; here
+    * the same signal from a bigram model trained on the corpus itself),
+    * LOG-FREE by the [[textTfidfTopTerms]] doctrine (ln()'s last bit
+    * differs across engines): each document's score is the mean scaled
+    * conditional probability of its bigrams,
+    * mean over bigram tokens of ⌊10⁶ · c(w1,w2) / c(w1,·)⌋ — exact
+    * integer division of exact integer counts (both engines truncate
+    * identically on positives; 10⁶·c12 stays in long through c12 ~ 9e12
+    * occurrences of one bigram, web scale), summed exactly in longs
+    * with ONE double division + round(6) at the end. High = predictable
+    * text, low = disfluent/boilerplate-shredded — monotone-inverse to
+    * perplexity on the same counts. Context counts derive from the
+    * bigram table itself (c(w1,·) = Σ_w2 c(w1,w2)), so the model costs
+    * ONE corpus tokenize. Docs under 2 words have no bigram and are
+    * excluded (the shingle-family convention).
+    *
+    * Scale shape: the per-doc bigram stream collapses to
+    * (doc_id, w1, w2, tf) map-side-combined before any shuffle (the
+    * termDocTf move); the model is a second aggregate over that stream;
+    * the per-bigram probability lands on the MODEL side (model ⋈ ctx,
+    * both model-cardinality), so the corpus pays exactly one
+    * corpus-scale equi join — (doc_id-collapsed bigrams) ⋈ (model p) on
+    * (w1, w2) — plus the final doc aggregate. Hot bigrams ("of the")
+    * skew that join's key; the build side is one row per bigram type,
+    * so AQE's skew split applies cleanly (the BM25 term-join
+    * precedent). The stream snapshot is read twice (model + scoring),
+    * the round-3 rule. */
+  val textLmFluency: Q = (s, d) => {
+    val big = org.apache.spark.sql.graftx.Sessions.snapshot(
+      Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("w1"),
+                      element_at(col("w"), i + 2).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("tf")))._2
+    val model = org.apache.spark.sql.graftx.Sessions.snapshot(
+      big.groupBy("w1", "w2").agg(sum(col("tf")).as("c12")))._2
+    val ctx = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val pm = model.join(ctx, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        call_function("div", lit(1000000L) * col("c12"), col("c1")).as("p"))
+    big.join(pm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+           round(sum(col("tf") * col("p")).cast("double") /
+                 sum(col("tf")).cast("double"), 6).as("fluency"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-relative token-rarity scoring — the frequency-based quality
     * signal of CCNet-style curation, log-free: each document gets the
     * mean corpus frequency of its tokens plus the fraction of its tokens
@@ -828,6 +884,7 @@ object TextQueries {
     "text_lang_id" -> textLangId,
     "text_quality_score" -> textQualityScore,
     "text_token_rarity" -> textTokenRarity,
+    "text_lm_fluency" -> textLmFluency,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "text_bm25_topk" -> textBm25TopK,
@@ -837,6 +894,27 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_lm_fluency" ->
+      s"""WITH dw AS (
+        |  SELECT doc_id, ${wordsSql.format("text")} AS w FROM documents
+        |), big AS (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM dw, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 2
+        |  GROUP BY doc_id, w[i], w[i+1]
+        |), model AS (
+        |  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM big GROUP BY w1, w2
+        |), ctx AS (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM model GROUP BY w1
+        |), pm AS (
+        |  SELECT m.w1, m.w2, (1000000 * m.c12) // c.c1 AS p
+        |  FROM model m JOIN ctx c ON m.w1 = c.w1
+        |)
+        |SELECT b.doc_id, CAST(SUM(b.tf) AS BIGINT) AS n_bigrams,
+        |       round(CAST(CAST(SUM(b.tf * p.p) AS BIGINT) AS DOUBLE) /
+        |             CAST(SUM(b.tf) AS BIGINT), 6) AS fluency
+        |FROM big b JOIN pm p ON b.w1 = p.w1 AND b.w2 = p.w2
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "text_bm25_topk" ->
       s"""WITH toks AS (
         |  SELECT doc_id, UNNEST(${wordsSql.format("text")}) AS word FROM documents
