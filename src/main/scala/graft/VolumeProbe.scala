@@ -221,6 +221,30 @@ object VolumeProbe {
           .write.mode("overwrite").parquet(s"$dirN/embeddings.parquet")
       }
 
+      // Dense-id embedding fixture for the semdedup cells dial (the
+      // kmeans_lloyd own-fixture precedent): vec_id < k·factor selects
+      // seeds only where ids are DENSE in [0, k·factor), and the shared
+      // fixture's 2²² copy offset caps that at the 1× id range (2 000)
+      // — a fixture id-space property, not an operator one (the dial
+      // held exactly linear at factor 100, the last rung the shared
+      // offsets support). Same per-copy orthogonal sign-flip salting;
+      // the only change is the copy offset = the 1× vector count, so
+      // the salted copies 1..k/n₁−1 become legitimate extra seeds.
+      if (wanted("dedup_semdedup")) {
+        val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        val n1 = emb.count()
+        emb.write.mode("overwrite").parquet(s"$dir1/semdd/embeddings.parquet")
+        emb.crossJoin(
+            spark.range(factor).select(col("id").cast("int").as("tag")))
+          .select(
+            (col("vec_id") + col("tag") * n1).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(pmod(hash(i, col("tag")), lit(2)) === 1, negate(x))
+                .otherwise(x)).as("embedding"),
+            col("label"))
+          .write.mode("overwrite").parquet(s"$dirN/semdd/embeddings.parquet")
+      }
+
       // Co-order graph fixture: factor× disjoint copies via offsets on
       // BOTH keys (the ScaleProbeSpec `tri` rationale: offsetting only
       // the orderkey would pile co-occurrence SUPPORT onto the same part
@@ -493,8 +517,12 @@ object VolumeProbe {
           // within-cell pair join — is measured in ISOLATION against
           // the flat linear bound, the ivfpq-scan pattern.
           ("dedup_semdedup",
-            DedupQueries.dedupSemdedupCells(DedupQueries.SemdedupCells),
-            DedupQueries.dedupSemdedupCells(DedupQueries.SemdedupCells * factor)),
+            (s: SparkSession, dd: String) =>
+              DedupQueries.dedupSemdedupCells(
+                DedupQueries.SemdedupCells)(s, s"$dd/semdd"),
+            (s: SparkSession, dd: String) =>
+              DedupQueries.dedupSemdedupCells(
+                DedupQueries.SemdedupCells * factor)(s, s"$dd/semdd")),
           // round 13 (r12 verdict #1): the two r12-landed operators get
           // their 100× point. kmeans runs the DECLARED fixed-2-iteration
           // form at both arms (k = 8 is the operator's parameter, not a
@@ -944,7 +972,7 @@ object VolumeProbe {
           def pairProbe(dir: String, parts: Int,
                         k: Int): (Long, Long, Long) = {
             spark.conf.set("spark.sql.shuffle.partitions", parts)
-            val asn = DedupQueries.semdedupAssigned(k)(spark, dir)
+            val asn = DedupQueries.semdedupAssigned(k)(spark, s"$dir/semdd")
             val nVec = asn.count() // materializes the snapshot
             val (_, workC, _) = Metrics.withTaskWorkPlans(spark) {
               DedupQueries.semdedupCandidates(asn)
