@@ -161,7 +161,10 @@ object VolumeProbe {
       val triName = "graph_triangle_count"
       val fuzzyName = "text_fuzzy_join_blocked"
       val fuzzyMultiName = "text_fuzzy_join_multikey"
-      val fuzzyNames = Set(fuzzyName, fuzzyMultiName)
+      // The entity-cluster composition rides the same part fixture as
+      // the fuzzy joins (its edges ARE the blocked fuzzy matches).
+      val fuzzyNames = Set(fuzzyName, fuzzyMultiName,
+        "linkage_entity_clusters")
       val needDocs = only.forall(_.exists(n =>
         !embNames.contains(n) && n != triName && !fuzzyNames.contains(n) &&
           n != kmlName))
@@ -451,6 +454,15 @@ object VolumeProbe {
           // first tokens are all distinct), so its cap-engagement gate
           // checks the tagged union.
           sym(fuzzyMultiName, graft.queries.LinkageQueries.textFuzzyJoinMulti),
+          // round 14: the ER cluster composition over the blocked fuzzy
+          // match graph — same part fixture (salted copies keep match
+          // components within a copy, so component structure and rounds
+          // stay flat while edge volume grows factor×); the cap gate
+          // applies (an un-skipped hot block would glue 20·factor names
+          // into one mega-entity), and joinrows normalize by measured
+          // component rounds, the dedup_clusters_raw discipline.
+          sym("linkage_entity_clusters",
+            graft.queries.LinkageQueries.linkageEntityClusters),
           // The sharded inverted index on the salted docs corpus: terms
           // are per-copy distinct, so (term, doc) pairs — the one
           // corpus-scale shuffle — grow exactly factor×; the entry gate
@@ -814,7 +826,8 @@ object VolumeProbe {
         // the max-of-draws bound for the geometric-tailed diameter
         // distribution; a propagation-only (non-doubling) regression
         // would blow (b) by orders, not units.
-        if (name == "dedup_clusters_raw" && rounds1 > 0 && roundsN > 0) {
+        if (Set("dedup_clusters_raw", "linkage_entity_clusters")(name) &&
+            rounds1 > 0 && roundsN > 0) {
           val roundScale = roundsN.toDouble / rounds1
           joinOk = kN.joinOutputRows.toDouble <=
             2.0 * factor * roundScale * math.max(k1.joinOutputRows, 10000L)

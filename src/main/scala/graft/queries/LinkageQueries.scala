@@ -245,7 +245,49 @@ object LinkageQueries {
       .limit(20)
   }
 
+  /** Entity-resolution clusters — the CLUSTER step of the classic ER
+    * pipeline (block → match → cluster; Fellegi–Sunter lineage) that
+    * [[textFuzzyJoinBlocked]]'s pairwise matches exist to feed: fuzzy
+    * name matches are edges over the name vocabulary, connected
+    * components merge transitive matches ("acme corp" ~ "acme corp."
+    * ~ "acme co") into one entity, and every matched name gets its
+    * component's canonical entity key. Node/entity keys are REAL keys,
+    * not hashes: a name's key is its MIN p_partkey, the component rep
+    * the min key over the entity — so the output (p_name, name_key,
+    * entity_key) joins back to fact rows directly. Names with no fuzzy
+    * match are implicit singletons (own key), the [[DedupQueries
+    * .dedupClusters]] vertex convention.
+    *
+    * Scale shape: everything here is vocabulary-scale by the module's
+    * own blocking discipline — the match graph is the capped fuzzy
+    * join's output, the key map one aggregate over the catalog, and the
+    * component loop [[graft.operators.Components]] (per-round
+    * propagate-min + pointer jump, O(log diameter) rounds, one action
+    * per round, conf-isolated clone). The corpus-scale story is the
+    * fuzzy join's own (probed); this composition adds only
+    * vocabulary-sized equi joins. Reference principle: iterated
+    * mapreduce over a stored map,
+    * `/root/reference/src/dist_map.h:255-279`. */
+  val linkageEntityClusters: Q = (s, d) => {
+    val keys = Sessions.snapshot(
+      Tables.part(s, d).groupBy("p_name")
+        .agg(min(col("p_partkey")).as("k")))._2
+    val matches = textFuzzyJoinBlocked(s, d).select("name_a", "name_b")
+    val edges = matches
+      .join(keys.select(col("p_name").as("name_a"), col("k").as("doc_a")), "name_a")
+      .join(keys.select(col("p_name").as("name_b"), col("k").as("doc_b")), "name_b")
+      .select("doc_a", "doc_b")
+    val loopParts = math.max(4,
+      s.conf.get("spark.sql.shuffle.partitions").toInt / 8)
+    graft.operators.Components.connectedComponents(edges, loopParts)
+      .join(keys, col("doc_id") === col("k"))
+      .select(col("p_name"), col("doc_id").as("name_key"),
+              col("cluster_rep").as("entity_key"))
+      .orderBy("p_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "linkage_entity_clusters" -> linkageEntityClusters,
     "text_fuzzy_join_blocked" -> textFuzzyJoinBlocked,
     "text_fuzzy_join_multikey" -> textFuzzyJoinMulti,
     "text_inverted_index" -> textInvertedIndex,
@@ -253,6 +295,38 @@ object LinkageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "linkage_entity_clusters" ->
+      s"""WITH RECURSIVE names AS (
+         |  SELECT p_name FROM part GROUP BY p_name
+         |), keys AS (
+         |  SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS k FROM part GROUP BY p_name
+         |), blocked AS (
+         |  SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names
+         |), ok AS (
+         |  SELECT blk FROM blocked GROUP BY blk HAVING COUNT(*) <= $MaxBlock
+         |), vocab AS (
+         |  SELECT b.* FROM blocked b JOIN ok USING (blk)
+         |), mpairs AS (
+         |  SELECT a.p_name AS name_a, c.p_name AS name_b
+         |  FROM vocab a JOIN vocab c ON a.blk = c.blk AND a.p_name < c.p_name
+         |  WHERE levenshtein(a.p_name, c.p_name) <= $MaxEdit
+         |), epairs AS (
+         |  SELECT ka.k AS doc_a, kb.k AS doc_b
+         |  FROM mpairs m JOIN keys ka ON m.name_a = ka.p_name
+         |                JOIN keys kb ON m.name_b = kb.p_name
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM epairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM epairs
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT k2.p_name, r.src AS name_key,
+         |       LEAST(r.src, MIN(r.dst)) AS entity_key
+         |FROM reach r JOIN keys k2 ON k2.k = r.src
+         |GROUP BY k2.p_name, r.src ORDER BY k2.p_name""".stripMargin,
     "text_fuzzy_join_blocked" ->
       s"""WITH names AS (
          |  SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY p_name

@@ -226,4 +226,36 @@ class LinkageSpec extends SparkSpec {
     // deterministic: a rerun is bit-identical
     assert(df.collect().map(_.toString).toSeq == rows.map(_.toString).toSeq)
   }
+
+  test("entity clusters: transitive matches merge, keys are min partkeys, singletons absent") {
+    import spark.implicits._
+    // Two planted entities: a 3-name clique ("acme/acmo/acmi steel",
+    // pairwise dist 1 — the duplicate "acme steel" row at partkey 10
+    // pins name_key = MIN partkey), and a 3-name CHAIN where the
+    // endpoints sit at dist 4 > MaxEdit — only transitivity merges
+    // them, the cluster step's whole point beyond the pairwise match:
+    // aaaa~aabb (2), aabb~bbbb (2), aaaa~bbbb (4, no edge). Plus one
+    // unmatched decoy, which must be ABSENT (the dedup_clusters vertex
+    // convention: singletons are implicit).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ent").toString
+    try {
+      Seq((10L, "acme steel"), (0L, "acme steel"), (1L, "acmo steel"),
+          (2L, "acmi steel"), (3L, "aaaa bolt"), (4L, "aabb bolt"),
+          (5L, "bbbb bolt"), (6L, "unrelated widget"))
+        .toDF("p_partkey", "p_name")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      val out = LinkageQueries.linkageEntityClusters(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+      assert(!out.contains("unrelated widget"), "singleton must be implicit")
+      assert(out == Map(
+        "acme steel" -> ((0L, 0L)), "acmo steel" -> ((1L, 0L)),
+        "acmi steel" -> ((2L, 0L)),
+        "aaaa bolt" -> ((3L, 3L)), "aabb bolt" -> ((4L, 3L)),
+        "bbbb bolt" -> ((5L, 3L))), s"got $out")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
