@@ -78,6 +78,26 @@ class PlanShapeSpec extends SparkSpec {
         "every assignment must stay an equi join on the subspace index")
   }
 
+  test("text_lm_fluency: hash aggregates and equi joins only") {
+    // The LM scorer's whole scale story is "exactly one corpus-scale
+    // EQUI join" (stream ⋈ model on (w1, w2)) with every aggregate a
+    // long-buffer HashAggregate; a nested-loop anywhere (e.g. the model
+    // side losing its join keys) or a SortAggregate over the bigram
+    // stream (e.g. a struct/array buffer creeping into the collapse) is
+    // the regression class this pin catches.
+    val ps = nodes(planOf("text_lm_fluency"))
+    val sorts = ps.collect { case s: SortAggregateExec => s }
+    assert(sorts.isEmpty,
+      s"text_lm_fluency regressed to ${sorts.size} SortAggregate(s)")
+    val nested = ps.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nested.isEmpty,
+      s"text_lm_fluency has ${nested.size} nested-loop join(s) — " +
+        "the scoring join must stay an equi join on (w1, w2)")
+  }
+
   test("the ivfpq family's codes exchanges carry per-vector constants only") {
     // The ivfpq codes collapse groups by (vec_id, label) — label is
     // functionally dependent on vec_id, so a vector's re-exploded
