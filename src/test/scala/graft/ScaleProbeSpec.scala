@@ -236,6 +236,12 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       // per-copy structure and all three stages (tokc agg, head/tail
       // vocab join, per-doc agg) must track ~10× volume.
       sym("text_token_rarity", TextQueries.textTokenRarity),
+      // round 14: the bigram-LM fluency scorer — per-copy word tagging
+      // makes each copy's bigram vocabulary disjoint, so the model
+      // table, the collapsed per-doc bigram stream, and the one
+      // corpus-scale scoring join all track ~10× (the 100×/1000×
+      // VOLPROBE entries measured joinrows at exactly linear).
+      sym("text_lm_fluency", TextQueries.textLmFluency),
       sym("join_supply_revenue", OlapQueries.joinSupplyRevenue),
       sym("part_type_revenue", OlapQueries.partTypeRevenue),
       sym("events_anomaly_zscore", OlapQueries.eventsAnomalyZscore),
