@@ -192,15 +192,17 @@ object LinkageQueries {
     * OR-joins, no global window (orientation compares the (degree, id)
     * struct carried on the edge, not a rank relabeling). Output: the 20
     * most triangle-dense parts. */
-  val graphTriangleCount: Q = (s, d) => {
-    // One shuffle builds the per-order item sets: collect_set dedups
-    // within the order (subsuming a separate distinct) and the size cap
-    // applies to the collapsed set — the raw (o, p) rows shuffle once,
-    // by o, and never again. Pair expansion is then a map-side
-    // array comprehension over ≤ MaxOrderItems elements (bounded HOF —
-    // fine interpreted at ≤ C(12,2) = 66 structs/order), which replaces
-    // the self-join shape: no second corpus shuffle, no join whose
-    // output IS the pair multiset, no multi-read snapshot of items.
+  /** The support-thresholded co-order edge set both graph operators
+    * ([[graphTriangleCount]], [[graphPagerank]]) run over — one shuffle
+    * builds the per-order item sets: collect_set dedups within the order
+    * (subsuming a separate distinct) and the size cap applies to the
+    * collapsed set — the raw (o, p) rows shuffle once, by o, and never
+    * again. Pair expansion is then a map-side array comprehension over
+    * ≤ MaxOrderItems elements (bounded HOF — fine interpreted at
+    * ≤ C(12,2) = 66 structs/order), which replaces the self-join shape:
+    * no second corpus shuffle, no join whose output IS the pair
+    * multiset, no multi-read snapshot of items. */
+  private[graft] def coOrderPairs(s: SparkSession, d: String): DataFrame = {
     val baskets = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .groupBy("o").agg(sort_array(collect_set(col("p"))).as("arr"))
@@ -208,12 +210,16 @@ object LinkageQueries {
     val pairCombos = flatten(transform(col("arr"), (x, i) =>
       transform(slice(col("arr"), i + lit(2), size(col("arr"))),
         y => struct(x.as("pa"), y.as("pb")))))
-    val pairs = baskets
+    baskets
       .select(explode(pairCombos).as("pr"))
       .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= MinSupport)
       .select("pa", "pb")
+  }
+
+  val graphTriangleCount: Q = (s, d) => {
+    val pairs = coOrderPairs(s, d)
     // pairs is the one lineage worth materializing (its input is the
     // corpus-sized basket expansion); everything downstream — degrees,
     // orientation, the wedge joins — recomputes from this
@@ -242,6 +248,73 @@ object LinkageQueries {
       .join(deg, "p")
       .select(col("p").as("p_partkey"), col("tri_cnt"), col("deg").as("degree"))
       .orderBy(desc("tri_cnt"), asc("p_partkey"))
+      .limit(20)
+  }
+
+  /** PageRank iterations over the co-order graph. [[PrScale]] is the
+    * micro-unit rank scale; damping is the classic 0.85 expressed as the
+    * exact integer pair [[PrDampNum]]/[[PrDampDen]] so both engines
+    * compute bit-identical BIGINT ranks (floating-point PageRank would
+    * hash-diverge across engines at the 15th digit). */
+  private[graft] val PrIters = 3
+  private[graft] val PrScale = 1000000L
+  private[graft] val PrDampNum = 85L
+  private[graft] val PrDampDen = 100L
+  /** (1 − d) · SCALE — exact: PrScale is divisible by PrDampDen. */
+  private[graft] val PrTeleport = PrScale / PrDampDen * (PrDampDen - PrDampNum)
+
+  /** PageRank (power iteration, [[PrIters]] rounds) over the co-order
+    * part graph — "which parts sit at the center of the basket
+    * structure", the authority analog of [[graphTriangleCount]]'s
+    * density. Runs on the same support-thresholded edge set
+    * ([[coOrderPairs]]); every node has degree ≥ 1 by construction (all
+    * nodes come from edges, both directions present), so there is no
+    * dangling-mass term. The update is the standard
+    * r′(v) = (1−d)·S + d · Σ_{u∈N(v)} r(u)/deg(u), computed in EXACT
+    * integer micro-units with explicit floors (the [[graft.functions
+    * .ColFns.floorDiv]] doctrine: every `/` both engines must agree on
+    * is an integer floor over non-negative operands, where DuckDB's
+    * truncating `//` agrees) — the oracle unrolls the same three rounds
+    * as straight-line CTEs, the emb_kmeans discipline.
+    *
+    * Scale shape: two snapshots — the pair set (its lineage is the
+    * corpus-scale basket expansion) and the degree-enriched out-edge
+    * table (the loop invariant) — then each round is ONE equi-join
+    * (ranks ⋈ out-edges on the source key) and ONE hash aggregate (sum
+    * of contributions by destination): shuffle volume is exactly the
+    * 2·|E| directed edge stream per round, partial-aggregated map-side. Rank frames chain lazily round-over-round (each round's
+    * frame is referenced exactly ONCE by the next, so the plan grows
+    * linearly in rounds — no per-round snapshot action needed, unlike
+    * the winner-reuse loops). No broadcast hints anywhere: at 100 TB the
+    * rank table is graph-scale and must shuffle. Reference principle:
+    * iterated mapreduce over a stored map,
+    * /root/reference/src/dist_map.h:255-279. */
+  val graphPagerank: Q = (s, d) => {
+    val pairs = coOrderPairs(s, d)
+    val eSnap = Sessions.snapshot(pairs)._2
+    val edges = eSnap.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(eSnap.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = edges.groupBy(col("src").as("p")).agg(count(lit(1)).as("deg"))
+    // Out-edges enriched with the source degree, snapshotted ONCE — the
+    // loop-invariant table (the KMeans/Components discipline): without
+    // it every round re-runs the degree aggregate and its exchange over
+    // the 2·|E| edge stream; with it each round is exactly one
+    // ranks ⋈ out-edges join plus one destination aggregate.
+    val outEdges = Sessions.snapshot(
+      edges.join(deg.withColumnRenamed("p", "src"), "src"))._2
+    var ranks = deg.select(col("p"), lit(PrScale).as("r"))
+    for (_ <- 1 to PrIters) {
+      ranks = outEdges.join(ranks, outEdges("src") === ranks("p"))
+        .groupBy(col("dst"))
+        .agg((lit(PrTeleport) + graft.functions.ColFns.floorDiv(
+          lit(PrDampNum) * sum(graft.functions.ColFns.floorDiv(col("r"), col("deg"))),
+          PrDampDen)).as("r"))
+        .select(col("dst").as("p"), col("r"))
+    }
+    ranks.join(deg, "p")
+      .select(col("p").as("p_partkey"), col("r").as("pagerank"),
+              col("deg").as("degree"))
+      .orderBy(desc("pagerank"), asc("p_partkey"))
       .limit(20)
   }
 
@@ -292,7 +365,35 @@ object LinkageQueries {
     "text_fuzzy_join_multikey" -> textFuzzyJoinMulti,
     "text_inverted_index" -> textInvertedIndex,
     "graph_triangle_count" -> graphTriangleCount,
+    "graph_pagerank" -> graphPagerank,
   )
+
+  /** Shared CTE prefix: the co-order support-thresholded pair set —
+    * oracle mirror of [[coOrderPairs]], used verbatim by both graph
+    * oracles so the edge derivation cannot drift between them. */
+  private val coOrderSql: String =
+    s"""items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |), ok AS (
+       |  SELECT o FROM items GROUP BY o HAVING COUNT(*) <= $MaxOrderItems
+       |), pairs AS (
+       |  SELECT a.p AS pa, b.p AS pb
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  JOIN ok ON ok.o = a.o
+       |  GROUP BY a.p, b.p HAVING COUNT(*) >= $MinSupport
+       |)""".stripMargin
+
+  /** The [[PrIters]] unrolled PageRank rounds — generated from the same
+    * constants the Spark loop reads, so the round count and damping can
+    * never diverge between engines. */
+  private def pagerankRoundsSql: String =
+    (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT e.dst AS p,
+         |         $PrTeleport + ($PrDampNum * SUM(r${k - 1}.r // e.sdeg)) // $PrDampDen AS r
+         |  FROM e2 e JOIN r${k - 1} ON r${k - 1}.p = e.src GROUP BY e.dst
+         |)""".stripMargin
+    }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
     "linkage_entity_clusters" ->
@@ -374,17 +475,24 @@ object LinkageQueries {
          |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
          |FROM toks GROUP BY term, (doc_id - ((doc_id % $PostingShard + $PostingShard) % $PostingShard)) // $PostingShard
          |ORDER BY term, shard""".stripMargin,
-    "graph_triangle_count" ->
-      s"""WITH items AS (
-         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-         |), ok AS (
-         |  SELECT o FROM items GROUP BY o HAVING COUNT(*) <= $MaxOrderItems
-         |), pairs AS (
-         |  SELECT a.p AS pa, b.p AS pb
-         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
-         |  JOIN ok ON ok.o = a.o
-         |  GROUP BY a.p, b.p HAVING COUNT(*) >= $MinSupport
+    "graph_pagerank" ->
+      s"""WITH $coOrderSql, edges AS (
+         |  SELECT pa AS src, pb AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT pb, pa FROM pairs
          |), deg AS (
+         |  SELECT src AS p, COUNT(*) AS deg FROM edges GROUP BY src
+         |), e2 AS (
+         |  SELECT e.src, e.dst, d.deg AS sdeg FROM edges e JOIN deg d ON d.p = e.src
+         |), r0 AS (
+         |  SELECT p, CAST($PrScale AS BIGINT) AS r FROM deg
+         |), $pagerankRoundsSql
+         |SELECT f.p AS p_partkey, CAST(f.r AS BIGINT) AS pagerank,
+         |       CAST(d.deg AS BIGINT) AS degree
+         |FROM r$PrIters f JOIN deg d ON d.p = f.p
+         |ORDER BY pagerank DESC, p_partkey LIMIT 20""".stripMargin,
+    "graph_triangle_count" ->
+      s"""WITH $coOrderSql, deg AS (
          |  SELECT p, COUNT(*) AS deg FROM (
          |    SELECT pa AS p FROM pairs UNION ALL SELECT pb AS p FROM pairs)
          |  GROUP BY p

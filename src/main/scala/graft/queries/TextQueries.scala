@@ -863,7 +863,145 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** BPE trainer dials: [[BpeMerges]] merge rounds over the
+    * [[BpeVocabCap]] most frequent words (count desc, word asc — a total
+    * order, so the cap is deterministic). The cap is the 100 TB posture:
+    * real tokenizer training runs on the word VOCABULARY, not the
+    * corpus — the corpus is scanned exactly once (the word count) and
+    * every merge round touches ≤ cap rows. */
+  private[graft] val BpeMerges = 6
+  private[graft] val BpeVocabCap = 4096
+
+  /** Symbol boundary marker for the BPE working representation: every
+    * symbol is wrapped as `\u0001sym\u0001`, so a word's symbol sequence
+    * is one string and "merge pair (a, b) left-to-right, non-overlapping"
+    * is EXACTLY one literal `replace(w, ␁a␁␁b␁, ␁ab␁)` in both engines —
+    * each symbol carries its own boundary markers, so a replacement
+    * never consumes a neighbor's boundary and adjacent occurrences
+    * ("aaa" under (a, a) → "aa a") merge exactly as a greedy
+    * left-to-right BPE pass does. Words containing the marker are
+    * excluded up front (the fixture is plain text; the filter makes the
+    * representation well-defined on any input). */
+  private[graft] val BpeMark = "\u0001"
+
+  /** BPE tokenizer-merge training (Sennrich et al. 2016) — the missing
+    * half of the engine's tokenizer story ([[textTokenCount]] counts
+    * with a FIXED lexer; this TRAINS the merge table an LLM pipeline
+    * ships): [[BpeMerges]] rounds of (count adjacent symbol pairs
+    * weighted by word frequency → take the arg-max pair → merge it in
+    * every word), over the [[BpeVocabCap]]-capped word vocabulary.
+    * Output is the trained merge table itself: (round, lhs, rhs,
+    * pair_count), the artifact a tokenizer loads. Arg-max tie-break is
+    * (count desc, lhs asc, rhs asc) — total, so both engines pick the
+    * same rule. The oracle unrolls the same rounds as straight-line
+    * CTEs generated from the SAME constants (the emb_kmeans doctrine).
+    *
+    * Scale shape: the corpus is touched ONCE — the word-count aggregate
+    * (map-side partial, one shuffle on the word key); the top-cap is a
+    * per-partition TakeOrdered, never a global sort. Every round then
+    * runs on the ≤ cap-row vocabulary: one pair-count aggregate, one
+    * LIMIT-1 arg-max, one broadcast cross join applying the merge
+    * (bounded by its Limit root — the BroadcastGuardSpec structural
+    * rule), one [[org.apache.spark.sql.graftx.Sessions.snapshot]] so the
+    * winner's double reference (output row + merge) cannot double the
+    * plan round-over-round. Reference principle: iterated mapreduce over
+    * a stored map, /root/reference/src/dist_map.h:255-279. */
+  val textBpeTrain: Q = (s, d) => textBpeTrainRounds(BpeMerges)(s, d)
+
+  /** [[textBpeTrain]] with an explicit round count — the spec dial. */
+  private[graft] def textBpeTrainRounds(rounds: Int): Q = (s, d) => {
+    val M = BpeMark
+    val MM = M + M
+    val wordCounts = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains(M))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val vocab0 = wordCounts
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(BpeVocabCap)
+      .select(
+        concat(lit(M),
+          array_join(filter(split(col("word"), ""), c => length(c) > 0), MM),
+          lit(M)).as("w"),
+        col("cnt"))
+    var vocab = org.apache.spark.sql.graftx.Sessions.snapshot(vocab0)._2
+    var rules: DataFrame = null
+    for (k <- 1 to rounds) {
+      val syms = split(col("w").substr(lit(2), length(col("w")) - 2), MM)
+      val winner = vocab
+        .select(col("cnt"), syms.as("syms"))
+        .filter(size(col("syms")) > 1)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(desc("pair_count"), asc("lhs"), asc("rhs"))
+        .limit(1)
+      val tagged = winner.withColumn("round", lit(k.toLong))
+      rules = if (rules == null) tagged else rules.unionByName(tagged)
+      // The merge: one ≤ 1-row cross join (hint-bounded by the Limit
+      // root) rewriting every word's working string. Snapshot cuts the
+      // round-over-round lineage: the winner references the CURRENT
+      // vocab too, so an un-snapshotted chain would double each round.
+      // The LAST round's merge has no consumer (only its rule row is
+      // output), so it is never built: rounds − 1 cross joins total.
+      if (k < rounds)
+        vocab = org.apache.spark.sql.graftx.Sessions.snapshot(
+          vocab.crossJoin(broadcast(winner.select(col("lhs"), col("rhs"))))
+            .select(
+              replace(col("w"),
+                concat(lit(M), col("lhs"), lit(MM), col("rhs"), lit(M)),
+                concat(lit(M), col("lhs"), col("rhs"), lit(M))).as("w"),
+              col("cnt")))._2
+    }
+    rules.select(col("round"), col("lhs"), col("rhs"), col("pair_count"))
+      .orderBy("round")
+  }
+
+  /** Oracle mirror of [[textBpeTrainRounds]]: the merge rounds unrolled
+    * as CTE triples (pair counts → arg-max → merged vocabulary),
+    * generated from the same constants the Spark loop reads. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val mm = "chr(1) || chr(1)"
+    val roundCtes = (1 to rounds).map { k =>
+      s"""p$k AS (
+         |  SELECT s.syms[t.i] AS lhs, s.syms[t.i + 1] AS rhs, SUM(s.cnt) AS pair_count
+         |  FROM (SELECT string_split(substring(w, 2, length(w) - 2), $mm) AS syms, cnt
+         |        FROM v${k - 1}) s,
+         |       UNNEST(generate_series(1, len(s.syms) - 1)) AS t(i)
+         |  GROUP BY 1, 2
+         |), m$k AS (
+         |  SELECT CAST($k AS BIGINT) AS round, lhs, rhs, pair_count FROM p$k
+         |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+         |), v$k AS (
+         |  SELECT replace(v.w, chr(1) || m.lhs || $mm || m.rhs || chr(1),
+         |                 chr(1) || m.lhs || m.rhs || chr(1)) AS w, v.cnt
+         |  FROM v${k - 1} v, m$k m
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (1 to rounds).map(k => s"SELECT * FROM m$k")
+      .mkString(" UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT UNNEST(${wordsSql.format("text")}) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE NOT contains(word, chr(1))
+       |  GROUP BY word
+       |), v0 AS (
+       |  SELECT chr(1) || array_to_string(
+       |           list_transform(generate_series(1, length(word)), i -> word[i]),
+       |           $mm) || chr(1) AS w, cnt
+       |  FROM (SELECT word, cnt FROM words ORDER BY cnt DESC, word LIMIT $BpeVocabCap)
+       |), $roundCtes
+       |SELECT round, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bpe_train" -> textBpeTrain,
     "text_ngram_novelty" -> textNgramNovelty,
     "text_vocab_coverage" -> textVocabCoverage,
     "text_dup_span_ratio" -> textDupSpanRatio,
@@ -894,6 +1032,7 @@ object TextQueries {
     "list_filter(string_split(%s, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_train" -> bpeOracleSql(BpeMerges),
     "text_lm_fluency" ->
       s"""WITH dw AS (
         |  SELECT doc_id, ${wordsSql.format("text")} AS w FROM documents

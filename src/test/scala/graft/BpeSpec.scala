@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQueries
+
+/** BPE merge-rule training ([[TextQueries.textBpeTrain]]) against an
+  * in-test reference implementation: the distributed pipeline (pair-count
+  * aggregate → LIMIT-1 arg-max → marker-string replace) must reproduce,
+  * round for round, what a sequential greedy BPE trainer produces on the
+  * same word-count table — including the left-to-right non-overlapping
+  * merge semantics the working representation encodes (the "aaa" case:
+  * merging (a, a) yields [aa, a], never [a, aa] or [aa, aa]).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference: greedy left-to-right non-overlapping merge. */
+  private def mergeLR(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** Reference BPE trainer over a (word → count) table: per round, count
+    * adjacent symbol pairs weighted by word count, take the arg-max under
+    * (count desc, lhs asc, rhs asc), merge everywhere. */
+  private def refBpe(words: Map[String, Long], rounds: Int): Seq[(Long, String, String, Long)] = {
+    var vocab = words.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    for (k <- 1 to rounds) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          pc(p) = pc.getOrElse(p, 0L) + c
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((l, r), c) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((k.toLong, l, r, c))
+        vocab = vocab.map { case (syms, cc) => (mergeLR(syms, l, r), cc) }
+      } else vocab = Seq.empty
+    }
+    out.result()
+  }
+
+  private def plant(words: Map[String, Long]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // one doc per word repetition keeps the word counts explicit
+    val texts = words.toSeq.sortBy(_._1).flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w)
+    }
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(dir: String, rounds: Int): Seq[(Long, String, String, Long)] =
+    TextQueries.textBpeTrainRounds(rounds)(spark, dir).collect().toSeq
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("lhs"),
+                 r.getAs[String]("rhs"), r.getAs[Long]("pair_count")))
+
+  test("classic corpus: the distributed trainer matches the sequential reference") {
+    // The Sennrich et al. (2016) example vocabulary. Expected first
+    // merges: (e, s) from newest+widest (9), then (es, t) (9), then
+    // (est, ♦) — no end-marker here, so (l, o) from low+lower (7)...
+    // the reference implementation is the ground truth; the point is
+    // trajectory equality, not a hand-written table.
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val dir = plant(words)
+    val expect = refBpe(words, 6)
+    assert(expect.size == 6, s"reference ran dry early: $expect")
+    assert(run(dir, 6) == expect)
+  }
+
+  test("overlap semantics: merging (a, a) in aaa is left-to-right non-overlapping") {
+    val words = Map("aaa" -> 2L, "ab" -> 1L)
+    val dir = plant(words)
+    // round 1: (a,a) count 4 wins over (a,b) count 1; each "aaa" becomes
+    // [aa, a] — so round 2's top pair is (aa, a) count 2, NOT (a, aa).
+    val got = run(dir, 2)
+    assert(got == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)), got.toString)
+    assert(got == refBpe(words, 2))
+  }
+
+  test("declared rounds on the fixture corpus: full rule table, positive counts") {
+    val rows = SparkEntry.queries("text_bpe_train")(spark, sfDir).collect()
+    assert(rows.length == TextQueries.BpeMerges, rows.length.toString)
+    assert(rows.map(_.getAs[Long]("round")).toSeq ==
+      (1 to TextQueries.BpeMerges).map(_.toLong))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pair_count") > 0L)
+      assert(r.getAs[String]("lhs").nonEmpty && r.getAs[String]("rhs").nonEmpty)
+    }
+  }
+}

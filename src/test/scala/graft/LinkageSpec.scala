@@ -93,6 +93,42 @@ class LinkageSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L)), got.toSeq.toString)
   }
 
+  test("pagerank: planted path graph reproduces the closed-form integer trajectory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr").toString
+    // Path graph 1 — 2 — 3 (each co-order basket twice to clear
+    // MinSupport): deg(1) = deg(3) = 1, deg(2) = 2. Hand-run of the
+    // integer update r′ = 150000 + (85 · Σ ⌊r/deg⌋) // 100 from
+    // r0 = 1000000:
+    //   round 1: r(1) = r(3) = 150000 + 85·⌊10⁶/2⌋//100      = 575000
+    //            r(2)        = 150000 + 85·(10⁶ + 10⁶)//100  = 1850000
+    //   round 2: r(1) = r(3) = 150000 + 85·⌊1850000/2⌋//100  = 936250
+    //            r(2)        = 150000 + 85·(2·575000)//100   = 1127500
+    //   round 3: r(1) = r(3) = 150000 + 85·⌊1127500/2⌋//100  = 629187
+    //            r(2)        = 150000 + 85·(2·936250)//100   = 1741625
+    val baskets = Seq(
+      100L -> Seq(1L, 2L), 101L -> Seq(1L, 2L),
+      102L -> Seq(2L, 3L), 103L -> Seq(2L, 3L))
+    val rows = for ((o, ps) <- baskets; p <- ps) yield (o, p)
+    rows.toDF("l_orderkey", "l_partkey")
+      .withColumn("l_shipdate", to_timestamp_ntz(lit("2020-01-01")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("graph_pagerank")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("pagerank"),
+                 r.getAs[Long]("degree")))
+    assert(got.toSeq == Seq((2L, 1741625L, 2L), (1L, 629187L, 1L),
+                            (3L, 629187L, 1L)), got.toSeq.toString)
+  }
+
+  test("pagerank on the fixture: positive ranks, hub ordering, bounded output") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sf01).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ranks = rows.map(_.getAs[Long]("pagerank"))
+    assert(ranks.forall(_ >= 150000L),
+      "every rank is at least the teleport mass")
+    assert(ranks.sameElements(ranks.sortBy(-_)), "not ordered by rank desc")
+    rows.foreach(r => assert(r.getAs[Long]("degree") >= 1L))
+  }
+
   test("triangle count on the fixture: counts positive, ordered, bounded") {
     val rows = SparkEntry.queries("graph_triangle_count")(spark, sf01).collect()
     assert(rows.nonEmpty && rows.length <= 20)
