@@ -157,19 +157,24 @@ object VolumeProbe {
         // semdedup's one bounded cross is the ≤ k-row seed-cell
         // assignment (inside the assigned snapshot's materialization
         // job, captured by the runtime plan walk).
-        "dedup_semdedup" -> 1)
+        "dedup_semdedup" -> 1,
+        // bpe: one ≤ 1-row winner cross join per merge round, except the
+        // last round whose merge has no consumer and is never built.
+        "text_bpe_train" -> (graft.queries.TextQueries.BpeMerges - 1))
       val triName = "graph_triangle_count"
+      // PageRank rides the same disjoint-copy co-order fixture.
+      val graphNames = Set(triName, "graph_pagerank")
       val fuzzyName = "text_fuzzy_join_blocked"
       val fuzzyMultiName = "text_fuzzy_join_multikey"
       // The entity-cluster composition rides the same part fixture as
       // the fuzzy joins (its edges ARE the blocked fuzzy matches).
       val fuzzyNames = Set(fuzzyName, fuzzyMultiName,
-        "linkage_entity_clusters")
+        "linkage_entity_clusters", "linkage_golden_record")
       val needDocs = only.forall(_.exists(n =>
-        !embNames.contains(n) && n != triName && !fuzzyNames.contains(n) &&
-          n != kmlName))
+        !embNames.contains(n) && !graphNames.contains(n) &&
+          !fuzzyNames.contains(n) && n != kmlName))
       val needEmb = only.forall(_.exists(embNames.contains))
-      val needTri = wanted(triName)
+      val needTri = graphNames.exists(wanted)
       val needPart = fuzzyNames.exists(wanted)
       val needKml = wanted(kmlName)
 
@@ -282,7 +287,7 @@ object VolumeProbe {
       // the hot block.
       if (needPart) {
         val part = spark.read.parquet(s"$sf/part.parquet")
-          .select("p_partkey", "p_name")
+          .select("p_partkey", "p_name", "p_retailprice")
         // Hot-name keys live at 10^12 — beyond any salted copy's range
         // (p_partkey + tag·10^8 stays < 10^11 at factor ≤ 1000), so
         // partkeys are globally unique in BOTH arms (round-11 ADVICE:
@@ -292,7 +297,8 @@ object VolumeProbe {
         def hotNames(n: Long) = spark.range(n).select(
           (col("id") + 1000000000000L).as("p_partkey"),
           concat(lit("hotname"), col("id").cast("string"),
-            lit(" zzcommonblock")).as("p_name"))
+            lit(" zzcommonblock")).as("p_name"),
+          lit(1.0d).as("p_retailprice"))
         part.unionByName(hotNames(20L))
           .write.mode("overwrite").parquet(s"$dir1/part.parquet")
         part.crossJoin(
@@ -301,7 +307,8 @@ object VolumeProbe {
             (col("p_partkey") + col("tag") * 100000000L).as("p_partkey"),
             concat_ws(" ",
               transform(split(col("p_name"), " "),
-                w => concat(w, lit("q"), col("tag").cast("string")))).as("p_name"))
+                w => concat(w, lit("q"), col("tag").cast("string")))).as("p_name"),
+            col("p_retailprice"))
           .unionByName(hotNames(20L * factor))
           .write.mode("overwrite").parquet(s"$dirN/part.parquet")
       }
@@ -417,6 +424,23 @@ object VolumeProbe {
               graft.queries.LinkageQueries.graphTriangleCount(s, s"$dd/tri"),
             (s: SparkSession, dd: String) =>
               graft.queries.LinkageQueries.graphTriangleCount(s, s"$dd/tri")),
+          // round 14: PageRank on the same disjoint-copy fixture — the
+          // factor× graph is factor disjoint copies of the 1× graph
+          // (identical degrees, fixed 3 rounds), so the basket collapse
+          // and every per-round join + destination aggregate grow
+          // exactly factor×; flat gates apply.
+          ("graph_pagerank",
+            (s: SparkSession, dd: String) =>
+              graft.queries.LinkageQueries.graphPagerank(s, s"$dd/tri"),
+            (s: SparkSession, dd: String) =>
+              graft.queries.LinkageQueries.graphPagerank(s, s"$dd/tri")),
+          // round 14: BPE merge training on the salted docs corpus — the
+          // corpus-scale word count grows factor× (per-copy word tags
+          // make vocabularies disjoint) while every merge round stays
+          // bounded by the 4096-word vocabulary cap, so total volume is
+          // ≤ linear; the rounds − 1 winner cross joins are ≤ 1-row
+          // bounded (pinned below).
+          sym("text_bpe_train", graft.queries.TextQueries.textBpeTrain),
           // round 10 (r9 verdict #1): the banded SimHash join, whose
           // 20-bit block-pair keys approach birthday saturation near the
           // 100× corpus (~500 k docs vs the (6,2) rule bound of ~140 k).
@@ -463,6 +487,13 @@ object VolumeProbe {
           // component rounds, the dedup_clusters_raw discipline.
           sym("linkage_entity_clusters",
             graft.queries.LinkageQueries.linkageEntityClusters),
+          // round 14: the survivorship MERGE step over the same entity
+          // clusters — adds one catalog aggregate + one vocabulary-scale
+          // join on top; same fixture, same cap gate, same measured-
+          // round joinrows normalization (the component loop runs
+          // inside it verbatim).
+          sym("linkage_golden_record",
+            graft.queries.LinkageQueries.linkageGoldenRecord),
           // The sharded inverted index on the salted docs corpus: terms
           // are per-copy distinct, so (term, doc) pairs — the one
           // corpus-scale shuffle — grow exactly factor×; the entry gate
@@ -826,7 +857,8 @@ object VolumeProbe {
         // the max-of-draws bound for the geometric-tailed diameter
         // distribution; a propagation-only (non-doubling) regression
         // would blow (b) by orders, not units.
-        if (Set("dedup_clusters_raw", "linkage_entity_clusters")(name) &&
+        if (Set("dedup_clusters_raw", "linkage_entity_clusters",
+            "linkage_golden_record")(name) &&
             rounds1 > 0 && roundsN > 0) {
           val roundScale = roundsN.toDouble / rounds1
           joinOk = kN.joinOutputRows.toDouble <=

@@ -359,7 +359,46 @@ object LinkageQueries {
       .orderBy("p_name")
   }
 
+  /** Golden-record survivorship — the MERGE step that completes the
+    * classic ER pipeline (block → match → cluster → merge; the
+    * Fellegi–Sunter lineage [[linkageEntityClusters]] clusters for):
+    * per entity, pick the canonical surviving name by the most-frequent
+    * rule (raw-row count desc, name asc — a total order, so both
+    * engines survive the same record) and aggregate the merged entity's
+    * catalog evidence: variant count, total raw rows, and the price
+    * range across every variant's rows. The arg-max is a min(struct)
+    * over (−cnt, name) — one hash aggregate, no window over raw rows.
+    *
+    * Scale shape: everything is vocabulary-scale on top of the probed
+    * fuzzy-match graph — the cluster labels ([[linkageEntityClusters]]),
+    * one catalog aggregate for per-name stats, one equi join, one
+    * entity-grouped aggregate. Output is bounded by the matched-entity
+    * count. */
+  val linkageGoldenRecord: Q = (s, d) => {
+    val clusters = linkageEntityClusters(s, d)
+      .select("p_name", "entity_key")
+    val stats = Tables.part(s, d)
+      .groupBy("p_name")
+      .agg(count(lit(1)).as("cnt"),
+           min(col("p_retailprice")).as("lo"),
+           max(col("p_retailprice")).as("hi"))
+    clusters.join(stats, "p_name")
+      .groupBy("entity_key")
+      .agg(
+        min(struct((lit(0L) - col("cnt")).as("nc"), col("p_name").as("nm")))
+          .as("best"),
+        count(lit(1)).as("n_variants"),
+        sum(col("cnt")).as("n_rows"),
+        min(col("lo")).as("min_price"),
+        max(col("hi")).as("max_price"))
+      .select(col("entity_key"), col("best.nm").as("canonical_name"),
+              col("n_variants"), col("n_rows"),
+              col("min_price"), col("max_price"))
+      .orderBy("entity_key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "linkage_golden_record" -> linkageGoldenRecord,
     "linkage_entity_clusters" -> linkageEntityClusters,
     "text_fuzzy_join_blocked" -> textFuzzyJoinBlocked,
     "text_fuzzy_join_multikey" -> textFuzzyJoinMulti,
@@ -395,39 +434,66 @@ object LinkageQueries {
          |)""".stripMargin
     }.mkString(", ")
 
+  /** Shared CTE prefix for the ER oracles: blocked fuzzy matches →
+    * bidirectional edges → transitive closure (`reach`) — the oracle
+    * mirror of [[linkageEntityClusters]]'s match graph + component loop,
+    * factored so the cluster and golden-record oracles cannot drift. */
+  private val erReachSql: String =
+    s"""names AS (
+       |  SELECT p_name FROM part GROUP BY p_name
+       |), keys AS (
+       |  SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS k FROM part GROUP BY p_name
+       |), blocked AS (
+       |  SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names
+       |), ok AS (
+       |  SELECT blk FROM blocked GROUP BY blk HAVING COUNT(*) <= $MaxBlock
+       |), vocab AS (
+       |  SELECT b.* FROM blocked b JOIN ok USING (blk)
+       |), mpairs AS (
+       |  SELECT a.p_name AS name_a, c.p_name AS name_b
+       |  FROM vocab a JOIN vocab c ON a.blk = c.blk AND a.p_name < c.p_name
+       |  WHERE levenshtein(a.p_name, c.p_name) <= $MaxEdit
+       |), epairs AS (
+       |  SELECT ka.k AS doc_a, kb.k AS doc_b
+       |  FROM mpairs m JOIN keys ka ON m.name_a = ka.p_name
+       |                JOIN keys kb ON m.name_b = kb.p_name
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM epairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM epairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "linkage_entity_clusters" ->
-      s"""WITH RECURSIVE names AS (
-         |  SELECT p_name FROM part GROUP BY p_name
-         |), keys AS (
-         |  SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS k FROM part GROUP BY p_name
-         |), blocked AS (
-         |  SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names
-         |), ok AS (
-         |  SELECT blk FROM blocked GROUP BY blk HAVING COUNT(*) <= $MaxBlock
-         |), vocab AS (
-         |  SELECT b.* FROM blocked b JOIN ok USING (blk)
-         |), mpairs AS (
-         |  SELECT a.p_name AS name_a, c.p_name AS name_b
-         |  FROM vocab a JOIN vocab c ON a.blk = c.blk AND a.p_name < c.p_name
-         |  WHERE levenshtein(a.p_name, c.p_name) <= $MaxEdit
-         |), epairs AS (
-         |  SELECT ka.k AS doc_a, kb.k AS doc_b
-         |  FROM mpairs m JOIN keys ka ON m.name_a = ka.p_name
-         |                JOIN keys kb ON m.name_b = kb.p_name
-         |), edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM epairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM epairs
-         |), reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-         |)
+      s"""WITH RECURSIVE $erReachSql
          |SELECT k2.p_name, r.src AS name_key,
          |       LEAST(r.src, MIN(r.dst)) AS entity_key
          |FROM reach r JOIN keys k2 ON k2.k = r.src
          |GROUP BY k2.p_name, r.src ORDER BY k2.p_name""".stripMargin,
+    "linkage_golden_record" ->
+      s"""WITH RECURSIVE $erReachSql, clus AS (
+         |  SELECT k2.p_name, LEAST(r.src, MIN(r.dst)) AS entity_key
+         |  FROM reach r JOIN keys k2 ON k2.k = r.src
+         |  GROUP BY k2.p_name, r.src
+         |), stats AS (
+         |  SELECT p_name, COUNT(*) AS cnt,
+         |         MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi
+         |  FROM part GROUP BY p_name
+         |), jj AS (
+         |  SELECT c.entity_key, c.p_name, s.cnt, s.lo, s.hi,
+         |         ROW_NUMBER() OVER (PARTITION BY c.entity_key
+         |                            ORDER BY s.cnt DESC, c.p_name) AS rk
+         |  FROM clus c JOIN stats s USING (p_name)
+         |)
+         |SELECT entity_key, MIN(CASE WHEN rk = 1 THEN p_name END) AS canonical_name,
+         |       CAST(COUNT(*) AS BIGINT) AS n_variants,
+         |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |       MIN(lo) AS min_price, MAX(hi) AS max_price
+         |FROM jj GROUP BY entity_key ORDER BY entity_key""".stripMargin,
     "text_fuzzy_join_blocked" ->
       s"""WITH names AS (
          |  SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY p_name

@@ -294,4 +294,31 @@ class LinkageSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("golden record: most-frequent survivorship, tie to name asc, merged evidence") {
+    // Same two planted entities as the cluster test, with prices:
+    // entity 0 = the acme trio where "acme steel" has TWO raw rows (it
+    // must survive by frequency); entity 3 = the transitive bolt chain
+    // where every name has one row (the tie must break to "aaaa bolt",
+    // the ascending-name rule). The singleton decoy stays absent.
+    val dir = java.nio.file.Files.createTempDirectory("graft-gold").toString
+    try {
+      Seq((10L, "acme steel", 5.0), (0L, "acme steel", 3.0),
+          (1L, "acmo steel", 7.0), (2L, "acmi steel", 4.0),
+          (3L, "aaaa bolt", 1.0), (4L, "aabb bolt", 9.0),
+          (5L, "bbbb bolt", 2.0), (6L, "unrelated widget", 8.0))
+        .toDF("p_partkey", "p_name", "p_retailprice")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      val got = LinkageQueries.linkageGoldenRecord(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+                   r.getDouble(4), r.getDouble(5)))
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+      assert(got.toSeq == Seq(
+        (0L, "acme steel", 3L, 4L, 3.0, 7.0),
+        (3L, "aaaa bolt", 3L, 3L, 1.0, 9.0)), got.toSeq.toString)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

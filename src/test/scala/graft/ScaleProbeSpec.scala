@@ -301,7 +301,21 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       // un-offset copy; the per-copy diagonal scrambles geometry, which
       // kmeans does not care about — any assignment is volume-identical).
       sym("sample_dsir_weights", graft.queries.SamplingQueries.sampleDsirWeights),
-      sym("emb_kmeans", SimilarityQueries.embKmeans))
+      sym("emb_kmeans", SimilarityQueries.embKmeans),
+      // round 14: the two r14-new iterated operators land WITH their
+      // scale points. PageRank rides the disjoint-copy tri sub-fixture
+      // (10 disjoint copies of the 1× graph, identical degrees, fixed 3
+      // rounds — every stage exactly 10×); BPE rides the salted docs:
+      // the corpus word count grows 10× while every merge round stays
+      // bounded by the 4096-word vocabulary cap.
+      sym("graph_pagerank",
+        (s, d) => graft.queries.LinkageQueries.graphPagerank(s, s"$d/tri")),
+      sym("text_bpe_train", TextQueries.textBpeTrain),
+      // round 14: ER survivorship rides the fuzzy sub-fixture like the
+      // joins it composes (vocabulary, blocks, matched entities all 10×;
+      // the merge adds one catalog aggregate + one vocab-scale join).
+      sym("linkage_golden_record",
+        (s, d) => graft.queries.LinkageQueries.linkageGoldenRecord(s, s"$d/fz")))
   }
 
   /** Entries whose plan legitimately contains a nested-loop join, so the
@@ -321,8 +335,11 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
     // sample_dsir_weights: the same 1-row totals scalar; emb_kmeans: the
     // k = 8 centroid cross join whose x8 expansion collapses in-stage
     // through the map-side-combined min(struct) argmin.
+    // text_bpe_train: one ≤ 1-row winner cross join per merge round
+    // (LIMIT-1 arg-max applied to the capped vocabulary) — rounds − 1
+    // BNLJ nodes, all over ≤ 4096-row inputs.
     Set("sim_ann_ivf", "text_tfidf_top_terms", "sample_temperature_mix",
-      "sample_dsir_weights", "emb_kmeans")
+      "sample_dsir_weights", "emb_kmeans", "text_bpe_train")
 
   /** One measured run: (wall seconds, [[Metrics.TaskWork]], plan-sane).
     * The query is CONSTRUCTED inside the metered block — the iterative
