@@ -159,8 +159,11 @@ object VolumeProbe {
         // job, captured by the runtime plan walk).
         "dedup_semdedup" -> 1,
         // bpe: one ≤ 1-row winner cross join per merge round, except the
-        // last round whose merge has no consumer and is never built.
-        "text_bpe_train" -> (graft.queries.TextQueries.BpeMerges - 1))
+        // last round whose merge has no consumer and is never built; the
+        // encode path consumes every winner, so it carries the full
+        // rounds of apply crosses on top of the rounds − 1 train merges.
+        "text_bpe_train" -> (graft.queries.TextQueries.BpeMerges - 1),
+        "text_bpe_encode" -> (2 * graft.queries.TextQueries.BpeMerges - 1))
       val triName = "graph_triangle_count"
       // PageRank rides the same disjoint-copy co-order fixture.
       val graphNames = Set(triName, "graph_pagerank")
@@ -441,6 +444,11 @@ object VolumeProbe {
           // ≤ linear; the rounds − 1 winner cross joins are ≤ 1-row
           // bounded (pinned below).
           sym("text_bpe_train", graft.queries.TextQueries.textBpeTrain),
+          // round 14: the apply path — merges fold over the DISTINCT-word
+          // table (vocabulary-scale, factor× distinct salted words), the
+          // corpus pays the word explode plus ONE occurrence→token-count
+          // equi join; 11 bounded crosses (5 train merges + 6 applies).
+          sym("text_bpe_encode", graft.queries.TextQueries.textBpeEncode),
           // round 10 (r9 verdict #1): the banded SimHash join, whose
           // 20-bit block-pair keys approach birthday saturation near the
           // 100× corpus (~500 k docs vs the (6,2) rule bound of ~140 k).

@@ -908,25 +908,47 @@ object TextQueries {
     * a stored map, /root/reference/src/dist_map.h:255-279. */
   val textBpeTrain: Q = (s, d) => textBpeTrainRounds(BpeMerges)(s, d)
 
-  /** [[textBpeTrain]] with an explicit round count — the spec dial. */
-  private[graft] def textBpeTrainRounds(rounds: Int): Q = (s, d) => {
+  /** The wrapped working representation of a word column: every symbol
+    * carries its own boundary markers (see [[BpeMark]]). */
+  private def bpeWrap(word: Column): Column = {
     val M = BpeMark
-    val MM = M + M
-    val wordCounts = Tables.documents(s, d)
+    concat(lit(M),
+      array_join(filter(split(word, ""), c => length(c) > 0), M + M),
+      lit(M))
+  }
+
+  /** One merge rule applied to a wrapped column — the literal
+    * non-overlapping left-to-right replace both engines share. */
+  private def bpeApply(w: Column, lhs: Column, rhs: Column): Column = {
+    val M = BpeMark
+    replace(w, concat(lit(M), lhs, lit(M + M), rhs, lit(M)),
+            concat(lit(M), lhs, rhs, lit(M)))
+  }
+
+  /** The per-doc (doc_id, word) stream both BPE queries read. */
+  private def bpeDocWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .filter(col("text").isNotNull)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "" && !col("word").contains(M))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains(BpeMark))
+
+  /** The trainer loop: runs `rounds` merge rounds over the capped word
+    * vocabulary and returns the per-round winner frames (each ≤ 1 row:
+    * lhs, rhs, pair_count). Each round's merged vocabulary is
+    * snapshotted — the winner references the current vocabulary too, so
+    * an un-snapshotted chain would double the plan round-over-round; the
+    * last round's merge has no consumer and is never built (rounds − 1
+    * cross joins total). */
+  private[graft] def bpeWinners(s: SparkSession, d: String,
+                                rounds: Int): Seq[DataFrame] = {
+    val MM = BpeMark + BpeMark
+    val vocab0 = bpeDocWords(s, d)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val vocab0 = wordCounts
       .orderBy(desc("cnt"), asc("word"))
       .limit(BpeVocabCap)
-      .select(
-        concat(lit(M),
-          array_join(filter(split(col("word"), ""), c => length(c) > 0), MM),
-          lit(M)).as("w"),
-        col("cnt"))
+      .select(bpeWrap(col("word")).as("w"), col("cnt"))
     var vocab = org.apache.spark.sql.graftx.Sessions.snapshot(vocab0)._2
-    var rules: DataFrame = null
+    val out = Seq.newBuilder[DataFrame]
     for (k <- 1 to rounds) {
       val syms = split(col("w").substr(lit(2), length(col("w")) - 2), MM)
       val winner = vocab
@@ -940,36 +962,74 @@ object TextQueries {
         .agg(sum(col("cnt")).as("pair_count"))
         .orderBy(desc("pair_count"), asc("lhs"), asc("rhs"))
         .limit(1)
-      val tagged = winner.withColumn("round", lit(k.toLong))
-      rules = if (rules == null) tagged else rules.unionByName(tagged)
-      // The merge: one ≤ 1-row cross join (hint-bounded by the Limit
-      // root) rewriting every word's working string. Snapshot cuts the
-      // round-over-round lineage: the winner references the CURRENT
-      // vocab too, so an un-snapshotted chain would double each round.
-      // The LAST round's merge has no consumer (only its rule row is
-      // output), so it is never built: rounds − 1 cross joins total.
+      out += winner
       if (k < rounds)
         vocab = org.apache.spark.sql.graftx.Sessions.snapshot(
           vocab.crossJoin(broadcast(winner.select(col("lhs"), col("rhs"))))
-            .select(
-              replace(col("w"),
-                concat(lit(M), col("lhs"), lit(MM), col("rhs"), lit(M)),
-                concat(lit(M), col("lhs"), col("rhs"), lit(M))).as("w"),
-              col("cnt")))._2
+            .select(bpeApply(col("w"), col("lhs"), col("rhs")).as("w"),
+                    col("cnt")))._2
     }
-    rules.select(col("round"), col("lhs"), col("rhs"), col("pair_count"))
+    out.result()
+  }
+
+  /** [[textBpeTrain]] with an explicit round count — the spec dial. */
+  private[graft] def textBpeTrainRounds(rounds: Int): Q = (s, d) =>
+    bpeWinners(s, d, rounds).zipWithIndex
+      .map { case (w, i) => w.withColumn("round", lit((i + 1).toLong)) }
+      .reduce(_ unionByName _)
+      .select(col("round"), col("lhs"), col("rhs"), col("pair_count"))
       .orderBy("round")
+
+  /** BPE tokenization — the APPLY path of [[textBpeTrain]]'s trained
+    * merge table (the pair is the PQ doctrine: encode + scan are both
+    * declared): every document's whitespace token count alongside its
+    * BPE token count after the trained merges. The merges fold over the
+    * DISTINCT-word table (tokenizing is a property of the word, not the
+    * occurrence), so the per-round replaces are vocabulary-scale; the
+    * corpus pays exactly the word explode (twice: the distinct and the
+    * per-doc stream — one tokenize feeding both) plus ONE equi join from
+    * occurrences to per-word token counts and one per-doc aggregate.
+    * Note the asymmetry a real tokenizer shares: merges are TRAINED on
+    * the capped vocabulary but APPLIED to every word. */
+  val textBpeEncode: Q = (s, d) => textBpeEncodeRounds(BpeMerges)(s, d)
+
+  /** [[textBpeEncode]] with an explicit round count — the spec dial. */
+  private[graft] def textBpeEncodeRounds(rounds: Int): Q = (s, d) => {
+    val MM = BpeMark + BpeMark
+    val winners = bpeWinners(s, d, rounds)
+    val docWords = bpeDocWords(s, d)
+    var words = docWords.select("word").distinct()
+      .select(col("word"), bpeWrap(col("word")).as("w"))
+    for (winner <- winners)
+      words = words
+        .crossJoin(broadcast(winner.select(col("lhs"), col("rhs"))))
+        .select(col("word"),
+                bpeApply(col("w"), col("lhs"), col("rhs")).as("w"))
+    val tokPerWord = words.select(col("word"),
+      size(split(col("w").substr(lit(2), length(col("w")) - 2), MM))
+        .cast("long").as("n_bpe"))
+    docWords.join(tokPerWord, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Oracle mirror of [[textBpeTrainRounds]]: the merge rounds unrolled
     * as CTE triples (pair counts → arg-max → merged vocabulary),
     * generated from the same constants the Spark loop reads. */
-  private def bpeOracleSql(rounds: Int): String = {
-    val mm = "chr(1) || chr(1)"
+  private val bpeMm = "chr(1) || chr(1)"
+
+  /** Oracle mirror of the [[bpeWinners]] loop: the shared CTE prefix —
+    * per-doc filtered words (`dwf`), word counts, capped wrapped
+    * vocabulary, then per round a (pair counts → arg-max → merged
+    * vocabulary) CTE triple — generated from the same constants the
+    * Spark loop reads, used verbatim by both BPE oracles so train and
+    * encode cannot drift. */
+  private def bpeTrainCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { k =>
       s"""p$k AS (
          |  SELECT s.syms[t.i] AS lhs, s.syms[t.i + 1] AS rhs, SUM(s.cnt) AS pair_count
-         |  FROM (SELECT string_split(substring(w, 2, length(w) - 2), $mm) AS syms, cnt
+         |  FROM (SELECT string_split(substring(w, 2, length(w) - 2), $bpeMm) AS syms, cnt
          |        FROM v${k - 1}) s,
          |       UNNEST(generate_series(1, len(s.syms) - 1)) AS t(i)
          |  GROUP BY 1, 2
@@ -977,31 +1037,64 @@ object TextQueries {
          |  SELECT CAST($k AS BIGINT) AS round, lhs, rhs, pair_count FROM p$k
          |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
          |), v$k AS (
-         |  SELECT replace(v.w, chr(1) || m.lhs || $mm || m.rhs || chr(1),
+         |  SELECT replace(v.w, chr(1) || m.lhs || $bpeMm || m.rhs || chr(1),
          |                 chr(1) || m.lhs || m.rhs || chr(1)) AS w, v.cnt
          |  FROM v${k - 1} v, m$k m
          |)""".stripMargin
     }.mkString(", ")
-    val union = (1 to rounds).map(k => s"SELECT * FROM m$k")
-      .mkString(" UNION ALL ")
-    s"""WITH words AS (
-       |  SELECT word, COUNT(*) AS cnt FROM (
-       |    SELECT UNNEST(${wordsSql.format("text")}) AS word
+    s"""dwf AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, UNNEST(${wordsSql.format("text")}) AS word
        |    FROM documents WHERE text IS NOT NULL)
        |  WHERE NOT contains(word, chr(1))
-       |  GROUP BY word
+       |), words AS (
+       |  SELECT word, COUNT(*) AS cnt FROM dwf GROUP BY word
        |), v0 AS (
        |  SELECT chr(1) || array_to_string(
        |           list_transform(generate_series(1, length(word)), i -> word[i]),
-       |           $mm) || chr(1) AS w, cnt
+       |           $bpeMm) || chr(1) AS w, cnt
        |  FROM (SELECT word, cnt FROM words ORDER BY cnt DESC, word LIMIT $BpeVocabCap)
-       |), $roundCtes
+       |), $roundCtes""".stripMargin
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val union = (1 to rounds).map(k => s"SELECT * FROM m$k")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainCtes(rounds)}
        |SELECT round, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
        |FROM ($union) ORDER BY round""".stripMargin
   }
 
+  /** Oracle mirror of [[textBpeEncodeRounds]]: the train prefix, then the
+    * merge chain folded over the DISTINCT-word table (`u` CTEs) and the
+    * occurrence join + per-doc aggregate. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val applyCtes = (1 to rounds).map { k =>
+      s"""u$k AS (
+         |  SELECT u.word, replace(u.w, chr(1) || m.lhs || $bpeMm || m.rhs || chr(1),
+         |                 chr(1) || m.lhs || m.rhs || chr(1)) AS w
+         |  FROM u${k - 1} u, m$k m
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${bpeTrainCtes(rounds)}, u0 AS (
+       |  SELECT word, chr(1) || array_to_string(
+       |           list_transform(generate_series(1, length(word)), i -> word[i]),
+       |           $bpeMm) || chr(1) AS w
+       |  FROM (SELECT DISTINCT word FROM dwf)
+       |), $applyCtes, tok AS (
+       |  SELECT word,
+       |         CAST(len(string_split(substring(w, 2, length(w) - 2), $bpeMm)) AS BIGINT) AS n_bpe
+       |  FROM u$rounds
+       |)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(t.n_bpe) AS BIGINT) AS n_bpe_tokens
+       |FROM dwf d JOIN tok t USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "text_bpe_train" -> textBpeTrain,
+    "text_bpe_encode" -> textBpeEncode,
     "text_ngram_novelty" -> textNgramNovelty,
     "text_vocab_coverage" -> textVocabCoverage,
     "text_dup_span_ratio" -> textDupSpanRatio,
@@ -1033,6 +1126,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> bpeOracleSql(BpeMerges),
+    "text_bpe_encode" -> bpeEncodeOracleSql(BpeMerges),
     "text_lm_fluency" ->
       s"""WITH dw AS (
         |  SELECT doc_id, ${wordsSql.format("text")} AS w FROM documents

@@ -90,6 +90,52 @@ class BpeSpec extends SparkSpec {
     assert(got == refBpe(words, 2))
   }
 
+  /** Reference tokenizer: apply the trained rules in round order. */
+  private def refEncode(words: Map[String, Long], rounds: Int): Map[String, Int] = {
+    val rules = refBpe(words, rounds).map(r => (r._2, r._3))
+    words.keysIterator.map { w =>
+      var syms = w.map(_.toString).toVector
+      rules.foreach { case (l, r) => syms = mergeLR(syms, l, r) }
+      w -> syms.length
+    }.toMap
+  }
+
+  test("encode: per-doc BPE token counts match the reference apply path") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val dir = plant(words)
+    val enc = refEncode(words, 6)
+    // plant() writes one single-word doc per occurrence, in sorted-word
+    // order — so each doc's expected count is its word's encoded length.
+    val docs = words.toSeq.sortBy(_._1).flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w)
+    }
+    val got = TextQueries.textBpeEncodeRounds(6)(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+                 r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))
+    assert(got.length == docs.length)
+    got.foreach { case (id, nw, nb) =>
+      assert(nw == 1L)
+      assert(nb == enc(docs(id.toInt)).toLong,
+        s"doc $id (${docs(id.toInt)}): got $nb, want ${enc(docs(id.toInt))}")
+    }
+    // BPE merging never splits: counts are in [1, word length], and at
+    // least one word actually compressed under 6 merges.
+    assert(got.exists { case (id, _, nb) => nb < docs(id.toInt).length })
+  }
+
+  test("encode: multi-word docs sum their words' encoded lengths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-mw").toString
+    // "ab ab cd" and "ab" — (a,b) wins round 1 (count 3), so doc 0
+    // encodes to 2·1 + 2 = 4 BPE tokens over 3 words, doc 1 to 1 over 1.
+    Seq((0L, "ab ab cd", "en", "s0", 8L), (1L, "ab", "en", "s0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.textBpeEncodeRounds(1)(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+                 r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toSeq
+    assert(got == Seq((0L, 3L, 4L), (1L, 1L, 1L)), got.toString)
+  }
+
   test("declared rounds on the fixture corpus: full rule table, positive counts") {
     val rows = SparkEntry.queries("text_bpe_train")(spark, sfDir).collect()
     assert(rows.length == TextQueries.BpeMerges, rows.length.toString)

@@ -311,6 +311,7 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       sym("graph_pagerank",
         (s, d) => graft.queries.LinkageQueries.graphPagerank(s, s"$d/tri")),
       sym("text_bpe_train", TextQueries.textBpeTrain),
+      sym("text_bpe_encode", TextQueries.textBpeEncode),
       // round 14: ER survivorship rides the fuzzy sub-fixture like the
       // joins it composes (vocabulary, blocks, matched entities all 10×;
       // the merge adds one catalog aggregate + one vocab-scale join).
@@ -337,9 +338,11 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
     // through the map-side-combined min(struct) argmin.
     // text_bpe_train: one ≤ 1-row winner cross join per merge round
     // (LIMIT-1 arg-max applied to the capped vocabulary) — rounds − 1
-    // BNLJ nodes, all over ≤ 4096-row inputs.
+    // BNLJ nodes, all over ≤ 4096-row inputs; the encode path adds one
+    // ≤ 1-row apply cross per round over the distinct-word table.
     Set("sim_ann_ivf", "text_tfidf_top_terms", "sample_temperature_mix",
-      "sample_dsir_weights", "emb_kmeans", "text_bpe_train")
+      "sample_dsir_weights", "emb_kmeans", "text_bpe_train",
+      "text_bpe_encode")
 
   /** One measured run: (wall seconds, [[Metrics.TaskWork]], plan-sane).
     * The query is CONSTRUCTED inside the metered block — the iterative
