@@ -166,4 +166,66 @@ class PlanShapeSpec extends SparkSpec {
         s"the vec_id exchange key is not a bare attribute: ${h.expressions.head.sql}")
     }
   }
+
+  test("graph_pagerank: exactly one dst-keyed rank exchange per round, no nested loops") {
+    // Each power-iteration round is ONE destination aggregate — its
+    // exchange is the round's entire shuffle. A second dst exchange per
+    // round (a lost partial-agg, a sort sneaking in) or any nested-loop
+    // node would be the volume regression the probe only catches at
+    // probe time; this pins it on every build.
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val ps = nodes(planOf("graph_pagerank"))
+    val dstExchanges = ps.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning
+    }.collect {
+      case h: HashPartitioning
+        if h.expressions.sizeIs == 1 && h.expressions.head.collectFirst {
+          case a: AttributeReference if a.name == "dst" => a
+        }.isDefined => h
+    }
+    assert(dstExchanges.size == graft.queries.LinkageQueries.PrIters,
+      s"expected ${graft.queries.LinkageQueries.PrIters} rank-update exchanges, " +
+        s"found ${dstExchanges.size}")
+    val nested = ps.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nested.isEmpty, s"pagerank plans ${nested.size} nested-loop node(s)")
+    val sorts = ps.collect { case s: SortAggregateExec => s }
+    assert(sorts.isEmpty, "the rank aggregate regressed to SortAggregate")
+  }
+
+  test("text_bpe_train: the declared frame never re-enters the corpus") {
+    // Every merge round runs over the snapshotted vocabulary; the one
+    // corpus scan lives inside the FIRST snapshot's own materialization
+    // job. A FileSourceScan in the MAIN plan means a round started
+    // re-reading documents — the vocabulary-scale loop contract broken.
+    val ps = nodes(planOf("text_bpe_train"))
+    val scans = ps.collect { case f: FileSourceScanExec => f }
+    assert(scans.isEmpty,
+      s"bpe train's main plan carries ${scans.size} file scan(s) — rounds must " +
+        "read only vocabulary snapshots")
+    val argmaxes = ps.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+        if t.limit == 1 => t
+    }
+    assert(argmaxes.size == graft.queries.TextQueries.BpeMerges,
+      s"expected ${graft.queries.TextQueries.BpeMerges} LIMIT-1 arg-max nodes, " +
+        s"found ${argmaxes.size}")
+  }
+
+  test("text_bpe_encode: the apply chain is exactly rounds bounded crosses") {
+    // The merge fold over the distinct-word table is rounds ≤ 1-row
+    // broadcast crosses in the MAIN plan (the train merges live in the
+    // snapshots). More means a duplicated chain; fewer means a merge
+    // silently dropped — both invisible to correctness on a corpus
+    // whose later merges happen not to fire.
+    val ps = nodes(planOf("text_bpe_encode"))
+    val crosses = ps.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(crosses.size == graft.queries.TextQueries.BpeMerges,
+      s"expected ${graft.queries.TextQueries.BpeMerges} apply crosses, " +
+        s"found ${crosses.size}")
+  }
 }
