@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PageRank
+import graft.queries.LinkageQueries
+
+/** Run-to-convergence PageRank ([[PageRank.iterate]]) against an exact
+  * sequential reference of the same integer update — the KMeansSpec
+  * doctrine: the declared `graph_pagerank` oracle pins the 3-round
+  * update semantics cross-engine; this pins the DRIVER LOOP (round
+  * counting, the tol exit, introspection fields) on a closed-form
+  * trajectory the test computes itself.
+  */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference: the exact integer update to the tol fixpoint.
+    * Returns (final ranks, rounds) with the same round-counting rule as
+    * the driver loop — the exit check runs AFTER the round applies. */
+  private def refIterate(adj: Map[Long, Seq[Long]], tol: Long,
+                         maxRounds: Int): (Map[Long, Long], Int) = {
+    val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+    var r = adj.keysIterator.map(_ -> 1000000L).toMap
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val next = adj.map { case (v, ns) =>
+        val s = ns.iterator.map(u => Math.floorDiv(r(u), deg(u))).sum
+        v -> (150000L + Math.floorDiv(85L * s, 100L))
+      }
+      converged = adj.keysIterator.forall(v => math.abs(next(v) - r(v)) <= tol)
+      r = next
+      round += 1
+    }
+    (r, round)
+  }
+
+  test("planted path graph: loop matches the sequential reference to the fixpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-priter").toString
+    val baskets = Seq(
+      100L -> Seq(1L, 2L), 101L -> Seq(1L, 2L),
+      102L -> Seq(2L, 3L), 103L -> Seq(2L, 3L))
+    val rows = for ((o, ps) <- baskets; p <- ps) yield (o, p)
+    rows.toDF("l_orderkey", "l_partkey")
+      .withColumn("l_shipdate", to_timestamp_ntz(lit("2020-01-01")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    val tol = 20000L
+    val (want, wantRounds) = refIterate(adj, tol, 60)
+    val got = PageRank.iterate(
+        LinkageQueries.coOrderPairs(spark, dir), tol = tol, loopParts = 2)
+      .collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("pagerank"), r.getAs[Long]("degree"))).toMap
+    org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+    assert(PageRank.lastConverged, "loop hit the round cap on a 3-node graph")
+    assert(PageRank.lastRounds == wantRounds,
+      s"rounds ${PageRank.lastRounds} != reference $wantRounds")
+    assert(got.view.mapValues(_._1).toMap == want,
+      s"ranks $got != reference $want")
+    assert(got(2L)._2 == 2L && got(1L)._2 == 1L && got(3L)._2 == 1L)
+    // the contraction argument in the scaladoc: the tol exit engaged
+    // well under the cap
+    assert(PageRank.lastRounds < 40, PageRank.lastRounds.toString)
+  }
+
+  test("fixture graph: converges, conserves rank mass up to floor loss") {
+    val out = PageRank.iterate(
+        LinkageQueries.coOrderPairs(spark, sfDir), tol = 5000L)
+      .agg(count(lit(1)).as("n"), sum(col("pagerank")).as("mass"))
+      .collect().head
+    org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+    assert(PageRank.lastConverged, "fixture graph did not converge in 60 rounds")
+    val (n, mass) = (out.getAs[Long]("n"), out.getAs[Long]("mass"))
+    assert(n > 0)
+    // The damped update conserves total mass at the fixpoint (teleport
+    // injects (1−d)·N·S per round, the contribution term retains d of
+    // the total); integer floors only LOSE mass, never mint it.
+    assert(mass <= n * 1000000L, s"mass $mass exceeds $n x scale")
+    assert(mass >= (n * 1000000L * 9L) / 10L,
+      s"mass $mass lost more than 10% to floors on $n nodes")
+  }
+}
