@@ -165,8 +165,10 @@ object VolumeProbe {
         "text_bpe_train" -> (graft.queries.TextQueries.BpeMerges - 1),
         "text_bpe_encode" -> (2 * graft.queries.TextQueries.BpeMerges - 1))
       val triName = "graph_triangle_count"
-      // PageRank rides the same disjoint-copy co-order fixture.
-      val graphNames = Set(triName, "graph_pagerank")
+      // PageRank (declared fixed-round + convergence-loop facade) rides
+      // the same disjoint-copy co-order fixture.
+      val prIterName = "pagerank_iterate"
+      val graphNames = Set(triName, "graph_pagerank", prIterName)
       val fuzzyName = "text_fuzzy_join_blocked"
       val fuzzyMultiName = "text_fuzzy_join_multikey"
       // The entity-cluster composition rides the same part fixture as
@@ -647,7 +649,23 @@ object VolumeProbe {
             (s: SparkSession, dd: String) =>
               graft.operators.KMeans.lloyd(
                 s.read.parquet(s"$dd/kml/embeddings.parquet"),
-                k = 2, dims = 64, loopParts = partsN, maxRounds = 40)))
+                k = 2, dims = 64, loopParts = partsN, maxRounds = 40)),
+          // round 14: the PageRank convergence loop on the co-order
+          // fixture — rounds are set by the damping contraction
+          // (~log(dR0/tol)/log(1/0.85)), NOT graph size, so the entry
+          // gates rounds FLAT across arms (+2 floor slack) while
+          // records/joinrows normalize by the measured count; the loop
+          // must converge at both arms (exit-on-cap would silently
+          // shrink the normalizer).
+          (prIterName,
+            (s: SparkSession, dd: String) =>
+              graft.operators.PageRank.iterate(
+                graft.queries.LinkageQueries.coOrderPairs(s, s"$dd/tri"),
+                tol = 1000L, loopParts = cpus.toInt),
+            (s: SparkSession, dd: String) =>
+              graft.operators.PageRank.iterate(
+                graft.queries.LinkageQueries.coOrderPairs(s, s"$dd/tri"),
+                tol = 1000L, loopParts = partsN)))
           .filter(t => wanted(t._1))
       }
 
@@ -675,10 +693,14 @@ object VolumeProbe {
         val rounds1 = graft.operators.Components.lastRounds
         val kmRounds1 = graft.operators.KMeans.lastRounds
         val kmConv1 = graft.operators.KMeans.lastConverged
+        val prRounds1 = graft.operators.PageRank.lastRounds
+        val prConv1 = graft.operators.PageRank.lastConverged
         val (wN, kN, plansN) = measure(qN, dirN, partsN)
         val roundsN = graft.operators.Components.lastRounds
         val kmRoundsN = graft.operators.KMeans.lastRounds
         val kmConvN = graft.operators.KMeans.lastConverged
+        val prRoundsN = graft.operators.PageRank.lastRounds
+        val prConvN = graft.operators.PageRank.lastConverged
         // Entries whose DECLARED plan carries bounded nested-loop joins
         // (the exact-allowlisted <= k-row broadcast cross joins: kmeans
         // centroid tables, dsir's scalar totals row) get the bounded
@@ -1071,6 +1093,24 @@ object VolumeProbe {
         // per round (the ≤ k-row centroid table), no Cartesian, and the
         // loop must actually CONVERGE at both arms (an exit-on-cap would
         // silently cap the normalizer).
+        if (name == prIterName && prRounds1 > 0 && prRoundsN > 0) {
+          val roundScale = prRoundsN.toDouble / prRounds1
+          recOk = kN.shuffleRecordsRead.toDouble <=
+            2.0 * factor * roundScale * math.max(k1.shuffleRecordsRead, 10000L)
+          joinOk = kN.joinOutputRows.toDouble <=
+            2.0 * factor * roundScale * math.max(k1.joinOutputRows, 10000L)
+          customRecGate = true
+          customJoinGate = true
+          // The contraction bound: rounds-to-tol depend on damping and
+          // tol only; +2 absorbs integer-floor wobble near the fixpoint.
+          val roundsOk = prRoundsN <= prRounds1 + 2
+          entryExtraOk = roundsOk && prConv1 && prConvN
+          extra ++= s""""rounds_1x":$prRounds1,"rounds_${factor}x":$prRoundsN,"""
+          extra ++= s""""converged_1x":$prConv1,"converged_${factor}x":$prConvN,"""
+          extra ++= s""""gate_rounds":$roundsOk,"""
+          extra ++= s""""records_gate":"records<=2x_linear_per_round","""
+          extra ++= s""""joinrows_gate":"joinrows<=2x_linear_per_round","""
+        }
         if (name == kmlName && kmRounds1 > 0 && kmRoundsN > 0) {
           val roundScale = kmRoundsN.toDouble / kmRounds1
           recOk = kN.shuffleRecordsRead.toDouble <=
