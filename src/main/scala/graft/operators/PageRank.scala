@@ -88,6 +88,19 @@ object PageRank {
               lit(PrDampNum) * sum(floorDiv(col("r"), col("deg"))),
               PrDampDen)).as("r"))
             .select(col("dst").as("p"), col("r")))
+        // TRUE lineage cut, not just a logical-plan cut: a snapshot's
+        // RDD still carries the previous round's RDD in its dependency
+        // OBJECT graph, and at ~50 rounds (this loop's tol depth —
+        // Components/KMeans converge in ≤ 12) the serialized task
+        // binary's recursive object graph overflows the executor's
+        // deserialization stack (measured: StackOverflowError in
+        // ObjectInputStream at the 100× probe arm). localCheckpoint
+        // truncates the dependency graph at the round's first action —
+        // the GraphX periodic-checkpoint practice; a cluster deployment
+        // would use reliable checkpointing for executor-loss tolerance.
+        // The truncated prev is never re-executed after its unpersist
+        // (the output reads only the FINAL table, still cached).
+        nextRdd.localCheckpoint()
         inFlight = nextRdd
         // The ONE action of the round: materialize the new rank table
         // and count nodes still moving more than tol, in the same job.
