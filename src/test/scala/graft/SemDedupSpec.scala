@@ -99,4 +99,36 @@ class SemDedupSpec extends SparkSpec {
       }
     } finally rmTree(dir)
   }
+
+  test("the tau dial: a cos≈0.707 pair drops at tau=0.3 but survives the paper's tau=0.95") {
+    // Fixture: protos 0..2 (seeds; r = ceil(sqrt(4)) = 2 supers), a
+    // half-overlap vector 100 (dims 0..15 = 1.0: cos ≈ 0.707 against
+    // proto 0 — BETWEEN the two thresholds), and a true near-dup 101 of
+    // proto 0 (1 millunit off: cos ≈ 1 > 0.95). All land in cell 0
+    // except protos 1/2. At the declared τ = 0.95 only the (0, 101)
+    // pair qualifies — 0 drops (cdist 0 < 1, keep-farthest), 100 is
+    // KEPT despite its 0.707 cosine. At the round-14 τ = 0.3 vector 100
+    // joins the clique as its farthest member (cdist 8e6) and becomes
+    // the sole survivor: 101 now ALSO drops.
+    val rows = Seq(
+      (0L, proto(0)), (1L, proto(1)), (2L, proto(2)),
+      (100L, (0 until 64).map(i => if (i < 16) 1.0f else 0.0f).toSeq),
+      (101L, perturb(proto(0), 0, 1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdd3").toString
+    try {
+      rows.toDF("vec_id", "embedding").withColumn("label", lit("t"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val hi = graft.queries.DedupQueries.dedupSemdedupCells(4)(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+      assert(hi == Map(0L -> false, 1L -> true, 2L -> true,
+        100L -> true, 101L -> true), s"tau=0.95 verdicts: $hi")
+      val lo = graft.queries.DedupQueries
+        .dedupSemdedupCellsTau(4, 9L, 100L)(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+      assert(lo == Map(0L -> false, 1L -> true, 2L -> true,
+        100L -> true, 101L -> false), s"tau=0.3 verdicts: $lo")
+    } finally rmTree(dir)
+  }
 }
