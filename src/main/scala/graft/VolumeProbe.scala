@@ -123,6 +123,7 @@ object VolumeProbe {
           "emb_kmeans", "emb_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk",
           "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk",
           "sim_ivfpq_rerank_topk", "sim_ivfpq_nprobe_topk",
+          "sim_ivfpq_clustered_topk",
           "emb_pq_trained_codes", "dedup_semdedup")
       // The lloyd loop's planted-chain fixture (see below) — its own
       // corpus, not the embeddings fixture.
@@ -154,6 +155,11 @@ object VolumeProbe {
         // cross) — the refine stage adds equi joins only; nprobe=2 is
         // the same index plan with a wider routing filter.
         "sim_ivfpq_rerank_topk" -> 1, "sim_ivfpq_nprobe_topk" -> 1,
+        // clustered: same plan as sim_ivfpq_topk with the codes side
+        // read from the pre-ensured cell-partitioned catalog table —
+        // the one routing cross remains (the table write happens in
+        // fixture setup, outside the measured run).
+        "sim_ivfpq_clustered_topk" -> 1,
         // semdedup's two bounded crosses are the two routing levels of
         // the two-level assignment (round-15: the ≤ r-row super table
         // against the corpus — level 1 — and against the ≤ k-row cell
@@ -235,6 +241,16 @@ object VolumeProbe {
                 .otherwise(x)).as("embedding"),
             col("label"))
           .write.mode("overwrite").parquet(s"$dirN/embeddings.parquet")
+      }
+
+      // Pre-ensure the cell-partitioned codes tables for the clustered
+      // IVFADC entry so the MEASURED run reads the catalog table only —
+      // the one-time partitioned write is ingest (fixture setup), not
+      // the retrieval plan the gates are about (the bucketedFacts
+      // doctrine: layout is paid at ingest, amortized over queries).
+      if (wanted("sim_ivfpq_clustered_topk")) {
+        SimilarityQueries.ivfpqCodesTable(spark, dir1)
+        SimilarityQueries.ivfpqCodesTable(spark, dirN)
       }
 
       // Dense-id embedding fixture for the semdedup cells dial (the
@@ -632,6 +648,17 @@ object VolumeProbe {
           // routed list below carries (probe, cell) pairs, so the
           // expected-mass computation is nprobe-generic already).
           sym("sim_ivfpq_nprobe_topk", SimilarityQueries.simIvfPqNprobeTopk),
+          // round 15 (r14 verdict #3): the clustered-scan IVFADC — the
+          // codes side reads the cell-PARTITIONED catalog table
+          // pre-ensured in fixture setup; same blanket + scan-isolation
+          // arms as sim_ivfpq_topk (the entry block below picks the
+          // table-backed codes by name). File-level pruning itself is
+          // PartitionPruningSpec's pin (DPP's size heuristic needs
+          // deployment-scale asymmetry the fixture can't fake here);
+          // this entry gates that the table-backed scan keeps the
+          // join-level probed-cell bound and linear volumes.
+          sym("sim_ivfpq_clustered_topk",
+            SimilarityQueries.simIvfPqClusteredTopk),
           // round 14: the trained-codebook PQ encode — three corpus
           // passes (two Lloyd rounds + the final encode), each an EQUI
           // broadcast-hash join on the subspace index collapsed by the
@@ -942,6 +969,9 @@ object VolumeProbe {
                 SimilarityQueries.ivfpqTrainedIndex(spark, dir)
               else if (name == "sim_ivfpq_nprobe_topk")
                 SimilarityQueries.ivfpqIndexNprobe(spark, dir, 2)
+              else if (name == "sim_ivfpq_clustered_topk")
+                (SimilarityQueries.ivfpqCodesTable(spark, dir),
+                  SimilarityQueries.ivfpqIndex(spark, dir)._2)
               else SimilarityQueries.ivfpqIndex(spark, dir)
             val (cRdd, codesSnap) = Sessions.snapshot(codes)
             val (tRdd, tabSnap) = Sessions.snapshot(scanTab)

@@ -79,6 +79,7 @@ object PageRank {
     var round = 0
     var converged = false
     var inFlight: org.apache.spark.rdd.RDD[_] = null
+    var fin: DataFrame = null
     try {
       while (round < maxRounds && !converged) {
         val (nextRdd, next) = Sessions.snapshot(
@@ -118,16 +119,35 @@ object PageRank {
       }
       lastRounds = round
       lastConverged = converged
+      // Attach the degree column and MATERIALIZE the final node-scale
+      // table while the out-edge invariant is still cached (round-14
+      // ADVICE: the returned plan referenced `nodes` — derived from the
+      // snapshot the finally block below releases — so the caller's
+      // FIRST action silently re-ran the corpus-scale basket expansion,
+      // pair aggregate, and degree join from full lineage, paying the
+      // most expensive stage twice). The count() is one node-scale job
+      // over two cached tables; after it, every loop RDD — including
+      // the localCheckpointed final rank table, now subsumed — is
+      // released here rather than left to the caller.
+      val (fRdd, f0) = Sessions.snapshot(
+        prev.join(nodes, "p")
+          .select(col("p").as("p_partkey"), col("r").as("pagerank"),
+                  col("deg").as("degree")))
+      f0.count()
+      fin = f0
+      // The final rank table's data lives on in `fin`; drop its
+      // checkpointed RDD now so the registry never holds a
+      // non-recomputable snapshot past iterate()'s return (the
+      // Sessions.releaseSnapshots caveat applies to `fin` itself —
+      // see that scaladoc — but not to any checkpoint block).
+      prevRdd.unpersist(blocking = false)
     } finally {
       if ((inFlight != null) && (inFlight ne prevRdd))
         inFlight.unpersist(blocking = false)
       pRdd.unpersist(blocking = false)
       oeRdd.unpersist(blocking = false)
     }
-    Sessions.rebind(
-      prev.join(nodes, "p")
-        .select(col("p").as("p_partkey"), col("r").as("pagerank"),
-                col("deg").as("degree")),
-      parent).orderBy(desc("pagerank"), asc("p_partkey"))
+    Sessions.rebind(fin, parent)
+      .orderBy(desc("pagerank"), asc("p_partkey"))
   }
 }

@@ -141,6 +141,18 @@ object Sessions {
     * already unpersist their own handles (Components): RDD.unpersist on an
     * uncached RDD is a no-op.
     *
+    * RE-EXECUTION CAVEAT (round-14 ADVICE): "a released frame
+    * re-executed later recomputes from lineage" holds only for
+    * snapshots whose physical lineage is intact. A snapshot whose
+    * internal RDD — or an ANCESTOR in its dependency graph — was
+    * `localCheckpoint()`ed (the deep-loop discipline, see
+    * PageRank.iterate) has that lineage deliberately truncated:
+    * after release, re-executing such a frame throws
+    * (checkpoint block not found) instead of recomputing. Deep-loop
+    * results must therefore be consumed (collected / written) BEFORE
+    * releaseSnapshots; every declared query's Verify/Bench path does
+    * exactly that.
+    *
     * HARNESS-SCOPED, single-threaded by contract: the registry is
     * JVM-global, so a release while another query is mid-flight would
     * unpersist THAT query's in-flight snapshots too — still correct

@@ -63,6 +63,14 @@ class BroadcastGuardSpec extends SparkSpec {
         "(distance tables x routing = <= |probes| * 32 = 160 rows); the " +
         "cell-centroid broadcast is PROVEN (label-grouped aggregate). " +
         "All four sit over corpus scans, invisible to the root rules"),
+    "sim_ivfpq_clustered_topk" -> (3,
+      "sim_ivfpq_topk's bounds minus one: the codes side reads the " +
+        "cell-partitioned CATALOG table (no hint, DPP-pruned scan), so " +
+        "only the scan-table build remains — seed codebooks (<= 32 rows, " +
+        "hinted once: the distance-table build; the code-assignment hint " +
+        "lives inside the persisted table's one-time write), the " +
+        "probe-to-cell routing (<= |probes| rows), and the scan table " +
+        "(<= |probes| * 32 = 160 rows)"),
     "sim_ann_lsh" -> (2,
       "probe set: vec_id < 5 over the unique vec_id key — <= 5 probes; " +
         "the multi-probe fan-out adds NTables*(1+nPlanes) rows per probe"),

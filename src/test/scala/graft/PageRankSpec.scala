@@ -65,6 +65,49 @@ class PageRankSpec extends SparkSpec {
     assert(PageRank.lastRounds < 40, PageRank.lastRounds.toString)
   }
 
+  test("rounds are flat across fixture scales (the contraction bound, CI-resident)") {
+    // The scaladoc's claim (PageRank.scala: rounds-to-tol is
+    // ~log(dR0/tol)/log(1/d), bounded by the DAMPING constant, not the
+    // graph size) as a spec-pinned number at 10x (round-14 verdict #7):
+    // the same planted path graph at 1x and as 10 disjoint copies —
+    // the volume probe's own fixture convention, which grows the node
+    // count 10x while holding the spectral structure fixed, exactly
+    // what the contraction argument says rounds depend on. Rounds must
+    // be IDENTICAL, not merely close.
+    def fixture(copies: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft-prflat$copies").toString
+      val baskets = Seq(
+        100L -> Seq(1L, 2L), 101L -> Seq(1L, 2L),
+        102L -> Seq(2L, 3L), 103L -> Seq(2L, 3L))
+      val rows = for {
+        c <- 0 until copies
+        (o, ps) <- baskets
+        p <- ps
+      } yield (o + c * 1000L, p + c * 1000L)
+      rows.toDF("l_orderkey", "l_partkey")
+        .withColumn("l_shipdate", to_timestamp_ntz(lit("2020-01-01")))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    val tol = 20000L
+    def roundsAt(copies: Int): (Int, Long) = {
+      val n = PageRank.iterate(
+          LinkageQueries.coOrderPairs(spark, fixture(copies)),
+          tol = tol, loopParts = 2)
+        .count()
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+      assert(PageRank.lastConverged, s"copies=$copies hit the round cap")
+      (PageRank.lastRounds, n)
+    }
+    val (r1, n1) = roundsAt(1)
+    val (r10, n10) = roundsAt(10)
+    assert(n10 == 10 * n1, s"fixture scaling broken: $n1 -> $n10 nodes")
+    assert(r10 == r1,
+      s"rounds grew with corpus size: $r1 at 1x, $r10 at 10x — " +
+        "the contraction bound does not hold")
+  }
+
   test("fixture graph: converges, conserves rank mass up to floor loss") {
     val out = PageRank.iterate(
         LinkageQueries.coOrderPairs(spark, sfDir), tol = 5000L)

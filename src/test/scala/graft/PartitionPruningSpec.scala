@@ -50,4 +50,74 @@ class PartitionPruningSpec extends SparkSpec {
     assert(pruned.orderBy("o_orderpriority").collect().toSeq ==
       expected.orderBy("o_orderpriority").collect().toSeq)
   }
+
+  test("clustered IVFPQ scan reads only the probed cells (dynamic partition pruning)") {
+    import graft.queries.SimilarityQueries
+    // Materialize (or reuse) the cell-partitioned codes table, then run
+    // the declared clustered scan. The ADC join keys on the partition
+    // column (cell === pcell) against the broadcast scan table, so
+    // Spark's dynamic partition pruning must restrict the FILES read to
+    // the probed cells — the scaladoc's "non-probed cells are never read
+    // at all", measured (round-14 verdict #3).
+    val codes = SimilarityQueries.ivfpqCodesTable(spark, sfDir)
+    val nCells = codes.select("cell").distinct().count()
+    assert(nCells > 1, "fixture has one cell; pruning test is vacuous")
+    val probedCells = {
+      val (_, scanTab) = SimilarityQueries.ivfpqIndexNprobe(spark, sfDir, 1)
+      scanTab.select("pcell").distinct().count()
+    }
+    assert(probedCells < nCells,
+      s"all $nCells cells probed; pruning test is vacuous")
+
+    // Two fixture-scale knobs, both restored below. DPP's benefit
+    // heuristic is SIZE-driven (prune-side bytes × filter ratio vs the
+    // filtering subquery's cost) and the fixture inverts deployment
+    // sizes — a 500-row codes table vs a corpus-aggregate routing plan —
+    // so the ratio knob stands in for the 100 TB asymmetry (codes =
+    // the multi-TB side, routing = centroid stats + 5 probes). And the
+    // broadcast-reuse matcher cannot pair the hint-forced scan-table
+    // broadcast with DPP's re-planned build subtree, so the pruning
+    // subquery must be allowed to run standalone — at deployment one
+    // extra routing evaluation against a multi-TB scan saved.
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100000")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val out = SimilarityQueries.simIvfPqClusteredTopk(spark, sfDir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      val scans = out.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("graft_ivfpq_codes_")) => s
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec over the codes table")
+      val scan = scans.head
+      // The pruning filter must be DYNAMIC (planted by the DPP rule from
+      // the join key, not a static literal filter).
+      assert(scan.partitionFilters.exists(
+        _.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+        s"no dynamic pruning filter on the codes scan: ${scan.partitionFilters}")
+      // And it must have ENGAGED: partitions read = the probes' routed
+      // cells (∝ nprobe), strictly fewer than |cells|.
+      val partsRead = scan.metrics("numPartitions").value
+      assert(partsRead == probedCells,
+        s"read $partsRead cell partitions, probes route to $probedCells")
+      assert(partsRead < nCells,
+        s"read all $nCells cells — pruning did not engage")
+      // Correctness: identical output to the inline-index declared twin.
+      val inline = SimilarityQueries.simIvfPqTopk(spark, sfDir).collect()
+      assert(rows.toSeq == inline.toSeq,
+        "clustered scan diverges from the inline-index result")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
 }
