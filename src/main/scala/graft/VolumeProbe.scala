@@ -123,7 +123,7 @@ object VolumeProbe {
           "emb_kmeans", "emb_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk",
           "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk",
           "sim_ivfpq_rerank_topk", "sim_ivfpq_nprobe_topk",
-          "sim_ivfpq_clustered_topk",
+          "sim_ivfpq_clustered_topk", "sim_ivfpq_full_trained_topk",
           "emb_pq_trained_codes", "dedup_semdedup")
       // The lloyd loop's planted-chain fixture (see below) — its own
       // corpus, not the embeddings fixture.
@@ -160,6 +160,12 @@ object VolumeProbe {
         // the one routing cross remains (the table write happens in
         // fixture setup, outside the measured run).
         "sim_ivfpq_clustered_topk" -> 1,
+        // full-trained IVFPQR: the three Lloyd-chain assign crosses
+        // (c1, c2, final cells) run INSIDE the residual-subspace
+        // snapshot's one materialization job (everything downstream —
+        // training rounds, encode, scan, refine — is equi joins over
+        // the cached frame, so no re-rooted copies survive sharing).
+        "sim_ivfpq_full_trained_topk" -> 3,
         // semdedup's two bounded crosses are the two routing levels of
         // the two-level assignment (round-15: the ≤ r-row super table
         // against the corpus — level 1 — and against the ≤ k-row cell
@@ -659,6 +665,16 @@ object VolumeProbe {
           // join-level probed-cell bound and linear volumes.
           sym("sim_ivfpq_clustered_topk",
             SimilarityQueries.simIvfPqClusteredTopk),
+          // round 15 (r14 verdict #6): the fully-trained IVFPQR — trained
+          // cells + trained residual codebooks + residual encode + exact
+          // re-rank in ONE declared plan. Blanket arms over the whole
+          // two-stage plan; the scan-isolation arm below picks its index
+          // builder by name (cell sizes come from the codes frame, so
+          // the probed-cell expectation is trained-cell-generic), and
+          // the refine arm pins its re-rank join output CONSTANT across
+          // arms exactly like sim_ivfpq_rerank_topk.
+          sym("sim_ivfpq_full_trained_topk",
+            SimilarityQueries.simIvfPqFullTrainedTopk),
           // round 14: the trained-codebook PQ encode — three corpus
           // passes (two Lloyd rounds + the final encode), each an EQUI
           // broadcast-hash join on the subspace index collapsed by the
@@ -972,6 +988,8 @@ object VolumeProbe {
               else if (name == "sim_ivfpq_clustered_topk")
                 (SimilarityQueries.ivfpqCodesTable(spark, dir),
                   SimilarityQueries.ivfpqIndex(spark, dir)._2)
+              else if (name == "sim_ivfpq_full_trained_topk")
+                SimilarityQueries.ivfpqFullTrainedIndex(spark, dir)
               else SimilarityQueries.ivfpqIndex(spark, dir)
             val (cRdd, codesSnap) = Sessions.snapshot(codes)
             val (tRdd, tabSnap) = Sessions.snapshot(scanTab)
@@ -1027,10 +1045,14 @@ object VolumeProbe {
         // that lets the refine touch corpus-many raw vectors (e.g. the
         // rank filter slipping above the join) blows the constant bound
         // by the corpus factor.
-        if (name == "sim_ivfpq_rerank_topk") {
+        if (name == "sim_ivfpq_rerank_topk" ||
+            name == "sim_ivfpq_full_trained_topk") {
           def refineProbe(dir: String, parts: Int): (Long, Long) = {
             spark.conf.set("spark.sql.shuffle.partitions", parts)
-            val (codes, scanTab) = SimilarityQueries.ivfpqIndex(spark, dir)
+            val (codes, scanTab) =
+              if (name == "sim_ivfpq_full_trained_topk")
+                SimilarityQueries.ivfpqFullTrainedIndex(spark, dir)
+              else SimilarityQueries.ivfpqIndex(spark, dir)
             val (sRdd, shortSnap) = Sessions.snapshot(
               SimilarityQueries.ivfpqCandidates(codes, scanTab,
                 SimilarityQueries.RerankShortlist))

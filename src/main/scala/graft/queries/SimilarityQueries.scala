@@ -977,6 +977,133 @@ object SimilarityQueries {
     ivfpqScan(codes, scanTab)
   }
 
+  /** FULLY-TRAINED IVFADC with exact re-rank — FAISS's IVFPQR end to end
+    * (Jégou et al. 2011 §IV-B index + §V re-ranking with BOTH quantizers
+    * trained): the coarse cells are the actual two-Lloyd-round k-means of
+    * [[ivfpqTrainedIndex]] (k = 8, vec_id < 8 seeds), the per-subspace
+    * codebooks are two fixed Lloyd rounds over the RESIDUAL subvectors
+    * (the [[embPqTrainedCodes]] blocks at the residual scale — IVFPQR
+    * trains PQ on y − c(y), not on y), encoding is residual, and the
+    * routed ADC shortlist (R = [[RerankShortlist]]) is exactly re-scored
+    * against the raw vectors. This closes round-14 verdict #6: the three
+    * previously-declared trained pieces (`sim_ivfpq_trained_topk` cells,
+    * `emb_pq_trained_codes` codebooks, `sim_ivfpq_rerank_topk` refine)
+    * COMPOSED in one declared plan, every round straight-line so the
+    * DuckDB oracle stays unrolled equi-join CTEs.
+    *
+    * Exact integer arithmetic throughout: millunit vectors, micro-unit
+    * trained cell centroids (the KMeans floor-mean), micro-unit
+    * residuals r = 1000·qv − c (|r| ≤ ~8e6 per dim), micro-unit
+    * codebook centroids by plain floor-mean over residual subvectors
+    * (micro in, micro out — no further rescale, unlike the millunit
+    * [[embPqTrainedCodes]] whose inputs are raw subvectors), and plain
+    * dist = |s|² − 2·(s·c) + |c|² packing ×4 + cid (dist ≤ ~4·8·(8e6)²
+    * ≈ 2e15, packed ≤ 8e15 — inside a long).
+    *
+    * Scale shape: the residual subspace stream is snapshotted ONCE (the
+    * trained-cell chain — two Lloyd rounds + the final assignment + the
+    * centroid join — runs exactly once to materialize it; its blocks
+    * are the emb_kmeans/lloyd posture gated by the kmeans entries);
+    * each training round is one broadcast EQUI join on the subspace
+    * index against the ≤ 32-row codebook, collapsed in-stage by the
+    * packed-min HashAggregate; the final encode is the wide-row
+    * collapse keyed (vec_id, cell); the scan is [[ivfpqCandidates]]'s
+    * cell-keyed join; the refine touches raw vectors for ≤ |probes|·R
+    * rows total. */
+  private[graft] def ivfpqFullTrainedIndex(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    import graft.operators.KMeans
+    val q = org.apache.spark.sql.graftx.Sessions.snapshot(
+      KMeans.quantize(Tables.embeddings(s, d)))._2
+    val cents0 = q.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), transform(col("qv"), _ * 1000L).as("c"))
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    val c1 = KMeans.update(KMeans.assign(q, cents0), 64)
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    val c2 = KMeans.update(KMeans.assign(q, c1), 64)
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    val cells = KMeans.assign(q, c2)
+    // Residual stream vs the TRAINED centroid, micro-units, exploded to
+    // subspaces and snapshotted once — every consumer below (codebook
+    // seeds, two training rounds, the encode, the probe tables) reads
+    // the cached frame instead of re-running the Lloyd chain.
+    val rq = cells.join(broadcast(c2.select(col("cluster").as("rc"), col("c"))),
+        col("cluster") === col("rc"))
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("qv"), col("c"), (x, cd) => x * 1000L - cd).as("rv"))
+    val sub = org.apache.spark.sql.graftx.Sessions.snapshot(
+      rq.select(col("vec_id"), col("cluster"),
+          explode(array((0 until 8).map(m =>
+            struct(lit(m.toLong).as("m"),
+              slice(col("rv"), m * 8 + 1, 8).as("sv"))): _*)).as("ms"))
+        .select(col("vec_id"), col("cluster"),
+          col("ms.m").as("m"), col("ms.sv").as("sv"))
+        .withColumn("sn2", qnorm2(col("sv"))))._2
+    def withCn2(cb: DataFrame): DataFrame =
+      cb.withColumn("cn2", qdot(col("cv"), col("cv")))
+    val cb0 = withCn2(sub.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("m").as("cm"), col("sv").as("cv")))
+    // Per-subspace assignment at the residual (micro) scale: plain
+    // squared distance, packed-long argmin — the embPqTrainedCodes
+    // blocks minus the mixed-scale 10⁶/2000 factors.
+    def assignSub(cb: DataFrame): DataFrame = {
+      val dist = col("sn2") - lit(2L) * qdot(col("sv"), col("cv")) + col("cn2")
+      sub.join(broadcast(cb), col("m") === col("cm"))
+        .groupBy(col("vec_id"), col("m"), col("sv"))
+        .agg(min(dist * 4L + col("cid")).as("p"))
+        .select(col("vec_id"), col("m"), col("sv"),
+          pmod(col("p"), lit(4L)).as("cluster"))
+    }
+    // Update: micro-unit floor-mean of the assigned residual subvectors
+    // (interpreted transform over ≤ 32 final rows — the 64 KB rule).
+    def updateSub(assigned: DataFrame): DataFrame = {
+      val sums = (0 until 8).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+      withCn2(assigned.groupBy(col("m"), col("cluster"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("m").as("cm"), col("cluster").as("cid"),
+          transform(array((0 until 8).map(i => col(s"s$i")): _*),
+            sd => call_function("div", sd - pmod(sd, col("n")), col("n")))
+            .as("cv")))
+    }
+    val cbT = updateSub(assignSub(updateSub(assignSub(cb0))))
+    val dist = col("sn2") - lit(2L) * qdot(col("sv"), col("cv")) + col("cn2")
+    val codes = sub.join(broadcast(cbT), col("m") === col("cm"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(min(when(col("m") === 0, dist * 4L + col("cid"))).as("p0"),
+        (1 until 8).map(j =>
+          min(when(col("m") === j, dist * 4L + col("cid"))).as(s"p$j")): _*)
+      .select(col("vec_id"), col("cluster").as("cell"),
+        explode(array((0 until 8).map(j =>
+          struct(lit(j.toLong).as("m"),
+            pmod(col(s"p$j"), lit(4L)).as("code"))): _*)).as("mc"))
+      .select(col("vec_id"), col("cell"), col("mc.m").as("m"),
+        col("mc.code").as("code"))
+    // Probe routing: probes are corpus members, so their cell AND their
+    // residual subvectors are the snapshotted frames' own rows.
+    val assignedP = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("cluster").as("pcell"))
+      .distinct()
+    val dtab = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("m").as("pm"),
+        col("sv").as("psv"), col("sn2").as("psn2"))
+      .join(broadcast(cbT), col("pm") === col("cm"))
+      .select(col("pid"), col("pm"), col("cid"),
+        (col("psn2") - lit(2L) * qdot(col("psv"), col("cv")) + col("cn2"))
+          .as("pdist"))
+      .join(broadcast(assignedP), col("pid") === col("probe_id"))
+      .select(col("probe_id"), col("pcell"), col("pm"), col("cid"), col("pdist"))
+    (codes, dtab)
+  }
+
+  /** The declared fully-trained IVFPQR query — see
+    * [[ivfpqFullTrainedIndex]]; the scan keeps the ADC top-R shortlist
+    * and [[rerankRefine]] re-scores it exactly, the
+    * `sim_ivfpq_rerank_topk` contract at the fully-trained index. */
+  val simIvfPqFullTrainedTopk: Q = (s, d) => {
+    val (codes, dtab) = ivfpqFullTrainedIndex(s, d)
+    rerankRefine(s, d, ivfpqCandidates(codes, dtab, RerankShortlist))
+  }
+
   /** The PQ codes of [[ivfpqIndex]] PERSISTED as a catalog parquet table
     * PARTITIONED BY CELL — the deployment layout the ivfpq scaladocs
     * promise ("the codes table is clustered by cell so non-probed cells
@@ -1040,6 +1167,7 @@ object SimilarityQueries {
     "sim_ivfpq_rerank_topk" -> simIvfPqRerankTopk,
     "sim_ivfpq_nprobe_topk" -> simIvfPqNprobeTopk,
     "sim_ivfpq_clustered_topk" -> simIvfPqClusteredTopk,
+    "sim_ivfpq_full_trained_topk" -> simIvfPqFullTrainedTopk,
   )
 
   /** Shared DuckDB oracle for `sim_ivfpq_topk` AND its clustered-scan
@@ -1374,6 +1502,140 @@ object SimilarityQueries {
     // oracle; what changes is the physical scan (DPP-pruned cell
     // directories), which the oracle cannot and need not see.
     "sim_ivfpq_clustered_topk" -> IvfpqTopkOracle,
+    "sim_ivfpq_full_trained_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), qn AS (
+        |  SELECT vec_id, qv, (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2 FROM q
+        |), c0 AS (
+        |  SELECT vec_id AS cluster, list_transform(qv, x -> x * 1000) AS c
+        |  FROM q WHERE vec_id < 8
+        |), c0n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c0
+        |), a1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c0n c) WHERE rk = 1
+        |), s1 AS (
+        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM a1 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
+        |  GROUP BY cluster, d
+        |), c1 AS (
+        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
+        |  FROM s1 GROUP BY cluster
+        |), c1n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c1
+        |), a2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c1n c) WHERE rk = 1
+        |), s2 AS (
+        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM a2 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
+        |  GROUP BY cluster, d
+        |), c2 AS (
+        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
+        |  FROM s2 GROUP BY cluster
+        |), c2n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c2
+        |), a3 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c2n c) WHERE rk = 1
+        |), rvl AS (
+        |  SELECT v.vec_id, a.cluster,
+        |         list_transform(generate_series(1, 64), d -> v.qv[d] * 1000 - c.c[d]) AS rv
+        |  FROM q v JOIN a3 a ON a.vec_id = v.vec_id JOIN c2 c ON c.cluster = a.cluster
+        |), rsub AS (
+        |  SELECT vec_id, cluster, m, list_slice(rv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM rvl, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), rsubn AS (
+        |  SELECT vec_id, cluster, m, sv,
+        |         CAST((SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS BIGINT) AS sn2
+        |  FROM rsub
+        |), pcb0 AS (
+        |  SELECT vec_id AS cid, m AS cm, sv AS cv, sn2 AS cn2 FROM rsubn WHERE vec_id < 4
+        |), pa1 AS (
+        |  SELECT vec_id, m, sv, code FROM (
+        |    SELECT s.vec_id, s.m, s.sv, c.cid AS code,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        |             s.sn2
+        |             - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y))
+        |             + c.cn2, c.cid) AS rk
+        |    FROM rsubn s JOIN pcb0 c ON s.m = c.cm) WHERE rk = 1
+        |), ps1 AS (
+        |  SELECT m, code, d, CAST(SUM(sv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM pa1, UNNEST(generate_series(1, 8)) AS t(d)
+        |  GROUP BY m, code, d
+        |), pcb1 AS (
+        |  SELECT cm, cid, cv, (SELECT SUM(u * u) FROM UNNEST(cv) AS t(u)) AS cn2 FROM (
+        |    SELECT m AS cm, code AS cid,
+        |           list((sd - ((sd % n + n) % n)) // n ORDER BY d) AS cv
+        |    FROM ps1 GROUP BY m, code)
+        |), pa2 AS (
+        |  SELECT vec_id, m, sv, code FROM (
+        |    SELECT s.vec_id, s.m, s.sv, c.cid AS code,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        |             s.sn2
+        |             - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y))
+        |             + c.cn2, c.cid) AS rk
+        |    FROM rsubn s JOIN pcb1 c ON s.m = c.cm) WHERE rk = 1
+        |), ps2 AS (
+        |  SELECT m, code, d, CAST(SUM(sv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM pa2, UNNEST(generate_series(1, 8)) AS t(d)
+        |  GROUP BY m, code, d
+        |), pcb2 AS (
+        |  SELECT cm, cid, cv, (SELECT SUM(u * u) FROM UNNEST(cv) AS t(u)) AS cn2 FROM (
+        |    SELECT m AS cm, code AS cid,
+        |           list((sd - ((sd % n + n) % n)) // n ORDER BY d) AS cv
+        |    FROM ps2 GROUP BY m, code)
+        |), codes AS (
+        |  SELECT s.vec_id, ANY_VALUE(s.cluster) AS cell, s.m,
+        |         CAST(MIN((s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid) % 4 AS BIGINT) AS code
+        |  FROM rsubn s JOIN pcb2 c ON s.m = c.cm GROUP BY s.vec_id, s.m
+        |), dtab AS (
+        |  SELECT p.vec_id AS probe_id, p.cluster AS pcell, p.m AS pm, c.cid,
+        |         p.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(p.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2 AS pdist
+        |  FROM rsubn p JOIN pcb2 c ON p.m = c.cm WHERE p.vec_id < 5
+        |), adc AS (
+        |  SELECT d.probe_id, k.vec_id AS cand_id, CAST(SUM(d.pdist) AS BIGINT) AS adist
+        |  FROM codes k
+        |  JOIN dtab d ON k.m = d.pm AND k.code = d.cid AND k.cell = d.pcell
+        |             AND k.vec_id <> d.probe_id
+        |  GROUP BY d.probe_id, k.vec_id
+        |), shortlist AS (
+        |  SELECT probe_id, cand_id, adist FROM (
+        |    SELECT probe_id, cand_id, adist,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rk
+        |    FROM adc) WHERE rk <= 20
+        |), exact AS (
+        |  SELECT s.probe_id, s.cand_id, s.adist,
+        |         CAST((SELECT SUM((x - y) * (x - y))
+        |               FROM (SELECT UNNEST(qc.qv) AS x, UNNEST(qp.qv) AS y)) AS BIGINT) AS edist
+        |  FROM shortlist s
+        |  JOIN q qc ON qc.vec_id = s.cand_id
+        |  JOIN q qp ON qp.vec_id = s.probe_id
+        |), eranked AS (
+        |  SELECT probe_id, cand_id, adist, edist,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY edist, cand_id) AS rk
+        |  FROM exact
+        |)
+        |SELECT probe_id, cand_id, adist, edist FROM eranked WHERE rk <= 5
+        |ORDER BY probe_id, cand_id""".stripMargin,
     "sim_pq_adc_topk" ->
       """WITH q AS (
         |  SELECT vec_id,

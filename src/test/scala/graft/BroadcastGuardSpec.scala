@@ -63,6 +63,17 @@ class BroadcastGuardSpec extends SparkSpec {
         "(distance tables x routing = <= |probes| * 32 = 160 rows); the " +
         "cell-centroid broadcast is PROVEN (label-grouped aggregate). " +
         "All four sit over corpus scans, invisible to the root rules"),
+    "sim_ivfpq_full_trained_topk" -> (10,
+      "every build side is structurally bounded, counted with the tree " +
+        "duplication the composition creates: the residual codebooks " +
+        "(<= 32 rows — grouped on (m, cluster), cluster's domain a " +
+        "subset of the 4 seed ids; the trained table is hinted at the " +
+        "encode AND the distance-table build, and each copy nests its " +
+        "two training-round hints cb1/cb0), the probe cell routing " +
+        "(<= 5 rows), the scan table (<= 160 rows), the re-rank " +
+        "shortlist (<= 100 rows by the rank filter), and the probe " +
+        "vectors (<= 5 rows). All sit over snapshot LogicalRDDs or " +
+        "corpus scans, invisible to the root rules"),
     "sim_ivfpq_clustered_topk" -> (3,
       "sim_ivfpq_topk's bounds minus one: the codes side reads the " +
         "cell-partitioned CATALOG table (no hint, DPP-pruned scan), so " +
