@@ -183,7 +183,8 @@ object VolumeProbe {
       // PageRank (declared fixed-round + convergence-loop facade) rides
       // the same disjoint-copy co-order fixture.
       val prIterName = "pagerank_iterate"
-      val graphNames = Set(triName, "graph_pagerank", prIterName)
+      val graphNames =
+        Set(triName, "graph_pagerank", prIterName, "graph_label_propagation")
       val fuzzyName = "text_fuzzy_join_blocked"
       val fuzzyMultiName = "text_fuzzy_join_multikey"
       // The entity-cluster composition rides the same part fixture as
@@ -464,6 +465,15 @@ object VolumeProbe {
               graft.queries.LinkageQueries.graphPagerank(s, s"$dd/tri"),
             (s: SparkSession, dd: String) =>
               graft.queries.LinkageQueries.graphPagerank(s, s"$dd/tri")),
+          // round 15: label propagation on the same disjoint-copy graph
+          // fixture — labels never cross copies (no edges do), so the
+          // per-round vote join + two aggregates grow exactly factor×
+          // at the pagerank-gated plan class; flat gates apply.
+          ("graph_label_propagation",
+            (s: SparkSession, dd: String) =>
+              graft.queries.LinkageQueries.graphLabelPropagation(s, s"$dd/tri"),
+            (s: SparkSession, dd: String) =>
+              graft.queries.LinkageQueries.graphLabelPropagation(s, s"$dd/tri")),
           // round 14: BPE merge training on the salted docs corpus — the
           // corpus-scale word count grows factor× (per-copy word tags
           // make vocabularies disjoint) while every merge round stays
@@ -499,6 +509,12 @@ object VolumeProbe {
           // the one corpus-scale scoring join all grow exactly
           // factor×; the flat gates apply unmodified.
           sym("text_lm_fluency", graft.queries.TextQueries.textLmFluency),
+          // round 15: the CCNet tercile cut over the same disjoint
+          // bigram vocabularies — scores grow factor×, the counting
+          // aggregate's (lang, score) table is score-domain-bounded,
+          // and the one corpus-scale scoring join matches lm_fluency's;
+          // flat gates apply unmodified.
+          sym("text_ccnet_buckets", graft.queries.TextQueries.textCcnetBuckets),
           // round 11 (r10 verdict #3): the two linkage operators that had
           // only a 10× point. The fuzzy join rides the salted-vocab +
           // unsalted-hot-block part fixture above; its entry gate also

@@ -318,6 +318,60 @@ object LinkageQueries {
       .limit(20)
   }
 
+  /** Synchronous label-propagation rounds — 2 suffices to pin the
+    * mode-argmax update semantics cross-engine (the PrIters doctrine:
+    * the round count is the declared-oracle dial, not a convergence
+    * claim; LPA famously oscillates under full synchrony, which is WHY
+    * the declared form is fixed-round). */
+  private[graft] val LpaIters = 2
+
+  /** Label propagation (Raghavan et al. 2007, "Near linear time
+    * algorithm to detect community structures in large-scale networks")
+    * over the co-order part graph — community detection, the third
+    * graph operator: [[graphTriangleCount]] measures local density,
+    * [[graphPagerank]] global authority, this one partition structure.
+    * Every node starts labeled with itself; each round every node
+    * adopts the MODE of its neighbors' labels (most frequent; ties to
+    * the smallest label — the deterministic tiebreak both engines
+    * express exactly, vs the paper's random tie coin). All-integer:
+    * labels are part keys, votes are counts, no floating point
+    * anywhere. Output is the community profile after [[LpaIters]]
+    * rounds: label, member count, min/max member.
+    *
+    * Scale shape: identical plan class to [[graphPagerank]]'s round —
+    * per round ONE equi-join (labels ⋈ out-edges on the source key) and
+    * TWO hash aggregates ((dst, label) vote counts map-side-combined,
+    * then the per-dst argmax as one max(struct(cnt, −label)) aggregate
+    * — no window, no per-node sort). Shuffle volume per round is
+    * exactly the 2·|E| directed edge stream, the pagerank measurement;
+    * labels chain lazily round-over-round (each frame referenced once).
+    * The argmax-by-struct encodes "max count, then min label":
+    * part keys are non-negative, so max(−label) IS min(label) — the
+    * reducer-library min/max-composition idea
+    * (/root/reference/src/reducer.h:16-22) applied to a lexicographic
+    * vote. */
+  val graphLabelPropagation: Q = (s, d) => {
+    val pairs = coOrderPairs(s, d)
+    val eSnap = Sessions.snapshot(pairs)._2
+    val edges = eSnap.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(eSnap.select(col("pb").as("src"), col("pa").as("dst")))
+    var labels = edges.select(col("src").as("p")).distinct()
+      .select(col("p"), col("p").as("lbl"))
+    for (_ <- 1 to LpaIters) {
+      labels = edges.join(labels, edges("src") === labels("p"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("t"))
+        .select(col("dst").as("p"), (-col("t.neg")).as("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+           min(col("p")).as("member_min"), max(col("p")).as("member_max"))
+      .orderBy(desc("n_members"), asc("community"))
+      .limit(20)
+  }
+
   /** Entity-resolution clusters — the CLUSTER step of the classic ER
     * pipeline (block → match → cluster; Fellegi–Sunter lineage) that
     * [[textFuzzyJoinBlocked]]'s pairwise matches exist to feed: fuzzy
@@ -405,6 +459,7 @@ object LinkageQueries {
     "text_inverted_index" -> textInvertedIndex,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_pagerank" -> graphPagerank,
+    "graph_label_propagation" -> graphLabelPropagation,
   )
 
   /** Shared CTE prefix: the co-order support-thresholded pair set —
@@ -431,6 +486,25 @@ object LinkageQueries {
          |  SELECT e.dst AS p,
          |         $PrTeleport + ($PrDampNum * SUM(r${k - 1}.r // e.sdeg)) // $PrDampDen AS r
          |  FROM e2 e JOIN r${k - 1} ON r${k - 1}.p = e.src GROUP BY e.dst
+         |)""".stripMargin
+    }.mkString(", ")
+
+  /** The [[LpaIters]] unrolled label-propagation rounds — generated from
+    * the same constants as the Spark loop (the pagerankRoundsSql
+    * doctrine). Each round: per-(node, label) vote counts, then the
+    * mode with min-label tiebreak expressed as the rows matching the
+    * per-node max count, min label — semantically the Spark side's
+    * max(struct(cnt, −label)) aggregate. */
+  private def lpaRoundsSql: String =
+    (1 to LpaIters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS p, l.lbl AS lbl, COUNT(*) AS cnt
+         |  FROM edges e JOIN l${k - 1} l ON l.p = e.src GROUP BY 1, 2
+         |), l$k AS (
+         |  SELECT c.p, MIN(c.lbl) AS lbl
+         |  FROM c$k c JOIN (SELECT p, MAX(cnt) AS m FROM c$k GROUP BY p) mx
+         |    ON mx.p = c.p AND c.cnt = mx.m
+         |  GROUP BY c.p
          |)""".stripMargin
     }.mkString(", ")
 
@@ -557,6 +631,19 @@ object LinkageQueries {
          |       CAST(d.deg AS BIGINT) AS degree
          |FROM r$PrIters f JOIN deg d ON d.p = f.p
          |ORDER BY pagerank DESC, p_partkey LIMIT 20""".stripMargin,
+    "graph_label_propagation" ->
+      s"""WITH $coOrderSql, edges AS (
+         |  SELECT pa AS src, pb AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT pb, pa FROM pairs
+         |), l0 AS (
+         |  SELECT DISTINCT src AS p, src AS lbl FROM edges
+         |), $lpaRoundsSql
+         |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       CAST(MIN(p) AS BIGINT) AS member_min,
+         |       CAST(MAX(p) AS BIGINT) AS member_max
+         |FROM l$LpaIters GROUP BY lbl
+         |ORDER BY n_members DESC, community LIMIT 20""".stripMargin,
     "graph_triangle_count" ->
       s"""WITH $coOrderSql, deg AS (
          |  SELECT p, COUNT(*) AS deg FROM (

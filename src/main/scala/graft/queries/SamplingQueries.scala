@@ -212,12 +212,100 @@ object SamplingQueries {
       .orderBy("doc_id")
   }
 
+  /** Salt for the UniMax fractional-epoch admission hash — versioned
+    * separately (the mixSalt doctrine: re-allocating never moves split
+    * or mix membership). */
+  private val unimaxSalt = ":graft-unimax-v1"
+
+  /** UniMax's per-language epoch cap E — no language is repeated more
+    * than E times however small it is (the paper's overfitting guard). */
+  private[graft] val UnimaxEpochCap = 2L
+
+  /** UniMax language-balanced budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining", ICLR): given a total
+    * character budget B (half the corpus, the [[sampleTemperatureMix]]
+    * dial) and an epoch cap E = [[UnimaxEpochCap]], allocate greedily —
+    * smallest languages first, each language getting min(E·n_l, its
+    * even share of what remains). Temperature sampling
+    * ([[sampleTemperatureMix]]) flattens by a power; UniMax instead
+    * WATERFILLS: every language that fits under the water line θ gets
+    * its full E epochs, the rest get exactly θ characters each. The
+    * paper's sequential greedy loop has a closed form this query
+    * computes with window functions over the per-language stats table:
+    * sort by cap_l = E·n_l ascending, m = the largest prefix where
+    * cap_i·(L−i+1) + Σ_{j<i} cap_j ≤ B (the feasibility predicate is
+    * monotone in i — (L−i)·(cap_{i+1}−cap_i) ≥ 0 — so the prefix count
+    * IS the max), θ = (B − Σ_{j≤m} cap_j) ⫽ (L−m), allocation
+    * a_i = cap_i for i ≤ m else θ. All exact integer arithmetic
+    * ([[graft.functions.ColFns.floorDiv]]); θ's floor remainder
+    * (< L−m chars) is deliberately unallocated. Since Σcap = E·T > B,
+    * position L is never feasible and L−m ≥ 1 — the floorDiv positivity
+    * guard cannot fire. Outputs per language: the allocation, whole
+    * epochs a_l ⫽ n_l, the exact epoch ratio (one double division,
+    * round 6), and the fractional-epoch admission leg — documents
+    * hash-admitted at threshold ⌊2³²·(a_l mod n_l)/n_l⌋ against the
+    * salted id-stable [[graft.functions.ColFns.md5Long]], the
+    * temperature-mix convention (integer cross-multiplying the
+    * threshold would overflow int64 at 2³²·n_chars for any language
+    * over ~4 GB of text, so the rate is the one correctly-rounded
+    * double both engines agree on).
+    *
+    * Scale shape: the stats table is one column-pruned map-side-combined
+    * aggregate (|languages| rows — bounded enumeration); every window
+    * runs over THAT table (never the corpus — row_number/cumsum over ≤ a
+    * few hundred rows on one task is the point of the closed form);
+    * admission is one broadcast equi-join on lang + one map-side
+    * compare, so the corpus pays two column-pruned scans and zero
+    * corpus-scale shuffles — the temperature-mix plan shape with a
+    * waterfilled threshold table. */
+  val sampleUnimax: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ColFns.floorDiv
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("cap", lit(UnimaxEpochCap) * col("n_chars"))
+    val ordW = Window.orderBy(col("cap"), col("lang"))
+    val allW = Window.partitionBy()
+    val g = stats
+      .withColumn("rn", row_number().over(ordW).cast("long"))
+      .withColumn("cum", sum(col("cap")).over(ordW))
+      .withColumn("nl", count(lit(1)).over(allW))
+      .withColumn("budget", floorDiv(sum(col("n_chars")).over(allW), 2L))
+      .withColumn("feasible",
+        col("cap") * (col("nl") - col("rn") + 1L) +
+          (col("cum") - col("cap")) <= col("budget"))
+      .withColumn("m", sum(when(col("feasible"), 1L).otherwise(0L)).over(allW))
+      .withColumn("pm", max(when(col("feasible"), col("cum")).otherwise(0L)).over(allW))
+    val alloc = g.select(col("lang"), col("n_docs"), col("n_chars"),
+        col("cap").as("cap_chars"),
+        when(col("rn") <= col("m"), col("cap"))
+          .otherwise(floorDiv(col("budget") - col("pm"), col("nl") - col("m")))
+          .as("alloc_chars"))
+      .withColumn("full_epochs", floorDiv(col("alloc_chars"), col("n_chars")))
+      .withColumn("epochs",
+        round(col("alloc_chars").cast("double") / col("n_chars").cast("double"), 6))
+      .withColumn("thr", floor(lit(4294967296.0d) *
+        ((col("alloc_chars") - col("full_epochs") * col("n_chars")).cast("double") /
+          col("n_chars").cast("double"))).cast("long"))
+    docs.select(col("lang"), col("n_chars").as("dc"),
+        md5Long(concat(col("doc_id"), lit(unimaxSalt))).as("u"))
+      .join(broadcast(alloc), "lang")
+      .groupBy("lang", "n_docs", "n_chars", "cap_chars", "alloc_chars",
+               "full_epochs", "epochs")
+      .agg(sum(when(col("u") < col("thr"), 1L).otherwise(0L)).as("n_part_docs"),
+           sum(when(col("u") < col("thr"), col("dc")).otherwise(0L)).as("part_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_split_assign" -> sampleSplitAssign,
     "sample_split_by_content" -> sampleSplitByContent,
     "split_leakage_audit" -> splitLeakageAudit,
     "sample_temperature_mix" -> sampleTemperatureMix,
     "sample_dsir_weights" -> sampleDsirWeights,
+    "sample_unimax" -> sampleUnimax,
   )
 
   // DuckDB mirrors. md5Long convention: CAST('0x' || substring(md5(x),1,8)
@@ -311,5 +399,50 @@ object SamplingQueries {
          |SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(v) AS BIGINT) AS votes,
          |       round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dsir_score
          |FROM voted GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sample_unimax" ->
+      s"""WITH stats AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |         CAST($UnimaxEpochCap * SUM(n_chars) AS BIGINT) AS cap
+         |  FROM documents GROUP BY lang
+         |), w AS (
+         |  SELECT lang, n_docs, n_chars, cap,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY cap, lang) AS BIGINT) AS rn,
+         |         CAST(SUM(cap) OVER (ORDER BY cap, lang) AS BIGINT) AS cum,
+         |         CAST(COUNT(*) OVER () AS BIGINT) AS nl,
+         |         CAST(SUM(n_chars) OVER () AS BIGINT) // 2 AS budget
+         |  FROM stats
+         |), f AS (
+         |  SELECT *, (cap * (nl - rn + 1) + (cum - cap) <= budget) AS feasible
+         |  FROM w
+         |), g AS (
+         |  SELECT *,
+         |         CAST(SUM(CASE WHEN feasible THEN 1 ELSE 0 END) OVER () AS BIGINT) AS m,
+         |         CAST(MAX(CASE WHEN feasible THEN cum ELSE 0 END) OVER () AS BIGINT) AS pm
+         |  FROM f
+         |), alloc AS (
+         |  SELECT lang, n_docs, n_chars, cap AS cap_chars,
+         |         CAST(CASE WHEN rn <= m THEN cap
+         |                   ELSE (budget - pm) // (nl - m) END AS BIGINT) AS alloc_chars
+         |  FROM g
+         |), e AS (
+         |  SELECT lang, n_docs, n_chars, cap_chars, alloc_chars,
+         |         CAST(alloc_chars // n_chars AS BIGINT) AS full_epochs,
+         |         round(CAST(alloc_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS epochs,
+         |         CAST(FLOOR(4294967296.0 *
+         |           (CAST(alloc_chars - (alloc_chars // n_chars) * n_chars AS DOUBLE) /
+         |            CAST(n_chars AS DOUBLE))) AS BIGINT) AS thr
+         |  FROM alloc
+         |)
+         |SELECT e.lang, e.n_docs, e.n_chars, e.cap_chars, e.alloc_chars,
+         |       e.full_epochs, e.epochs,
+         |       CAST(SUM(CASE WHEN doc.u < e.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_part_docs,
+         |       CAST(SUM(CASE WHEN doc.u < e.thr THEN doc.n_chars ELSE 0 END) AS BIGINT) AS part_chars
+         |FROM (SELECT lang, n_chars,
+         |             CAST('0x' || substring(md5(doc_id || '$unimaxSalt'), 1, 8) AS BIGINT) AS u
+         |      FROM documents) doc
+         |JOIN e ON e.lang = doc.lang
+         |GROUP BY 1, 2, 3, 4, 5, 6, 7
+         |ORDER BY e.lang""".stripMargin,
   )
 }

@@ -147,6 +147,123 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Word-count floor for [[textGopherRules]] — the Gopher rule's 50-word
+    * floor scaled to the fixture's ~25–40-word documents (the constant is
+    * the dial, the rule shape is the operator); ceiling kept at the
+    * paper's 100k. */
+  private[graft] val GopherMinWords = 30L
+  private[graft] val GopherMaxWords = 100000L
+
+  /** Gopher-style rule-based quality filtering (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", §A1.1) — the RULE-FLAG sibling of
+    * [[textQualityScore]]'s composite score: each document gets one
+    * boolean per rule plus the AND, so downstream curation can report
+    * per-rule rejection rates instead of a single opaque score. The four
+    * rules the fixture's schema can express (the line-based rules need
+    * newlines the corpus does not carry — documented, not simulated):
+    * word count in [[[GopherMinWords]], [[GopherMaxWords]]]; mean word
+    * length in [3, 10], cross-multiplied exactly (3·n ≤ Σlen ≤ 10·n — no
+    * division, both engines compare identical integers); ≥ 2 DISTINCT
+    * stopwords from the shared [[stopEn]] set present (the paper's
+    * "stop-word filter"); and ≥ 80 % of words containing an alphabetic
+    * character, cross-multiplied (5·n_alpha ≥ 4·n_words).
+    *
+    * Scale shape: pure map-side per-document compute over one scan —
+    * every flag derives from the doc's own word array, no join, no
+    * shuffle except the trivial final sort. The [[stopEn]] membership
+    * probe iterates the 5-element LITERAL array against the doc's words
+    * (array_contains per stopword), not the doc's words against a set —
+    * counting DISTINCT stopword hits without a per-doc distinct over the
+    * word array. */
+  val textGopherRules: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(transform(col("w"), x => length(x).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_len"),
+        size(filter(typedLit(stopEn), x =>
+          array_contains(col("w"), x))).cast("long").as("n_stop_kinds"),
+        size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long").as("n_alpha"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= GopherMinWords &&
+          col("n_words") <= GopherMaxWords).as("wc_ok"),
+        (col("sum_len") >= lit(3L) * col("n_words") &&
+          col("sum_len") <= lit(10L) * col("n_words")).as("wlen_ok"),
+        (col("n_stop_kinds") >= 2L).as("stop_ok"),
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("alpha_ok"))
+      .withColumn("pass",
+        col("wc_ok") && col("wlen_ok") && col("stop_ok") && col("alpha_ok"))
+      .orderBy("doc_id")
+
+  /** CCNet's perplexity-tercile corpus partition (Wenzek et al. 2020
+    * §4.3: score every document with the LM, sort per language, cut in
+    * thirds — head/middle/tail, where head is what pretraining keeps) —
+    * composed over the SAME bigram model as [[textLmFluency]], with the
+    * per-doc score kept INTEGER (⌊Σ tf·p / Σ tf⌋ ∈ [0, 10⁶] — fluency's
+    * mean before its final double division) so the tercile thresholds
+    * come from exact integer counting, never a percentile built on
+    * engine-rounded doubles.
+    *
+    * The cut itself is the scale move: CCNet sorts each language's
+    * corpus by score — a corpus-scale global sort per language at
+    * 100 TB. Here the score domain is BOUNDED ([0, 10⁶] by
+    * construction), so the terciles come from a counting sort instead:
+    * one (lang, score) aggregate (≤ 10⁶+1 rows per language at ANY
+    * corpus size), a cumulative window over that bounded table, and
+    * t_k = min score with 3·cum ≥ k·n (integer cross-multiply —
+    * cum ≥ ⌈k·n/3⌉ for integer cum). Threshold rows per language are
+    * then 2 longs, broadcast back for the bucket assignment — the
+    * corpus pays two scans of the score stream (snapshotted once built)
+    * and zero sorts. Ties at a threshold keep the whole tied score on
+    * the lower side (both engines, by the same ≤ compare), so bucket
+    * sizes deviate from n/3 only by tie mass — the paper's cut has the
+    * same property after its sort. */
+  val textCcnetBuckets: Q = (s, d) => {
+    import graft.functions.ColFns.floorDiv
+    val big = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => struct(element_at(col("w"), i + 1).as("w1"),
+                    element_at(col("w"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "lang", "w1", "w2")
+      .agg(count(lit(1)).as("tf"))
+    val bigSnap = org.apache.spark.sql.graftx.Sessions.snapshot(big)._2
+    val model = org.apache.spark.sql.graftx.Sessions.snapshot(
+      bigSnap.groupBy("w1", "w2").agg(sum(col("tf")).as("c12")))._2
+    val ctx = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val pm = model.join(ctx, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        call_function("div", lit(1000000L) * col("c12"), col("c1")).as("p"))
+    val scores = org.apache.spark.sql.graftx.Sessions.snapshot(
+      bigSnap.join(pm, Seq("w1", "w2"))
+        .groupBy("doc_id", "lang")
+        .agg(floorDiv(sum(col("tf") * col("p")), sum(col("tf"))).as("s")))._2
+    val cnt = scores.groupBy("lang", "s").agg(count(lit(1)).as("cnt"))
+    val langW = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val cumW = langW.orderBy("s")
+    val cum = cnt
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(langW))
+    val thr = cum.groupBy("lang").agg(
+      min(when(lit(3L) * col("cum") >= col("n"), col("s"))).as("t1"),
+      min(when(lit(3L) * col("cum") >= lit(2L) * col("n"), col("s"))).as("t2"))
+    scores.join(broadcast(thr), "lang")
+      .select(col("lang"), col("s"),
+        when(col("s") <= col("t1"), "tail")
+          .when(col("s") <= col("t2"), "middle")
+          .otherwise("head").as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("s")).as("min_score"), max(col("s")).as("max_score"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Corpus-relative token-rarity scoring — the frequency-based quality
     * signal of CCNet-style curation, log-free: each document gets the
     * mean corpus frequency of its tokens plus the fraction of its tokens
@@ -1114,6 +1231,8 @@ object TextQueries {
     "text_wordcount_per_lang" -> textWordcountPerLang,
     "text_lang_id" -> textLangId,
     "text_quality_score" -> textQualityScore,
+    "text_gopher_rules" -> textGopherRules,
+    "text_ccnet_buckets" -> textCcnetBuckets,
     "text_token_rarity" -> textTokenRarity,
     "text_lm_fluency" -> textLmFluency,
     "text_token_count" -> textTokenCount,
@@ -1148,6 +1267,64 @@ object TextQueries {
         |             CAST(SUM(b.tf) AS BIGINT), 6) AS fluency
         |FROM big b JOIN pm p ON b.w1 = p.w1 AND b.w2 = p.w2
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      s"""SELECT doc_id, n_words,
+        |       (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords) AS wc_ok,
+        |       (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AS wlen_ok,
+        |       (n_stop_kinds >= 2) AS stop_ok,
+        |       (5 * n_alpha >= 4 * n_words) AS alpha_ok,
+        |       ((n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+        |        AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+        |        AND (n_stop_kinds >= 2)
+        |        AND (5 * n_alpha >= 4 * n_words)) AS pass
+        |FROM (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+        |         CAST(len(list_filter(['the','a','of','and','to'], x -> list_contains(w, x))) AS BIGINT) AS n_stop_kinds,
+        |         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha
+        |  FROM (SELECT doc_id, ${wordsSql.format("text")} AS w FROM documents)
+        |)
+        |WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    "text_ccnet_buckets" ->
+      s"""WITH dw AS (
+        |  SELECT doc_id, lang, ${wordsSql.format("text")} AS w FROM documents
+        |), big AS (
+        |  SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM dw, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 2
+        |  GROUP BY doc_id, lang, w[i], w[i+1]
+        |), model AS (
+        |  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM big GROUP BY w1, w2
+        |), ctx AS (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM model GROUP BY w1
+        |), pm AS (
+        |  SELECT m.w1, m.w2, (1000000 * m.c12) // c.c1 AS p
+        |  FROM model m JOIN ctx c ON m.w1 = c.w1
+        |), scores AS (
+        |  SELECT b.doc_id, b.lang,
+        |         CAST(SUM(b.tf * p.p) AS BIGINT) // CAST(SUM(b.tf) AS BIGINT) AS s
+        |  FROM big b JOIN pm p ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  GROUP BY b.doc_id, b.lang
+        |), cnt AS (
+        |  SELECT lang, s, COUNT(*) AS cnt FROM scores GROUP BY lang, s
+        |), cum AS (
+        |  SELECT lang, s,
+        |         SUM(cnt) OVER (PARTITION BY lang ORDER BY s) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM cnt
+        |), thr AS (
+        |  SELECT lang, MIN(CASE WHEN 3 * cum >= n THEN s END) AS t1,
+        |         MIN(CASE WHEN 3 * cum >= 2 * n THEN s END) AS t2
+        |  FROM cum GROUP BY lang
+        |)
+        |SELECT sc.lang,
+        |       CASE WHEN s <= t1 THEN 'tail' WHEN s <= t2 THEN 'middle'
+        |            ELSE 'head' END AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MIN(s) AS BIGINT) AS min_score,
+        |       CAST(MAX(s) AS BIGINT) AS max_score
+        |FROM scores sc JOIN thr ON thr.lang = sc.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_bm25_topk" ->
       s"""WITH toks AS (
         |  SELECT doc_id, UNNEST(${wordsSql.format("text")}) AS word FROM documents

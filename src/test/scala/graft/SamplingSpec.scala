@@ -170,6 +170,55 @@ class SamplingSpec extends SparkSpec {
     (11L to 20L).foreach(i => assert(out(i) == ((4L, -1.0)), s"doc $i: ${out(i)}"))
   }
 
+  test("UniMax waterfilling matches the closed form on a planted corpus where the cap binds") {
+    import spark.implicits._
+    // The sf fixture's languages are all too large for the E=2 cap to
+    // bind (every lang lands on the water line theta) — this corpus
+    // plants one tiny language so BOTH branches of the allocation fire:
+    // langs a/b/c with 10/1000/2000 chars, T=3010, B=1505, caps
+    // (20, 2000, 4000). Feasibility: 20*3 <= 1505 but 2000*2+20 > 1505,
+    // so m=1, theta=(1505-20)//2=742 — a gets its full 2 epochs, b and c
+    // get exactly theta.
+    val rows = Seq((1L, "x", "a", "s", 10L)) ++
+      (2L to 3L).map(i => (i, "x", "b", "s", 500L)) ++
+      (4L to 7L).map(i => (i, "x", "c", "s", 500L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-unimax").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SamplingQueries.sampleUnimax(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("alloc_chars"), r.getAs[Long]("full_epochs"),
+          r.getAs[Double]("epochs"), r.getAs[Long]("n_part_docs")))).toMap
+    assert(out("a") == ((20L, 2L, 2.0, 0L)), s"capped lang: ${out("a")}")
+    assert(out("b")._1 == 742L && out("b")._2 == 0L, s"waterline: ${out("b")}")
+    assert(out("c")._1 == 742L, s"waterline: ${out("c")}")
+    assert(out("b")._3 == 0.742 && out("c")._3 == 0.371)
+    // The capped language's fractional epoch is exactly zero (alloc is a
+    // whole multiple of its size), so the admission leg admits nothing.
+    assert(out.values.map(_._1).sum <= 1505L, "allocation exceeded the budget")
+  }
+
+  test("UniMax on the fixture: every language bounded by cap and budget conserved") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.agg(sum(col("n_chars"))).head().getLong(0)
+    val rows = SamplingQueries.sampleUnimax(spark, sfDir).collect()
+    val budget = total / 2
+    var allocSum = 0L
+    rows.foreach { r =>
+      val (cap, alloc) =
+        (r.getAs[Long]("cap_chars"), r.getAs[Long]("alloc_chars"))
+      assert(alloc <= cap, s"${r.getAs[String]("lang")}: alloc $alloc > cap $cap")
+      assert(r.getAs[Double]("epochs") <= SamplingQueries.UnimaxEpochCap.toDouble)
+      allocSum += alloc
+    }
+    assert(allocSum <= budget, s"sum(alloc)=$allocSum > budget $budget")
+    // The waterfilling actually fills: uncapped languages sit ON the
+    // water line, so the only unallocated mass is theta's floor
+    // remainder — strictly fewer chars than there are languages.
+    assert(budget - allocSum < rows.length.toLong,
+      s"left ${budget - allocSum} chars unallocated across ${rows.length} languages")
+  }
+
   test("fixed-k per-stratum sample plans as a group-limit, not a full per-stratum sort at the exchange") {
     // Spark 4 rewrites row_number ≤ k to WindowGroupLimit with a partial
     // mode BEFORE the exchange: each input partition forwards at most k
