@@ -329,6 +329,32 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
 
+  /** Explicit GROUPING SETS — the ASYMMETRIC set algebra neither CUBE
+    * ([[eventsTypeDayCube]]: all 2ⁿ sets) nor ROLLUP ([[joinStarRollup]]:
+    * the prefix chain) expresses: ((source, lang), (source), ()) reports
+    * per-source-per-language detail, per-source subtotals, and the grand
+    * total WITHOUT the (lang)-only set a cube would force — the report
+    * shape real curation dashboards ask for. `grouping_id()` (the
+    * standard SQL bit vector, identical in Spark and DuckDB's
+    * GROUPING(a, b)) disambiguates aggregated-away NULLs from data
+    * NULLs, so the output is self-describing.
+    *
+    * Scale shape: Catalyst plans one Expand (×|sets| = 3, a constant)
+    * feeding ONE partial+final hash aggregate — the multi-set report
+    * costs one corpus scan and one shuffle of the expanded-but-collapsed
+    * group cells, never |sets| separate scans unioned (what a naive
+    * report pipeline runs). */
+  val olapGroupingSets: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupingSets(
+        Seq(Seq(col("source"), col("lang")), Seq(col("source")), Seq()),
+        col("source"), col("lang"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("lang"), col("gid"),
+              col("n_docs"), col("sum_chars"))
+      .orderBy(asc("gid"), asc_nulls_first("source"), asc_nulls_first("lang"))
+
   /** Approximate aggregates — the 100 TB escape hatches when exact
     * distinct counts / percentiles get too expensive: HyperLogLog++ and
     * t-digest-style quantile sketches, both mergeable across partitions.
@@ -659,6 +685,7 @@ object ExtensionQueries {
     "approx_stats" -> approxStats,
     "heavy_hitters_cms" -> heavyHittersCms,
     "events_type_day_cube" -> eventsTypeDayCube,
+    "olap_grouping_sets" -> olapGroupingSets,
     "events_props_json" -> eventsPropsJson,
     "orders_monthly" -> ordersMonthly,
     "events_sessionized" -> eventsSessionized,
@@ -812,6 +839,14 @@ object ExtensionQueries {
         |FROM events
         |GROUP BY CUBE (event_type, day)
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "olap_grouping_sets" ->
+      """SELECT source, lang,
+        |       CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source, lang), (source), ())
+        |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
     "events_props_json" ->
       """SELECT (CAST(json_extract(props, '$.k') AS BIGINT)
         |        - ((CAST(json_extract(props, '$.k') AS BIGINT) % 10 + 10) % 10)) // 10 AS k_decile,

@@ -1151,8 +1151,63 @@ object SimilarityQueries {
     ivfpqScan(codes, scanTab)
   }
 
+  /** τ² = 9/100 → cosine radius τ = 0.3 for [[simRangeSearch]], exact.
+    * The dial is fixture-calibrated: the synthetic embeddings are
+    * near-isotropic at the probe set (max pairwise cosine ≈ 0.4,
+    * p99 ≈ 0.29), so a near-dup-grade τ = 0.7 defines an EMPTY ball —
+    * τ = 0.3 selects the genuine ~1 % neighborhood the radius semantic
+    * exists to report. The operator is the semantic; τ is the dial. */
+  private[graft] val RangeTau2Num = 9L
+  private[graft] val RangeTau2Den = 100L
+
+  /** Radius (range) retrieval — FAISS's `range_search` semantic next to
+    * the inventory's top-k family: every neighbor within cosine ≥ τ of a
+    * probe, however many there are (top-k answers "the best k", range
+    * answers "everything this similar" — the dedup/recall auditing
+    * primitive). Exact baseline by design, the simCosineTopk doctrine:
+    * the ≤ 5-probe set broadcasts, the corpus streams map-side through
+    * one codegen'd qdot per (probe, vector), and the radius test is the
+    * EXACT integer cross-multiply dot > 0 ∧ 100·dot² ≥ 49·|p|²·|v|²
+    * (τ² = [[RangeTau2Num]]/[[RangeTau2Den]]; the dedup_semdedup τ
+    * move) evaluated in decimal(38,0) — quantized 10⁶-scale norms put
+    * dot² ~ 4e27 past int64, where DuckDB's HUGEINT and Spark's
+    * decimal(38,0) both stay exact. Only the final reported cosine
+    * touches doubles (sqrt + round 6, the cosine-topk convention).
+    *
+    * Scale shape: one corpus scan, zero corpus shuffles — the join is a
+    * ≤ 5-row broadcast BNLJ whose per-row work is |probes| dot
+    * products, and the threshold filter runs in the same whole-stage
+    * codegen (no materialization boundary between join and filter, so
+    * the qualifying set is the only thing that reaches the output
+    * exchange). Output is bounded by the corpus's true τ-ball mass per
+    * probe — the quantity a radius query exists to report. The bucketed
+    * scale path for UNBOUNDED probe sets is the dedup_embedding_pairs
+    * sign-LSH blocking (radius pair enumeration IS that operator); this
+    * declared form is the per-probe exact semantic. */
+  val simRangeSearch: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+      .withColumn("n2", qnorm2(col("qv")))
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+              col("n2").as("pn2"))
+    q.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        qdot(col("pv"), col("qv")).as("dot"), col("pn2"), col("n2"))
+      .filter(col("dot") > 0L &&
+        lit(RangeTau2Den).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec) >=
+          lit(RangeTau2Num).cast(dec) * col("pn2").cast(dec) * col("n2").cast(dec))
+      .select(col("probe_id"), col("cand_id"),
+        round(col("dot").cast("double") /
+          (sqrt(col("pn2").cast("double")) * sqrt(col("n2").cast("double"))), 6)
+          .as("score"))
+      .orderBy("probe_id", "cand_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_bucket_histogram" -> embBucketHistogram,
+    "sim_range_search" -> simRangeSearch,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_knn_graph" -> simKnnGraph,
@@ -1227,6 +1282,30 @@ object SimilarityQueries {
         |ORDER BY probe_id, cand_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_range_search" ->
+      s"""WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv,
+        |         (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS norm2
+        |  FROM q
+        |), pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         (SELECT SUM(a * b) FROM (SELECT UNNEST(p.qv) AS a, UNNEST(c.qv) AS b)) AS dot,
+        |         p.norm2 AS pn, c.norm2 AS cn
+        |  FROM n p, n c
+        |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+        |)
+        |SELECT probe_id, cand_id,
+        |       round(CAST(dot AS DOUBLE) /
+        |             (sqrt(CAST(pn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))), 6) AS score
+        |FROM pairs
+        |WHERE dot > 0
+        |  AND $RangeTau2Den * CAST(dot AS HUGEINT) * dot >=
+        |      $RangeTau2Num * CAST(pn AS HUGEINT) * cn
+        |ORDER BY probe_id, cand_id""".stripMargin,
     "sim_ivfpq_trained_topk" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -87,6 +87,9 @@ class BroadcastGuardSpec extends SparkSpec {
         "the multi-probe fan-out adds NTables*(1+nPlanes) rows per probe"),
     "sim_cosine_topk" -> (1,
       "probe set: vec_id < 5 over the unique vec_id key — <= 5 probes"),
+    "sim_range_search" -> (1,
+      "probe set: vec_id < 5 over the unique vec_id key — <= 5 probes " +
+        "(the cosine-topk bound; the corpus side streams unhinted)"),
     "events_lateness_histogram" -> (1,
       "per-day watermark prefix: one row per operational DAY (minutes " +
         "div 1440) — bounded by the stream's age, not its row count"),
