@@ -434,6 +434,12 @@ object VolumeProbe {
         Seq(
           sym("dedup_minhash_capped", DedupQueries.dedupMinhashCapped),
           sym("dedup_jaccard_on_lsh", DedupQueries.dedupJaccardOnLsh),
+          // round 15: the sketch-calibration composition — candidate
+          // generation and exact rescoring are the two probed shapes
+          // above; the estimate join adds candidates ⋈ the per-doc
+          // signature table twice (narrow rows, candidate-mass-bounded),
+          // so the whole query is linear by composition; flat gates.
+          sym("dedup_minhash_estimate", DedupQueries.dedupMinhashEstimate),
           sym("dedup_clusters_raw", DedupQueries.dedupClustersRaw),
           // The two other heavy declared dedup plans: the df-capped exact
           // shingle self-join (word salting preserves each shingle's

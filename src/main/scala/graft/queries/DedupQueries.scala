@@ -91,12 +91,21 @@ object DedupQueries {
   private def minhashCandidatesFrom(sh: DataFrame): DataFrame =
     pairsOf(Sessions.snapshot(minhashBands(sh))._2)
 
-  /** (doc_id, band, band_key) — the 8 LSH band rows per document. */
-  private def minhashBands(sh: DataFrame): DataFrame = {
+  /** The 16-column MinHash signature table (one row per doc) — factored
+    * out of the band construction so [[dedupMinhashEstimate]] can read
+    * the raw signature the bands are built from. */
+  private def minhashSig(sh: DataFrame): DataFrame = {
     val base = sh.select(col("doc_id"), md5Long(col("s")).as("h"))
     def mhCol(j: Int) =
       min((col("h") * (j * 40503L + 10007L) + (j * 69621L + 30011L)) % 2147483647L).as(s"mh$j")
-    val sig = base.groupBy("doc_id").agg(mhCol(0), (1 until 16).map(mhCol): _*)
+    base.groupBy("doc_id").agg(mhCol(0), (1 until 16).map(mhCol): _*)
+  }
+
+  /** (doc_id, band, band_key) — the 8 LSH band rows per document. */
+  private def minhashBands(sh: DataFrame): DataFrame =
+    bandsFromSig(minhashSig(sh))
+
+  private def bandsFromSig(sig: DataFrame): DataFrame = {
     val bandKeys = (0 until 8).map(b =>
       concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as(s"bk$b"))
     sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
@@ -184,6 +193,68 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash sketch calibration — Broder's estimator audited against
+    * ground truth on the operating candidates: for every LSH candidate
+    * pair, the fraction of agreeing signature components estimates
+    * Jaccard (E[est16/16] = J, the minwise property), and this query
+    * reports the calibration curve — per agreement level, the candidate
+    * count and the EXACT shingle Jaccard's micro-average/min/max. The
+    * tuning diagnostic every production dedup pipeline wants before
+    * moving a Jaccard threshold onto the cheap estimator: if the curve
+    * says est ≥ 12/16 ⇒ exact J ≥ 0.5 on THIS corpus, rescoring can be
+    * skipped for the high-agreement mass.
+    *
+    * Engine-exactness: the per-level aggregate sums exact integers
+    * (Σ inter, Σ union) — the micro-averaged Jaccard is ONE double
+    * division at the end, and the per-pair min/max are order-independent
+    * over doubles, so no float summation order can diverge (the
+    * text_lm_fluency doctrine; a naive AVG(jaccard) would hash-flake).
+    *
+    * Scale shape: one shingle snapshot shared by signature and exact
+    * rescoring (the dedupJaccardOnLsh discipline); the signature table is
+    * snapshotted ONCE and read twice (bands + the estimate join); the
+    * candidate set is snapshotted (estimate and rescoring subtrees). The
+    * estimate join is candidates ⋈ signature twice on doc keys — narrow
+    * per-doc rows, bounded by candidate mass — and the exact-intersection
+    * join is the probed jaccard-on-lsh shape with its SHUFFLE_HASH pins
+    * (Catalyst's stats otherwise broadcast the corpus-sized shingle
+    * relation). Output is ≤ 17 rows at any corpus size. */
+  val dedupMinhashEstimate: Q = (s, d) => {
+    val sh = shingleSnapshot(s, d)
+    val sig = Sessions.snapshot(minhashSig(sh))._2
+    val cands = Sessions.snapshot(pairsOf(Sessions.snapshot(bandsFromSig(sig))._2))._2
+    val agree = (0 until 16).map(j =>
+      when(col(s"a.mh$j") === col(s"b.mh$j"), 1L).otherwise(0L)).reduce(_ + _)
+    val est = cands
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), agree.as("est16"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = cands.hint("shuffle_hash")
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .hint("shuffle_hash")
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id"), col("nsh").as("na")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("nsh").as("nb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+      .groupBy("est16")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("inter")).as("sum_inter"),
+           sum(col("na") + col("nb") - col("inter")).as("sum_union"),
+           round(min(col("j")), 6).as("min_jaccard"),
+           round(max(col("j")), 6).as("max_jaccard"))
+      .withColumn("micro_jaccard",
+        round(col("sum_inter").cast("double") / col("sum_union").cast("double"), 6))
+      .select(col("est16"), col("n_pairs"), col("sum_inter"), col("sum_union"),
+              col("micro_jaccard"), col("min_jaccard"), col("max_jaccard"))
+      .orderBy("est16")
   }
 
   /** Dedup cluster assignment — connected components of the near-dup pair
@@ -982,6 +1053,7 @@ object DedupQueries {
     "dedup_source_overlap" -> dedupSourceOverlap,
     "dedup_incremental" -> dedupIncremental,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_minhash_capped" -> dedupMinhashCapped,
     "dedup_jaccard_on_lsh" -> dedupJaccardOnLsh,
     "dedup_clusters" -> dedupClusters,
@@ -1189,6 +1261,63 @@ object DedupQueries {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same sh/base/mh/bands CTEs as dedup_minhash_lsh; the estimate is
+    // per-pair signature-component agreement, the exact side the
+    // jaccard-on-lsh intersection, micro-averaged per agreement level.
+    "dedup_minhash_estimate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), base AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, MIN((h * (j * 40503 + 10007) + (j * 69621 + 30011)) % 2147483647) AS mh
+        |  FROM base, UNNEST(generate_series(0, 15)) AS t(j)
+        |  GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |         CAST(MIN(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
+        |           CAST(MIN(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |), est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS est16
+        |  FROM cand c
+        |  JOIN mh ma ON ma.doc_id = c.doc_a
+        |  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+        |  GROUP BY c.doc_a, c.doc_b
+        |), inter AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY c.doc_a, c.doc_b
+        |), sizes AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT e.est16, COALESCE(i.inter, 0) AS inter,
+        |         sa.nsh AS na, sb.nsh AS nb,
+        |         CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+        |           (sa.nsh + sb.nsh - COALESCE(i.inter, 0)) AS j
+        |  FROM est e
+        |  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        |  JOIN sizes sa ON sa.doc_id = e.doc_a
+        |  JOIN sizes sb ON sb.doc_id = e.doc_b
+        |)
+        |SELECT est16, COUNT(*) AS n_pairs,
+        |       CAST(SUM(inter) AS BIGINT) AS sum_inter,
+        |       CAST(SUM(na + nb - inter) AS BIGINT) AS sum_union,
+        |       round(CAST(CAST(SUM(inter) AS BIGINT) AS DOUBLE) /
+        |             CAST(CAST(SUM(na + nb - inter) AS BIGINT) AS DOUBLE), 6) AS micro_jaccard,
+        |       round(MIN(j), 6) AS min_jaccard,
+        |       round(MAX(j), 6) AS max_jaccard
+        |FROM pairs GROUP BY est16 ORDER BY est16""".stripMargin,
     // Connected components over the minhash candidate edges: recursive
     // transitive closure, then min reachable id per vertex. The Spark side
     // computes the same fixpoint by label propagation.
