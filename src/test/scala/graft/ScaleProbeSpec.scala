@@ -316,7 +316,27 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
       // joins it composes (vocabulary, blocks, matched entities all 10×;
       // the merge adds one catalog aggregate + one vocab-scale join).
       sym("linkage_golden_record",
-        (s, d) => graft.queries.LinkageQueries.linkageGoldenRecord(s, s"$d/fz")))
+        (s, d) => graft.queries.LinkageQueries.linkageGoldenRecord(s, s"$d/fz")),
+      // round 15: the seven r15-new operators land WITH their scale
+      // points (the standing habit). LPA rides the disjoint-copy tri
+      // sub-fixture like pagerank (labels never cross copies — no edges
+      // do); ccnet's per-copy-disjoint bigram vocabularies reproduce the
+      // 1× per-doc scores exactly, so thresholds are scale-invariant and
+      // every stage tracks 10×; the minhash estimator composes the two
+      // probed dedup shapes plus candidate-mass-bounded signature
+      // lookups; unimax's stats/threshold tables stay |languages|-sized
+      // while both corpus scans grow 10×; gopher/grouping-sets are
+      // single-aggregate linear; range search's BNLJ output is the
+      // τ-ball mass (intra-copy cosines preserved exactly by the ±1
+      // diagonal; cross-copy cosines scrambled toward isotropic).
+      sym("graph_label_propagation",
+        (s, d) => graft.queries.LinkageQueries.graphLabelPropagation(s, s"$d/tri")),
+      sym("text_ccnet_buckets", TextQueries.textCcnetBuckets),
+      sym("dedup_minhash_estimate", DedupQueries.dedupMinhashEstimate),
+      sym("sample_unimax", graft.queries.SamplingQueries.sampleUnimax),
+      sym("text_gopher_rules", TextQueries.textGopherRules),
+      sym("olap_grouping_sets", graft.queries.ExtensionQueries.olapGroupingSets),
+      sym("sim_range_search", SimilarityQueries.simRangeSearch))
   }
 
   /** Entries whose plan legitimately contains a nested-loop join, so the
@@ -340,9 +360,13 @@ class ScaleProbeSpec extends SparkSpec with BeforeAndAfterAll {
     // (LIMIT-1 arg-max applied to the capped vocabulary) — rounds − 1
     // BNLJ nodes, all over ≤ 4096-row inputs; the encode path adds one
     // ≤ 1-row apply cross per round over the distinct-word table.
+    // sim_range_search: the ≤ 5-probe broadcast against the corpus scan
+    // IS a BNLJ by construction (the sim_cosine_topk class) — its output
+    // is the τ-ball mass, gated by the joinrows arm, and the broadcast
+    // side is bounded at 5 rows at any corpus size.
     Set("sim_ann_ivf", "text_tfidf_top_terms", "sample_temperature_mix",
       "sample_dsir_weights", "emb_kmeans", "text_bpe_train",
-      "text_bpe_encode")
+      "text_bpe_encode", "sim_range_search")
 
   /** One measured run: (wall seconds, [[Metrics.TaskWork]], plan-sane).
     * The query is CONSTRUCTED inside the metered block — the iterative
