@@ -341,16 +341,30 @@ object LinkageQueries {
     * Scale shape: identical plan class to [[graphPagerank]]'s round —
     * per round ONE equi-join (labels ⋈ out-edges on the source key) and
     * TWO hash aggregates ((dst, label) vote counts map-side-combined,
-    * then the per-dst argmax as one max(struct(cnt, −label)) aggregate
-    * — no window, no per-node sort). Shuffle volume per round is
-    * exactly the 2·|E| directed edge stream, the pagerank measurement;
-    * labels chain lazily round-over-round (each frame referenced once).
-    * The argmax-by-struct encodes "max count, then min label":
-    * part keys are non-negative, so max(−label) IS min(label) — the
-    * reducer-library min/max-composition idea
-    * (/root/reference/src/reducer.h:16-22) applied to a lexicographic
-    * vote. */
+    * then the per-dst argmax — no window, no per-node sort). The argmax
+    * is a PACKED max (the KMeans.assign doctrine): a
+    * max(struct(cnt, −label)) buffer is not hash-aggregatable and
+    * planned the GRAPH-scale vote stream through SortAggregates
+    * (measured in the first PLANS.md dump — the exact round-12
+    * emb_kmeans smell; golden_record's struct min is fine because its
+    * input is vocabulary-scale). Unlike KMeans' k ≤ 16 cluster ids,
+    * the label domain here is the FULL part-key space — a 2³²-bounded
+    * long pack would exclude legitimate key universes (the 10× probe
+    * fixture's offset copies sit past 2³² by design) — so the vote
+    * packs into DECIMAL(38,0): cnt·2⁶⁴ + (2⁶⁴−1−label), exact for any
+    * non-negative int64 label and any count below 2⁶⁰ (ANSI decimal
+    * overflow RAISES past that — never a corrupted argmax), and
+    * decimal max is a mutable-buffer hash aggregate. Max picks max
+    * count then min label in one aggregate. Shuffle volume
+    * per round is exactly the 2·|E| directed edge stream, the pagerank
+    * measurement; labels chain lazily round-over-round (each frame
+    * referenced once). Max count then MIN label is the reducer-library
+    * min/max-composition idea (/root/reference/src/reducer.h:16-22)
+    * applied to a lexicographic vote. */
   val graphLabelPropagation: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val two64 = lit(BigDecimal("18446744073709551616")).cast(dec)
+    val low64 = lit(BigDecimal("18446744073709551615")).cast(dec)
     val pairs = coOrderPairs(s, d)
     val eSnap = Sessions.snapshot(pairs)._2
     val edges = eSnap.select(col("pa").as("src"), col("pb").as("dst"))
@@ -358,12 +372,17 @@ object LinkageQueries {
     var labels = edges.select(col("src").as("p")).distinct()
       .select(col("p"), col("p").as("lbl"))
     for (_ <- 1 to LpaIters) {
+      val guardedLbl = when(col("lbl") >= 0L, col("lbl").cast(dec))
+        .otherwise(raise_error(concat(
+          lit("lpa label outside the non-negative pack domain: "),
+          col("lbl").cast("string"))))
       labels = edges.join(labels, edges("src") === labels("p"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("t"))
-        .select(col("dst").as("p"), (-col("t.neg")).as("lbl"))
+        .agg(max(col("cnt").cast(dec) * two64 + (low64 - guardedLbl)).as("m"))
+        .select(col("dst").as("p"),
+          (low64 - pmod(col("m"), two64)).cast("long").as("lbl"))
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"),

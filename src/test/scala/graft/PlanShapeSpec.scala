@@ -228,4 +228,43 @@ class PlanShapeSpec extends SparkSpec {
       s"expected ${graft.queries.TextQueries.BpeMerges} apply crosses, " +
         s"found ${crosses.size}")
   }
+
+  test("graph_label_propagation: hash aggregates only, no window, no nested loop") {
+    // The vote argmax is a packed DECIMAL(38,0) max (the KMeans.assign
+    // doctrine, decimal-widened for the unbounded label domain): a
+    // max(struct) buffer is not hash-aggregatable and planned the
+    // GRAPH-scale vote stream through 4 SortAggregates in the first
+    // dump — the round-12 emb_kmeans smell, pinned here against return.
+    val ps = nodes(planOf("graph_label_propagation"))
+    val sorts = ps.collect { case s: SortAggregateExec => s }
+    assert(sorts.isEmpty,
+      s"lpa regressed to ${sorts.size} SortAggregate(s) — the packed-decimal vote " +
+        "argmax (cnt*2^64 + (2^64-1-label)) changed to a non-primitive buffer")
+    assert(ps.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "lpa must not plan a window — the argmax is one aggregate")
+    assert(ps.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "lpa's vote join must stay an equi join")
+  }
+
+  test("text_ccnet_buckets: both windows are lang-partitioned and consume the collapsed (lang, score) aggregate") {
+    // The tercile cut's whole scale claim is that windows run over the
+    // BOUNDED score-domain aggregate, never raw per-doc scores — and
+    // partitioned by lang, never global (the WindowGuardSpec doctrine
+    // applied to the counting sort).
+    val ps = nodes(planOf("text_ccnet_buckets"))
+    val windows = ps.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 2, s"expected the cum + n window pair, got ${windows.size}")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "ccnet window went global — must partition by lang")
+      assert(nodes(w.child).exists {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _ => false
+      }, "ccnet window consumes raw rows — the (lang, score) counting " +
+        "aggregate collapse was dropped")
+    }
+  }
 }
