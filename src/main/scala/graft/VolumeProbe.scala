@@ -124,6 +124,7 @@ object VolumeProbe {
           "sim_ivfpq_residual_topk", "sim_ivfpq_trained_topk",
           "sim_ivfpq_rerank_topk", "sim_ivfpq_nprobe_topk",
           "sim_ivfpq_clustered_topk", "sim_ivfpq_full_trained_topk",
+          "sim_ivfpq_full_clustered_topk",
           "emb_pq_trained_codes", "dedup_semdedup")
       // The lloyd loop's planted-chain fixture (see below) — its own
       // corpus, not the embeddings fixture.
@@ -166,6 +167,12 @@ object VolumeProbe {
         // training rounds, encode, scan, refine — is equi joins over
         // the cached frame, so no re-rooted copies survive sharing).
         "sim_ivfpq_full_trained_topk" -> 3,
+        // full-clustered: the CODES side reads the pre-ensured trained
+        // catalog table, but the scan-table side still runs the full
+        // training chain (routing needs the trained centroids and
+        // codebooks), so the same three Lloyd-chain assign crosses
+        // execute inside the residual-subspace snapshot job.
+        "sim_ivfpq_full_clustered_topk" -> 3,
         // semdedup's two bounded crosses are the two routing levels of
         // the two-level assignment (round-15: the ≤ r-row super table
         // against the corpus — level 1 — and against the ≤ k-row cell
@@ -258,6 +265,10 @@ object VolumeProbe {
       if (wanted("sim_ivfpq_clustered_topk")) {
         SimilarityQueries.ivfpqCodesTable(spark, dir1)
         SimilarityQueries.ivfpqCodesTable(spark, dirN)
+      }
+      if (wanted("sim_ivfpq_full_clustered_topk")) {
+        SimilarityQueries.ivfpqFullCodesTable(spark, dir1)
+        SimilarityQueries.ivfpqFullCodesTable(spark, dirN)
       }
 
       // Dense-id embedding fixture for the semdedup cells dial (the
@@ -697,6 +708,16 @@ object VolumeProbe {
           // arms exactly like sim_ivfpq_rerank_topk.
           sym("sim_ivfpq_full_trained_topk",
             SimilarityQueries.simIvfPqFullTrainedTopk),
+          // round 16 (r15 verdict #1): the two round-15 flagships
+          // composed with each other — the FULLY-TRAINED index persisted
+          // clustered by cell, scanned through DPP with exact re-rank.
+          // Blanket arms over the whole declared plan; the scan-isolation
+          // arm below reads the table-backed codes with the trained scan
+          // table, and the refine arm pins the re-rank join output
+          // constant across arms (the full_trained contract at the
+          // persisted layout).
+          sym("sim_ivfpq_full_clustered_topk",
+            SimilarityQueries.simIvfPqFullClusteredTopk),
           // round 14: the trained-codebook PQ encode — three corpus
           // passes (two Lloyd rounds + the final encode), each an EQUI
           // broadcast-hash join on the subspace index collapsed by the
@@ -1012,6 +1033,9 @@ object VolumeProbe {
                   SimilarityQueries.ivfpqIndex(spark, dir)._2)
               else if (name == "sim_ivfpq_full_trained_topk")
                 SimilarityQueries.ivfpqFullTrainedIndex(spark, dir)
+              else if (name == "sim_ivfpq_full_clustered_topk")
+                (SimilarityQueries.ivfpqFullCodesTable(spark, dir),
+                  SimilarityQueries.ivfpqFullTrainedIndex(spark, dir)._2)
               else SimilarityQueries.ivfpqIndex(spark, dir)
             val (cRdd, codesSnap) = Sessions.snapshot(codes)
             val (tRdd, tabSnap) = Sessions.snapshot(scanTab)
@@ -1068,12 +1092,16 @@ object VolumeProbe {
         // rank filter slipping above the join) blows the constant bound
         // by the corpus factor.
         if (name == "sim_ivfpq_rerank_topk" ||
-            name == "sim_ivfpq_full_trained_topk") {
+            name == "sim_ivfpq_full_trained_topk" ||
+            name == "sim_ivfpq_full_clustered_topk") {
           def refineProbe(dir: String, parts: Int): (Long, Long) = {
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             val (codes, scanTab) =
               if (name == "sim_ivfpq_full_trained_topk")
                 SimilarityQueries.ivfpqFullTrainedIndex(spark, dir)
+              else if (name == "sim_ivfpq_full_clustered_topk")
+                (SimilarityQueries.ivfpqFullCodesTable(spark, dir),
+                  SimilarityQueries.ivfpqFullTrainedIndex(spark, dir)._2)
               else SimilarityQueries.ivfpqIndex(spark, dir)
             val (sRdd, shortSnap) = Sessions.snapshot(
               SimilarityQueries.ivfpqCandidates(codes, scanTab,

@@ -359,8 +359,10 @@ object LinkageQueries {
     * per round is exactly the 2·|E| directed edge stream, the pagerank
     * measurement; labels chain lazily round-over-round (each frame
     * referenced once). Max count then MIN label is the reducer-library
-    * min/max-composition idea (/root/reference/src/reducer.h:16-22)
-    * applied to a lexicographic vote. */
+    * min/max-composition idea (/root/reference/src/reducer.h:16-22 —
+    * NB the reference's own min/max bodies have their comparisons
+    * swapped, the documented bug graft.core.Reducers flags; the IDEA is
+    * cited, not the implementation) applied to a lexicographic vote. */
   val graphLabelPropagation: Q = (s, d) => {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val two64 = lit(BigDecimal("18446744073709551616")).cast(dec)

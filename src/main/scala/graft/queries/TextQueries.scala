@@ -1280,7 +1280,7 @@ object TextQueries {
         |FROM (
         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
         |         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
-        |         CAST(len(list_filter(['the','a','of','and','to'], x -> list_contains(w, x))) AS BIGINT) AS n_stop_kinds,
+        |         CAST(len(list_filter([${stopEn.map(w => s"'$w'").mkString(",")}], x -> list_contains(w, x))) AS BIGINT) AS n_stop_kinds,
         |         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha
         |  FROM (SELECT doc_id, ${wordsSql.format("text")} AS w FROM documents)
         |)

@@ -96,6 +96,37 @@ object Sessions {
     (rdd, snap)
   }
 
+  /** [[snapshot]] with the ORIGIN-STATS propagation dropped: the returned
+    * frame's LogicalRDD leaf reports `spark.sql.defaultSizeInBytes`
+    * instead of the origin subtree's size estimate. `fromDataset` copies
+    * the origin plan's statistics onto the leaf so checkpoint-style cuts
+    * keep whatever the optimizer believed — but for a snapshot of a deep
+    * bounded-cross-join training chain (the IVFPQR index build) that
+    * belief is a PRODUCT of the chain's join sizes (~10¹¹⁴ bytes at
+    * fixture scale — 96 orders of magnitude above the physical row
+    * count), and it poisons every size-driven decision downstream of the
+    * snapshot; concretely it makes dynamic-partition-pruning's benefit
+    * check (`filterRatio · prunedScanBytes > Σ buildLeafBytes`)
+    * unsatisfiable at ANY ratio, because the build side's leaf "size" is
+    * float-infinite. Partitioning/ordering/constraints propagation is
+    * identical to [[snapshot]]; only the stats option is None. Use for
+    * snapshots whose origin estimate is known-garbage AND whose consumers
+    * make size-driven choices (DPP); the default [[snapshot]] stays for
+    * everything else, where a small true origin estimate can still win an
+    * un-hinted broadcast election. */
+  def snapshotFlatStats(df: DataFrame): (RDD[InternalRow], DataFrame) = {
+    val (rdd, snap) = snapshot(df)
+    val flat = snap.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        LogicalRDD(l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+          l.isStreaming, l.stream)(
+          df.sparkSession.asInstanceOf[classic.SparkSession], None, None)
+      case other => other // defensive: snapshot always returns a LogicalRDD root
+    }
+    (rdd, classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[classic.SparkSession], flat))
+  }
+
   /** WEAK references (ADVICE round 4): the registry must never be the
     * thing keeping a snapshot alive. A caller that never invokes
     * [[releaseSnapshots]] — a library user, the ~20 shared-JVM test

@@ -120,4 +120,69 @@ class PartitionPruningSpec extends SparkSpec {
         "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
     }
   }
+
+  test("fully-trained clustered IVFPQR scan reads only the probed trained cells") {
+    import graft.queries.SimilarityQueries
+    // The round-16 deployment composition: train once (Lloyd cells +
+    // residual codebooks), persist the codes PARTITIONED BY TRAINED CELL,
+    // scan through DPP with routed-cell pruning + exact re-rank. Same
+    // fixture-asymmetry knobs as the seed-codebook case above (the DPP
+    // benefit heuristic is size-driven; deployment sizes invert here).
+    val codes = SimilarityQueries.ivfpqFullCodesTable(spark, sfDir)
+    val nCells = codes.select("cell").distinct().count()
+    assert(nCells > 1, "trained index collapsed to one cell; test is vacuous")
+    val probedCells = {
+      val (_, dtab) = SimilarityQueries.ivfpqFullTrainedIndex(spark, sfDir)
+      dtab.select("pcell").distinct().count()
+    }
+    assert(probedCells < nCells,
+      s"all $nCells trained cells probed; pruning test is vacuous")
+
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100000")
+    // One knob MORE than the seed-codebook case: the trained dtab's
+    // lineage contains snapshotted LogicalRDD frames whose size stat is
+    // `spark.sql.defaultSizeInBytes` (Long.MaxValue by default), so
+    // DPP's benefit compare — filterRatio × codes-bytes > build-bytes —
+    // can never pass at any sane ratio. Cap the unknown-size default so
+    // the routing plan is costed as the ≤ 32-row artifact it is at
+    // deployment (where centroids/codebooks are persisted tables with
+    // real sizes), restoring the same asymmetry as above.
+    spark.conf.set("spark.sql.defaultSizeInBytes", (1L << 20).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val out = SimilarityQueries.simIvfPqFullClusteredTopk(spark, sfDir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      val scans = out.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("graft_ivfpqft_codes_")) => s
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec over the trained codes table")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(
+        _.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+        s"no dynamic pruning filter on the trained codes scan: ${scan.partitionFilters}")
+      val partsRead = scan.metrics("numPartitions").value
+      assert(partsRead == probedCells,
+        s"read $partsRead cell partitions, probes route to $probedCells")
+      assert(partsRead < nCells,
+        s"read all $nCells cells — pruning did not engage")
+      // Correctness: identical output to the inline-index declared twin.
+      val inline = SimilarityQueries.simIvfPqFullTrainedTopk(spark, sfDir).collect()
+      assert(rows.toSeq == inline.toSeq,
+        "clustered trained scan diverges from the inline full-trained result")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.defaultSizeInBytes")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
 }
