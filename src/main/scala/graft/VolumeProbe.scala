@@ -190,8 +190,12 @@ object VolumeProbe {
       // PageRank (declared fixed-round + convergence-loop facade) rides
       // the same disjoint-copy co-order fixture.
       val prIterName = "pagerank_iterate"
+      // LPA (declared fixed-round + run-to-termination facade, round 16)
+      // rides the same disjoint-copy co-order fixture.
+      val lpaIterName = "lpa_iterate"
       val graphNames =
-        Set(triName, "graph_pagerank", prIterName, "graph_label_propagation")
+        Set(triName, "graph_pagerank", prIterName, "graph_label_propagation",
+          lpaIterName)
       val fuzzyName = "text_fuzzy_join_blocked"
       val fuzzyMultiName = "text_fuzzy_join_multikey"
       // The entity-cluster composition rides the same part fixture as
@@ -754,7 +758,25 @@ object VolumeProbe {
             (s: SparkSession, dd: String) =>
               graft.operators.PageRank.iterate(
                 graft.queries.LinkageQueries.coOrderPairs(s, s"$dd/tri"),
-                tol = 1000L, loopParts = partsN)))
+                tol = 1000L, loopParts = partsN)),
+          // round 16 (r15 verdict #4): the LPA run-to-termination loop
+          // on the disjoint-copy co-order fixture. Rounds are a property
+          // of each copy's community structure — copies are identical,
+          // so rounds must be FLAT across arms (the pagerank_iterate
+          // convention, +2 slack for the max-over-copies of any
+          // tie-order wobble); records/joinrows normalize by the
+          // measured count, and the loop must TERMINATE (fixpoint or
+          // detected 2-cycle) at both arms — an exit-on-cap would
+          // silently shrink the normalizer.
+          (lpaIterName,
+            (s: SparkSession, dd: String) =>
+              graft.operators.Lpa.iterate(
+                graft.queries.LinkageQueries.coOrderPairs(s, s"$dd/tri"),
+                loopParts = cpus.toInt),
+            (s: SparkSession, dd: String) =>
+              graft.operators.Lpa.iterate(
+                graft.queries.LinkageQueries.coOrderPairs(s, s"$dd/tri"),
+                loopParts = partsN)))
           .filter(t => wanted(t._1))
       }
 
@@ -784,12 +806,18 @@ object VolumeProbe {
         val kmConv1 = graft.operators.KMeans.lastConverged
         val prRounds1 = graft.operators.PageRank.lastRounds
         val prConv1 = graft.operators.PageRank.lastConverged
+        val lpaRounds1 = graft.operators.Lpa.lastRounds
+        val lpaTerm1 = graft.operators.Lpa.lastConverged ||
+          graft.operators.Lpa.lastOscillating
         val (wN, kN, plansN) = measure(qN, dirN, partsN)
         val roundsN = graft.operators.Components.lastRounds
         val kmRoundsN = graft.operators.KMeans.lastRounds
         val kmConvN = graft.operators.KMeans.lastConverged
         val prRoundsN = graft.operators.PageRank.lastRounds
         val prConvN = graft.operators.PageRank.lastConverged
+        val lpaRoundsN = graft.operators.Lpa.lastRounds
+        val lpaTermN = graft.operators.Lpa.lastConverged ||
+          graft.operators.Lpa.lastOscillating
         // Entries whose DECLARED plan carries bounded nested-loop joins
         // (the exact-allowlisted <= k-row broadcast cross joins: kmeans
         // centroid tables, dsir's scalar totals row) get the bounded
@@ -1237,6 +1265,27 @@ object VolumeProbe {
           entryExtraOk = roundsOk && prConv1 && prConvN
           extra ++= s""""rounds_1x":$prRounds1,"rounds_${factor}x":$prRoundsN,"""
           extra ++= s""""converged_1x":$prConv1,"converged_${factor}x":$prConvN,"""
+          extra ++= s""""gate_rounds":$roundsOk,"""
+          extra ++= s""""records_gate":"records<=2x_linear_per_round","""
+          extra ++= s""""joinrows_gate":"joinrows<=2x_linear_per_round","""
+        }
+        // round 16: the LPA termination loop — the pagerank_iterate
+        // posture: records/joinrows normalize by measured rounds, rounds
+        // FLAT across arms (disjoint identical copies → identical
+        // per-copy community trajectories), and both arms must TERMINATE
+        // on a detected condition (fixpoint or 2-cycle), never the cap.
+        if (name == lpaIterName && lpaRounds1 > 0 && lpaRoundsN > 0) {
+          val roundScale = lpaRoundsN.toDouble / lpaRounds1
+          recOk = kN.shuffleRecordsRead.toDouble <=
+            2.0 * factor * roundScale * math.max(k1.shuffleRecordsRead, 10000L)
+          joinOk = kN.joinOutputRows.toDouble <=
+            2.0 * factor * roundScale * math.max(k1.joinOutputRows, 10000L)
+          customRecGate = true
+          customJoinGate = true
+          val roundsOk = lpaRoundsN <= lpaRounds1 + 2
+          entryExtraOk = roundsOk && lpaTerm1 && lpaTermN
+          extra ++= s""""rounds_1x":$lpaRounds1,"rounds_${factor}x":$lpaRoundsN,"""
+          extra ++= s""""terminated_1x":$lpaTerm1,"terminated_${factor}x":$lpaTermN,"""
           extra ++= s""""gate_rounds":$roundsOk,"""
           extra ++= s""""records_gate":"records<=2x_linear_per_round","""
           extra ++= s""""joinrows_gate":"joinrows<=2x_linear_per_round","""

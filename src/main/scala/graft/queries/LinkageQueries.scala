@@ -364,28 +364,20 @@ object LinkageQueries {
     * swapped, the documented bug graft.core.Reducers flags; the IDEA is
     * cited, not the implementation) applied to a lexicographic vote. */
   val graphLabelPropagation: Q = (s, d) => {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val two64 = lit(BigDecimal("18446744073709551616")).cast(dec)
-    val low64 = lit(BigDecimal("18446744073709551615")).cast(dec)
+    // The vote round lives in [[graft.operators.Lpa.voteRound]] (with
+    // the decimal-packing rationale in its scaladoc) — this declared
+    // query is the ORACLE INSTANCE that pins its semantics
+    // cross-engine; Lpa.iterate is the run-to-termination driver loop
+    // over the very same block (round-15 verdict #4, the KMeans/
+    // PageRank operator-pairing doctrine).
     val pairs = coOrderPairs(s, d)
     val eSnap = Sessions.snapshot(pairs)._2
     val edges = eSnap.select(col("pa").as("src"), col("pb").as("dst"))
       .union(eSnap.select(col("pb").as("src"), col("pa").as("dst")))
     var labels = edges.select(col("src").as("p")).distinct()
       .select(col("p"), col("p").as("lbl"))
-    for (_ <- 1 to LpaIters) {
-      val guardedLbl = when(col("lbl") >= 0L, col("lbl").cast(dec))
-        .otherwise(raise_error(concat(
-          lit("lpa label outside the non-negative pack domain: "),
-          col("lbl").cast("string"))))
-      labels = edges.join(labels, edges("src") === labels("p"))
-        .groupBy(col("dst"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("dst"))
-        .agg(max(col("cnt").cast(dec) * two64 + (low64 - guardedLbl)).as("m"))
-        .select(col("dst").as("p"),
-          (low64 - pmod(col("m"), two64)).cast("long").as("lbl"))
-    }
+    for (_ <- 1 to LpaIters)
+      labels = graft.operators.Lpa.voteRound(edges, labels)
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"),
            min(col("p")).as("member_min"), max(col("p")).as("member_max"))
