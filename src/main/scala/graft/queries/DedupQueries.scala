@@ -970,6 +970,91 @@ object DedupQueries {
       .distinct()
   }
 
+  /** SemDeDup over TRAINED cells (round-15 verdict #5) — the sentence
+    * [[dedupSemdedup]]'s scaladoc left as a claim ("the trained-cell
+    * form composes with KMeans.lloyd exactly as sim_ivfpq_trained_topk
+    * composes its cells") made a declared query: the cell table is the
+    * actual two-Lloyd-round k-means of `emb_kmeans` (k =
+    * [[SemdedupCells]], vec_id < k seeds, exact fixed-point integers —
+    * the paper treats the clustering as pluggable preprocessing, and
+    * SemDeDup itself clusters with k-means, Abbas et al. 2023 §3),
+    * routing stays TWO-LEVEL (supers = the first ⌈√k⌉ trained
+    * centroids; trained centroids route to their nearest super at the
+    * micro² scale, queries route super-then-refine at the
+    * KMeans.assign mixed scale 10⁶·n2 − 2000·(q·c) + |c|²), and the
+    * verdict join runs the paper's τ = 0.95 on the raw millunit
+    * vectors — [[semdedupLosers]] verbatim, so the threshold and keep
+    * rule cannot drift from the seeded form.
+    *
+    * Exact integers throughout: millunit vectors, micro-unit
+    * floor-mean centroids, packed-long argmins at every level (level 0
+    * micro²·r ≤ ~10¹⁶, levels 1-2 mixed-scale ≤ ~3·10¹⁵ per the
+    * KMeans.assign domain note, ×k = 8 packing well inside a long);
+    * cdist is the mixed-scale distance to the TRAINED centroid — the
+    * keep rule (smaller = more prototypical, ties on id) compares it
+    * within one cell only, the seeded form's contract.
+    *
+    * Scale shape: the training chain is the emb_kmeans posture (two
+    * bounded ≤ k-row centroid crosses collapsed in-stage); the
+    * assignment is the [[dedupSemdedup]] two-level shape with the cell
+    * SEED table replaced by the ≤ k-row trained table (identical join
+    * classes, identical per-level bounds — the probe gates on the
+    * seeded entry transfer by plan class); the pair stage is the same
+    * within-cell join with the τ residual riding the condition. One
+    * honest bound: KMeans.assign's ×16 packed argmin caps TRAINED k at
+    * 16, so the cells-∝-n deployment dial (50 k cells in the paper)
+    * runs on the SEEDED routing — whose probe entry exercises it at
+    * k·factor — with training swapped in per super-group shard; this
+    * declared instance pins the trained composition's semantics at the
+    * oracle-expressible k = 8. */
+  val dedupSemdedupTrained: Q = (s, d) => {
+    import graft.operators.KMeans
+    val kL = SemdedupCells.toLong
+    val rL = semdedupSupers(SemdedupCells).toLong
+    val q = Sessions.snapshot(KMeans.quantize(Tables.embeddings(s, d)))._2
+    val cents0 = q.filter(col("vec_id") < kL)
+      .select(col("vec_id").as("cluster"), transform(col("qv"), _ * 1000L).as("c"))
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    val c1 = KMeans.update(KMeans.assign(q, cents0), 64)
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    val c2 = KMeans.update(KMeans.assign(q, c1), 64)
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    val cells = c2.select(col("cluster").as("cid"), col("c").as("cv"), col("cn2"))
+    val sups = cells.filter(col("cid") < rL)
+      .select(col("cid").as("sid"), col("cv").as("sv"), col("cn2").as("sn2"))
+    // Level 0: trained centroids to their nearest super — both micro.
+    val d0 = col("cn2") - lit(2L) * qdot(col("cv"), col("sv")) + col("sn2")
+    val groups = cells.crossJoin(broadcast(sups))
+      .groupBy(col("cid"), col("cv"), col("cn2"))
+      .agg(min(d0 * rL + col("sid")).as("p0"))
+      .select(col("cid"), col("cv"), col("cn2"),
+        pmod(col("p0"), lit(rL)).as("super"))
+    // Level 1: queries to their nearest super — mixed millunit/micro.
+    val d1 = lit(1000000L) * col("n2") -
+      lit(2000L) * qdot(col("qv"), col("sv")) + col("sn2")
+    val routed = q.crossJoin(broadcast(sups))
+      .groupBy(col("vec_id"), col("qv"), col("n2"))
+      .agg(min(d1 * rL + col("sid")).as("p1"))
+      .select(col("vec_id"), col("qv"), col("n2"),
+        pmod(col("p1"), lit(rL)).as("super"))
+    // Level 2: refine among the routed super group's trained cells.
+    val d2 = lit(1000000L) * col("n2") -
+      lit(2000L) * qdot(col("qv"), col("cv")) + col("cn2")
+    val assigned = Sessions.snapshot(
+      routed.join(broadcast(groups), Seq("super"))
+        .groupBy(col("vec_id"), col("qv"), col("n2"))
+        .agg(min(d2 * kL + col("cid")).as("p"))
+        .select(col("vec_id"), col("qv"), col("n2"),
+          pmod(col("p"), lit(kL)).as("cluster"),
+          call_function("div", col("p"), lit(kL)).as("cdist")))._2
+    val losers = semdedupLosers(assigned, 361L, 400L)
+    assigned.join(losers.withColumn("l", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("cdist"),
+        coalesce(col("l"), lit(false)) === false)
+      .toDF("vec_id", "cluster", "cdist", "kept")
+      .orderBy("vec_id")
+  }
+
   /** Degree histogram of the near-dup candidate graph — the shape
     * diagnostic run BEFORE committing to a clustering pass: a heavy tail
     * here (one doc paired with thousands — boilerplate, licence
@@ -1064,6 +1149,7 @@ object DedupQueries {
     "dedup_simhash_banded" -> dedupSimhashBanded,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
     "dedup_semdedup" -> dedupSemdedup,
+    "dedup_semdedup_trained" -> dedupSemdedupTrained,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1118,6 +1204,104 @@ object DedupQueries {
         |  FROM pair WHERE dot > 0 AND 400 * dot * dot >= 361 * na * nb
         |)
         |SELECT a.vec_id, a.cluster, a.cdist, l.vec_id IS NULL AS kept
+        |FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+    // Trained-cell SemDeDup: the emb_kmeans two-Lloyd-round CTE chain
+    // (verbatim from that oracle, same constants) feeding the same
+    // two-level routing + τ = 0.95 verdict CTEs as dedup_semdedup, at
+    // the mixed millunit/micro distance scale of the trained centroids.
+    "dedup_semdedup_trained" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), qn AS (
+        |  SELECT vec_id, qv,
+        |         CAST((SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS BIGINT) AS n2
+        |  FROM q
+        |), c0 AS (
+        |  SELECT vec_id AS cluster, list_transform(qv, x -> x * 1000) AS c
+        |  FROM q WHERE vec_id < 8
+        |), c0n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c0
+        |), a1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c0n c) WHERE rk = 1
+        |), s1 AS (
+        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM a1 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
+        |  GROUP BY cluster, d
+        |), c1 AS (
+        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
+        |  FROM s1 GROUP BY cluster
+        |), c1n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c1
+        |), a2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c1n c) WHERE rk = 1
+        |), s2 AS (
+        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM a2 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
+        |  GROUP BY cluster, d
+        |), c2 AS (
+        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
+        |  FROM s2 GROUP BY cluster
+        |), c2n AS (
+        |  SELECT cluster, c,
+        |         CAST((SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS BIGINT) AS cn2
+        |  FROM c2
+        |), sups AS (
+        |  SELECT cluster AS sid, c AS sv, cn2 AS sn2 FROM c2n WHERE cluster < 3
+        |), grp AS (
+        |  SELECT cid, super FROM (
+        |    SELECT cc.cluster AS cid, s.sid AS super,
+        |           ROW_NUMBER() OVER (PARTITION BY cc.cluster ORDER BY
+        |             cc.cn2
+        |             - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(cc.c) AS x, UNNEST(s.sv) AS y))
+        |             + s.sn2, s.sid) AS rk
+        |    FROM c2n cc CROSS JOIN sups s) WHERE rk = 1
+        |), routed AS (
+        |  SELECT vec_id, qv, n2, super FROM (
+        |    SELECT v.vec_id, v.qv, v.n2, s.sid AS super,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(s.sv) AS y))
+        |             + s.sn2, s.sid) AS rk
+        |    FROM qn v CROSS JOIN sups s) WHERE rk = 1
+        |), assigned AS (
+        |  SELECT vec_id, qv, n2, cluster, cdist FROM (
+        |    SELECT v.vec_id, v.qv, v.n2, g.cid AS cluster,
+        |           CAST(1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(cc.c) AS y))
+        |             + cc.cn2 AS BIGINT) AS cdist,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(cc.c) AS y))
+        |             + cc.cn2, g.cid) AS rk
+        |    FROM routed v JOIN grp g ON v.super = g.super
+        |    JOIN c2n cc ON cc.cluster = g.cid) WHERE rk = 1
+        |), pair AS (
+        |  SELECT a.vec_id AS va, a.cdist AS da, b.vec_id AS vb, b.cdist AS db,
+        |         a.n2 AS na, b.n2 AS nb,
+        |         CAST((SELECT SUM(x * y) FROM (SELECT UNNEST(a.qv) AS x, UNNEST(b.qv) AS y)) AS BIGINT) AS dot
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |), losers AS (
+        |  SELECT DISTINCT CASE WHEN (da, va) < (db, vb) THEN va ELSE vb END AS vec_id
+        |  FROM pair WHERE dot > 0 AND 400 * dot * dot >= 361 * na * nb
+        |)
+        |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, a.cdist,
+        |       l.vec_id IS NULL AS kept
         |FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
         |ORDER BY a.vec_id""".stripMargin,
     "dedup_incremental" ->

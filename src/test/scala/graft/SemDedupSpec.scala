@@ -69,6 +69,51 @@ class SemDedupSpec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("trained cells: same verdicts as the seeded form, cdist = distance to the Lloyd mean") {
+    // Same planted-clique fixture as the seeded test; dedup_semdedup_trained
+    // replaces the member-vector cell seeds with two-Lloyd-round k-means
+    // centroids. On block-orthogonal families Lloyd keeps every family in
+    // its own cluster (assignment is block-local at every round), so the
+    // qualifying cliques — and with them the keep verdicts — are IDENTICAL
+    // to the seeded form's; what changes is cdist, now the mixed-scale
+    // micro² distance to the family's floor-mean centroid, closed-form:
+    // family members sit at 1000/1000/1001/1002 millunits on dim 8p, the
+    // mean is exactly 1000750 micro, so cdists are 750², 750², 250², 1250².
+    val rows =
+      (0 until 8).map(p => (p.toLong, proto(p))) ++
+      (for (p <- 0 until 4; j <- 0 until 3)
+        yield ((100 + p * 10 + j).toLong, perturb(proto(p), p * 8, j)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sddt").toString
+    try {
+      rows.toDF("vec_id", "embedding").withColumn("label", lit("t"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = graft.queries.DedupQueries.dedupSemdedupTrained(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toMap
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+      assert(out.size == rows.size)
+      for ((id, _) <- rows) {
+        val famP = if (id < 8) id.toInt else ((id - 100) / 10).toInt
+        val (cluster, cdist, kept) = out(id)
+        assert(cluster == famP, s"vector $id assigned to cell $cluster, not $famP")
+        val expectedCdist =
+          if (id >= 4 && id < 8) 0L // singleton cluster: centroid = itself
+          else if (id < 4 || id % 10 == 0) 562500L // 750² off the mean
+          else if (id % 10 == 1) 62500L            // 250²
+          else 1562500L                            // 1250²
+        assert(cdist == expectedCdist,
+          s"vector $id cdist $cdist != $expectedCdist")
+        val expectedKept =
+          if (id >= 4 && id < 8) true                 // singleton seeds
+          else if (id >= 100 && id % 10 == 2) true    // clique max (1250²)
+          else false
+        assert(kept == expectedKept,
+          s"vector $id kept=$kept, expected $expectedKept")
+      }
+    } finally rmTree(dir)
+  }
+
   test("the cells dial: finer cells keep every verdict deterministic and split no clique") {
     // k = 16 makes seeds of vectors that are family members at k = 8 —
     // planted members sit ≤ 2 millunits from their own prototype, so the
