@@ -759,6 +759,24 @@ object VolumeProbe {
               graft.operators.PageRank.iterate(
                 graft.queries.LinkageQueries.coOrderPairs(s, s"$dd/tri"),
                 tol = 1000L, loopParts = partsN)),
+          // round 16 (r15 verdict #7): the BPE run-to-target trainer —
+          // the corpus pays exactly one scan (the word-count aggregate
+          // behind the capped vocabulary); every round is a projection
+          // over ≤ BpeVocabCap rows with the ≤ 1-row arg-max collected
+          // driver-side, so records/joinrows normalize by measured
+          // rounds and the salted 10×/100× corpora (disjoint per-copy
+          // word universes) must train the full target at both arms.
+          ("bpe_train_loop",
+            (s: SparkSession, dd: String) =>
+              graft.operators.Bpe.train(
+                graft.queries.TextQueries.bpeDocWords(s, dd),
+                graft.queries.TextQueries.BpeMerges,
+                minCount = 2L, loopParts = cpus.toInt),
+            (s: SparkSession, dd: String) =>
+              graft.operators.Bpe.train(
+                graft.queries.TextQueries.bpeDocWords(s, dd),
+                graft.queries.TextQueries.BpeMerges,
+                minCount = 2L, loopParts = partsN)),
           // round 16 (r15 verdict #4): the LPA run-to-termination loop
           // on the disjoint-copy co-order fixture. Rounds are a property
           // of each copy's community structure — copies are identical,
@@ -809,6 +827,7 @@ object VolumeProbe {
         val lpaRounds1 = graft.operators.Lpa.lastRounds
         val lpaTerm1 = graft.operators.Lpa.lastConverged ||
           graft.operators.Lpa.lastOscillating
+        val bpeRounds1 = graft.operators.Bpe.lastRounds
         val (wN, kN, plansN) = measure(qN, dirN, partsN)
         val roundsN = graft.operators.Components.lastRounds
         val kmRoundsN = graft.operators.KMeans.lastRounds
@@ -818,6 +837,7 @@ object VolumeProbe {
         val lpaRoundsN = graft.operators.Lpa.lastRounds
         val lpaTermN = graft.operators.Lpa.lastConverged ||
           graft.operators.Lpa.lastOscillating
+        val bpeRoundsN = graft.operators.Bpe.lastRounds
         // Entries whose DECLARED plan carries bounded nested-loop joins
         // (the exact-allowlisted <= k-row broadcast cross joins: kmeans
         // centroid tables, dsir's scalar totals row) get the bounded
@@ -1266,6 +1286,26 @@ object VolumeProbe {
           extra ++= s""""rounds_1x":$prRounds1,"rounds_${factor}x":$prRoundsN,"""
           extra ++= s""""converged_1x":$prConv1,"converged_${factor}x":$prConvN,"""
           extra ++= s""""gate_rounds":$roundsOk,"""
+          extra ++= s""""records_gate":"records<=2x_linear_per_round","""
+          extra ++= s""""joinrows_gate":"joinrows<=2x_linear_per_round","""
+        }
+        // round 16: the BPE trainer loop — rounds must hit the full
+        // target at BOTH arms (the salted corpora keep ≥ minCount pair
+        // mass at every rung; an early stop would shrink the
+        // normalizer), and records/joinrows normalize by them.
+        if (name == "bpe_train_loop" && bpeRounds1 > 0 && bpeRoundsN > 0) {
+          val roundScale = bpeRoundsN.toDouble / bpeRounds1
+          recOk = kN.shuffleRecordsRead.toDouble <=
+            2.0 * factor * roundScale * math.max(k1.shuffleRecordsRead, 10000L)
+          joinOk = kN.joinOutputRows.toDouble <=
+            2.0 * factor * roundScale * math.max(k1.joinOutputRows, 10000L)
+          customRecGate = true
+          customJoinGate = true
+          val target = graft.queries.TextQueries.BpeMerges
+          val roundsOk = bpeRounds1 == target && bpeRoundsN == target
+          entryExtraOk = roundsOk
+          extra ++= s""""rounds_1x":$bpeRounds1,"rounds_${factor}x":$bpeRoundsN,"""
+          extra ++= s""""target_merges":$target,"gate_rounds":$roundsOk,"""
           extra ++= s""""records_gate":"records<=2x_linear_per_round","""
           extra ++= s""""joinrows_gate":"joinrows<=2x_linear_per_round","""
         }

@@ -160,32 +160,62 @@ object TextQueries {
     * [[textQualityScore]]'s composite score: each document gets one
     * boolean per rule plus the AND, so downstream curation can report
     * per-rule rejection rates instead of a single opaque score. The four
-    * rules the fixture's schema can express (the line-based rules need
-    * newlines the corpus does not carry — documented, not simulated):
+    * rules, eight of §A1.1's filter family (round-16: the symbol and
+    * line rules joined the original four — the line rules are
+    * well-defined on any text via the newline split, and degrade to
+    * the trivially-passing one-line case on the fixture's unstructured
+    * corpus; QualityRulesSpec plants line-structured violations):
     * word count in [[[GopherMinWords]], [[GopherMaxWords]]]; mean word
     * length in [3, 10], cross-multiplied exactly (3·n ≤ Σlen ≤ 10·n — no
     * division, both engines compare identical integers); ≥ 2 DISTINCT
     * stopwords from the shared [[stopEn]] set present (the paper's
-    * "stop-word filter"); and ≥ 80 % of words containing an alphabetic
-    * character, cross-multiplied (5·n_alpha ≥ 4·n_words).
+    * "stop-word filter"); ≥ 80 % of words containing an alphabetic
+    * character, cross-multiplied (5·n_alpha ≥ 4·n_words);
+    * symbol-to-word ratio ≤ 0.1 for BOTH the hash symbol and the
+    * ellipsis ("…" or "..."), cross-multiplied (10·n_sym ≤ n_words,
+    * counted by length-difference after literal removal — the
+    * "..."-count floor-divides by 3 so "……" and "......" agree);
+    * ≤ 90 % of lines starting with a bullet ([-*•] after optional
+    * indent, 10·n_bullet ≤ 9·n_lines); ≤ 30 % of lines ending with an
+    * ellipsis (10·n_ellend ≤ 3·n_lines); and duplicate-line fraction
+    * ≤ 30 % (10·(n_lines − n_distinct_lines) ≤ 3·n_lines — the paper's
+    * repetition-family line rule at the exact-line granularity).
     *
     * Scale shape: pure map-side per-document compute over one scan —
-    * every flag derives from the doc's own word array, no join, no
-    * shuffle except the trivial final sort. The [[stopEn]] membership
-    * probe iterates the 5-element LITERAL array against the doc's words
-    * (array_contains per stopword), not the doc's words against a set —
-    * counting DISTINCT stopword hits without a per-doc distinct over the
-    * word array. */
+    * every flag derives from the doc's own word/line arrays, no join,
+    * no shuffle except the trivial final sort (the line split and
+    * array_distinct are per-row bounded work, never a corpus-wide
+    * distinct). The [[stopEn]] membership probe iterates the 5-element
+    * LITERAL array against the doc's words (array_contains per
+    * stopword), not the doc's words against a set — counting DISTINCT
+    * stopword hits without a per-doc distinct over the word array. */
   val textGopherRules: Q = (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("text"), words(col("text")).as("w"),
+        split(col("text"), "\n").as("ls"))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
         aggregate(transform(col("w"), x => length(x).cast("long")),
           lit(0L), (acc, x) => acc + x).as("sum_len"),
         size(filter(typedLit(stopEn), x =>
           array_contains(col("w"), x))).cast("long").as("n_stop_kinds"),
-        size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long").as("n_alpha"))
+        size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        (length(col("text")) -
+          length(replace(col("text"), lit("#"), lit(""))))
+          .cast("long").as("n_hash"),
+        (call_function("div",
+            (length(col("text")) -
+              length(replace(col("text"), lit("..."), lit("")))).cast("long"),
+            lit(3L)) +
+          (length(col("text")) -
+            length(replace(col("text"), lit("…"), lit("")))).cast("long"))
+          .as("n_ellipsis"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(filter(col("ls"), l => l.rlike("^\\s*[-*•]")))
+          .cast("long").as("n_bullet"),
+        size(filter(col("ls"), l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+          .cast("long").as("n_ellend"),
+        size(array_distinct(col("ls"))).cast("long").as("n_dlines"))
       .filter(col("n_words") > 0)
       .select(col("doc_id"), col("n_words"),
         (col("n_words") >= GopherMinWords &&
@@ -193,9 +223,17 @@ object TextQueries {
         (col("sum_len") >= lit(3L) * col("n_words") &&
           col("sum_len") <= lit(10L) * col("n_words")).as("wlen_ok"),
         (col("n_stop_kinds") >= 2L).as("stop_ok"),
-        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("alpha_ok"))
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("alpha_ok"),
+        (lit(10L) * col("n_hash") <= col("n_words") &&
+          lit(10L) * col("n_ellipsis") <= col("n_words")).as("sym_ok"),
+        (lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines")).as("bullet_ok"),
+        (lit(10L) * col("n_ellend") <= lit(3L) * col("n_lines")).as("ellipsis_ok"),
+        (lit(10L) * (col("n_lines") - col("n_dlines")) <=
+          lit(3L) * col("n_lines")).as("dupline_ok"))
       .withColumn("pass",
-        col("wc_ok") && col("wlen_ok") && col("stop_ok") && col("alpha_ok"))
+        col("wc_ok") && col("wlen_ok") && col("stop_ok") && col("alpha_ok") &&
+          col("sym_ok") && col("bullet_ok") && col("ellipsis_ok") &&
+          col("dupline_ok"))
       .orderBy("doc_id")
 
   /** CCNet's perplexity-tercile corpus partition (Wenzek et al. 2020
@@ -1027,7 +1065,7 @@ object TextQueries {
 
   /** The wrapped working representation of a word column: every symbol
     * carries its own boundary markers (see [[BpeMark]]). */
-  private def bpeWrap(word: Column): Column = {
+  private[graft] def bpeWrap(word: Column): Column = {
     val M = BpeMark
     concat(lit(M),
       array_join(filter(split(word, ""), c => length(c) > 0), M + M),
@@ -1036,14 +1074,14 @@ object TextQueries {
 
   /** One merge rule applied to a wrapped column — the literal
     * non-overlapping left-to-right replace both engines share. */
-  private def bpeApply(w: Column, lhs: Column, rhs: Column): Column = {
+  private[graft] def bpeApply(w: Column, lhs: Column, rhs: Column): Column = {
     val M = BpeMark
     replace(w, concat(lit(M), lhs, lit(M + M), rhs, lit(M)),
             concat(lit(M), lhs, rhs, lit(M)))
   }
 
   /** The per-doc (doc_id, word) stream both BPE queries read. */
-  private def bpeDocWords(s: SparkSession, d: String): DataFrame =
+  private[graft] def bpeDocWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -1273,16 +1311,33 @@ object TextQueries {
         |       (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AS wlen_ok,
         |       (n_stop_kinds >= 2) AS stop_ok,
         |       (5 * n_alpha >= 4 * n_words) AS alpha_ok,
+        |       (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words) AS sym_ok,
+        |       (10 * n_bullet <= 9 * n_lines) AS bullet_ok,
+        |       (10 * n_ellend <= 3 * n_lines) AS ellipsis_ok,
+        |       (10 * (n_lines - n_dlines) <= 3 * n_lines) AS dupline_ok,
         |       ((n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
         |        AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
         |        AND (n_stop_kinds >= 2)
-        |        AND (5 * n_alpha >= 4 * n_words)) AS pass
+        |        AND (5 * n_alpha >= 4 * n_words)
+        |        AND (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words)
+        |        AND (10 * n_bullet <= 9 * n_lines)
+        |        AND (10 * n_ellend <= 3 * n_lines)
+        |        AND (10 * (n_lines - n_dlines) <= 3 * n_lines)) AS pass
         |FROM (
         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
         |         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
         |         CAST(len(list_filter([${stopEn.map(w => s"'$w'").mkString(",")}], x -> list_contains(w, x))) AS BIGINT) AS n_stop_kinds,
-        |         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha
-        |  FROM (SELECT doc_id, ${wordsSql.format("text")} AS w FROM documents)
+        |         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |         CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |              + (length(text) - length(replace(text, chr(8230), ''))) AS BIGINT) AS n_ellipsis,
+        |         CAST(len(ls) AS BIGINT) AS n_lines,
+        |         CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet,
+        |         CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT) AS n_ellend,
+        |         CAST(len(list_distinct(ls)) AS BIGINT) AS n_dlines
+        |  FROM (SELECT doc_id, text, ${wordsSql.format("text")} AS w,
+        |               string_split(text, chr(10)) AS ls
+        |        FROM documents)
         |)
         |WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     "text_ccnet_buckets" ->

@@ -67,6 +67,89 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("round"), r.getAs[String]("lhs"),
                  r.getAs[String]("rhs"), r.getAs[Long]("pair_count")))
 
+  /** [[refBpe]] with the DRIVER LOOP's stop rule ([[graft.operators.Bpe
+    * .train]]): run to `target` merges, stopping early when no adjacent
+    * pair remains or the best pair's count falls below `minCount`.
+    * Returns (merge table, stopped-early). */
+  private def refTrain(words: Map[String, Long], target: Int, minCount: Long)
+      : (Seq[(Long, String, String, Long)], Boolean) = {
+    var vocab = words.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < target && !exhausted) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          pc(p) = pc.getOrElse(p, 0L) + c
+        }
+      }
+      val best = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= minCount =>
+          k += 1
+          out += ((k.toLong, l, r, c))
+          vocab = vocab.map { case (syms, cc) => (mergeLR(syms, l, r), cc) }
+        case _ => exhausted = true
+      }
+    }
+    (out.result(), exhausted)
+  }
+
+  test("train loop: matches the sequential reference at three target sizes") {
+    import graft.operators.Bpe
+    val words = Map("banana" -> 6L, "bandana" -> 4L, "ananas" -> 3L, "nanny" -> 2L)
+    val dir = plant(words)
+    for (target <- Seq(2, 5, 9)) {
+      val (want, wantEarly) = refTrain(words, target, minCount = 2L)
+      val got = Bpe.train(TextQueries.bpeDocWords(spark, dir), target,
+          minCount = 2L, loopParts = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+      assert(got == want, s"target $target: $got != $want")
+      assert(Bpe.lastRounds == want.size,
+        s"target $target: rounds ${Bpe.lastRounds} != ${want.size}")
+      assert(Bpe.lastConverged == wantEarly,
+        s"target $target: early=${Bpe.lastConverged}, reference $wantEarly")
+    }
+  }
+
+  test("train loop: stops early once the best pair falls below minCount") {
+    import graft.operators.Bpe
+    // "ab" x5 merges once (count 5); the only remaining pair (c, d) has
+    // count 1 < minCount = 2, so a target of 10 stops after 1 merge.
+    val dir = plant(Map("ab" -> 5L, "cd" -> 1L))
+    val got = Bpe.train(TextQueries.bpeDocWords(spark, dir), 10,
+        minCount = 2L, loopParts = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+    assert(got == Seq((1L, "a", "b", 5L)), got.toString)
+    assert(Bpe.lastRounds == 1 && Bpe.lastConverged,
+      s"rounds=${Bpe.lastRounds} early=${Bpe.lastConverged}")
+  }
+
+  test("train loop: the fixed-round declared query is its prefix") {
+    import graft.operators.Bpe
+    // On the fixture corpus the declared BpeMerges-round table and the
+    // loop trained to the same target must be IDENTICAL — same blocks,
+    // same arg-max order (minCount = 1 disables the early stop so the
+    // comparison is exact even if a late round's winner is a singleton).
+    val declared = TextQueries.textBpeTrain(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("pair_count"))).toSeq
+    val loop = Bpe.train(TextQueries.bpeDocWords(spark, sfDir),
+        TextQueries.BpeMerges, minCount = 1L, loopParts = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+    assert(loop == declared, s"loop $loop != declared $declared")
+  }
+
   test("classic corpus: the distributed trainer matches the sequential reference") {
     // The Sennrich et al. (2016) example vocabulary. Expected first
     // merges: (e, s) from newest+widest (9), then (es, t) (9), then

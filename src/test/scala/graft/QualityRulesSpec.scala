@@ -47,6 +47,46 @@ class QualityRulesSpec extends SparkSpec {
     assert(out(5L) == ((true, true, true, false, false)), out(5L).toString)
   }
 
+  test("gopher line/symbol rules: each planted violation fails exactly its rule") {
+    val fill = (n: Int) => Seq.fill(n)("word").mkString(" ")
+    // Each doc satisfies the original four rules (>= 30 words, sane
+    // lengths, 2 stopword kinds, alphabetic) so the NEW flag is the only
+    // failing one — except where noted.
+    val base = s"the of ${fill(38)}"
+    val docs = Seq(
+      // 1: single line, no symbols — all eight rules pass.
+      1L -> base,
+      // 2: hash symbol-to-word ratio 5/41 > 0.1 -> sym_ok false.
+      2L -> s"$base #####",
+      // 3: unicode-ellipsis symbols 5/40 > 0.1 -> sym_ok false ("…" is
+      //    glued to words, so the word count stays 40 and mean length
+      //    stays in range).
+      3L -> s"the of ${Seq.fill(5)("word…").mkString(" ")} ${fill(33)}",
+      // 4: 10 DISTINCT lines, all bullet-led (100 % > 90 %) ->
+      //    bullet_ok false (distinct lines keep dupline_ok true; words
+      //    ride within the lines so the original rules hold).
+      4L -> (0 until 10).map(i => s"- the of w$i ${fill(3)}").mkString("\n"),
+      // 5: 10 distinct lines, 4 ending with "..." (40 % > 30 %) ->
+      //    ellipsis_ok false; 4 dot-ellipses over 60 words keeps sym_ok.
+      5L -> (0 until 10).map(i =>
+        s"the of w$i ${fill(3)}" + (if (i < 4) " end..." else " end")).mkString("\n"),
+      // 6: 10 lines, 5 copies of one line (dup fraction 4/10 > 30 %) ->
+      //    dupline_ok false.
+      6L -> ((0 until 5).map(i => s"the of w$i ${fill(3)}") ++
+        Seq.fill(5)(s"the of same ${fill(3)}")).mkString("\n"))
+    val out = TextQueries.textGopherRules(spark, mkDocs(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("sym_ok"), r.getAs[Boolean]("bullet_ok"),
+          r.getAs[Boolean]("ellipsis_ok"), r.getAs[Boolean]("dupline_ok"),
+          r.getAs[Boolean]("pass")))).toMap
+    assert(out(1L) == ((true, true, true, true, true)), out(1L).toString)
+    assert(out(2L) == ((false, true, true, true, false)), out(2L).toString)
+    assert(out(3L)._1 == false && out(3L)._5 == false, out(3L).toString)
+    assert(out(4L) == ((true, false, true, true, false)), out(4L).toString)
+    assert(out(5L) == ((true, true, false, true, false)), out(5L).toString)
+    assert(out(6L) == ((true, true, true, false, false)), out(6L).toString)
+  }
+
   test("ccnet buckets: strict score ordering, language partition, fixture sanity") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val scoreable = docs
