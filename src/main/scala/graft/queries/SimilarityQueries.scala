@@ -1205,6 +1205,46 @@ object SimilarityQueries {
     rerankRefine(s, d, ivfpqCandidates(codes, dtab, RerankShortlist))
   }
 
+  /** ANN recall audit — the index-quality diagnostic a deployment runs
+    * BEFORE trusting an approximate index for curation decisions:
+    * per probe, how many of the exact cosine top-5
+    * ([[graft.queries.ExtensionQueries.simCosineTopk]]) the multi-probe
+    * LSH ANN ([[simAnnLsh]]) actually returned. Output is integer-only
+    * ((probe_id, n_ann, n_exact, n_hit) — recall@5 = n_hit/n_exact read
+    * off the exact counts), so the compare is hash-stable with no
+    * derived ratio to float-drift. RecallSpec pins recall ≥ 0.9 on
+    * PLANTED near-dups in CI; this is the corpus-facing DECLARED form
+    * of the same audit — on the isotropic fixture (nearest pairs at
+    * 61–65°, far from the near-dup workload LSH is parameterized for)
+    * the measured recall is the honest, unflattering number the audit
+    * exists to surface.
+    *
+    * Scale shape: both sides are the already-declared plans (the ANN's
+    * bucket equi-join, the exact baseline's ≤ 5-probe broadcast scan),
+    * each instantiated exactly once; the audit itself is one
+    * full-outer equi-join of two ≤ 5·5-row rank tables plus one
+    * ≤ |probes|-group aggregate — nothing corpus-scale is added. At
+    * a real deployment the exact side runs over a SAMPLED probe set
+    * (the standard recall-estimation protocol); the probe-set dial is
+    * shared with the baselines (vec_id < 5, the id-stable convention). */
+  val simRecallAudit: Q = (s, d) => {
+    val ann = simAnnLsh(s, d)
+      .select(col("probe_id"), col("cand_id"), lit(1L).as("a"))
+    val exact = graft.queries.ExtensionQueries.simCosineTopk(s, d)
+      .select(col("probe_id").as("e_pid"), col("cand_id").as("e_cid"),
+        lit(1L).as("e"))
+    ann.join(exact,
+        col("probe_id") === col("e_pid") && col("cand_id") === col("e_cid"),
+        "full_outer")
+      .select(coalesce(col("probe_id"), col("e_pid")).as("probe_id"),
+        coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("e"), lit(0L)).as("e"))
+      .groupBy("probe_id")
+      .agg(sum(col("a")).as("n_ann"), sum(col("e")).as("n_exact"),
+        sum(col("a") * col("e")).as("n_hit"))
+      .orderBy("probe_id")
+  }
+
   /** τ² = 9/100 → cosine radius τ = 0.3 for [[simRangeSearch]], exact.
     * The dial is fixture-calibrated: the synthetic embeddings are
     * near-isotropic at the probe set (max pairwise cosine ≈ 0.4,
@@ -1278,6 +1318,7 @@ object SimilarityQueries {
     "sim_ivfpq_clustered_topk" -> simIvfPqClusteredTopk,
     "sim_ivfpq_full_trained_topk" -> simIvfPqFullTrainedTopk,
     "sim_ivfpq_full_clustered_topk" -> simIvfPqFullClusteredTopk,
+    "sim_recall_audit" -> simRecallAudit,
   )
 
   /** Shared DuckDB oracle for `sim_ivfpq_topk` AND its clustered-scan
@@ -2039,6 +2080,67 @@ object SimilarityQueries {
         |SELECT src AS vec_id, CAST(rank AS BIGINT) AS rank, cand_id AS neighbor,
         |       round(cos, 6) AS score
         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // The audit composes the sim_ann_lsh CTE body (verbatim, shared q/qn)
+    // with the exact cosine top-5 and a full-outer rank-table join; both
+    // sides quantize at the same 10⁶ scale so the intersect is exact.
+    "sim_recall_audit" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), qn AS (
+        |  SELECT vec_id, qv, (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2 FROM q
+        |), keyed AS (
+        |  SELECT vec_id, tbl,
+        |         CAST(list_sum(list_transform(generate_series(0, 5), p ->
+        |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
+        |                  qv[dd] * (CAST('0x' || substring(md5(CAST(tbl * 6 + p AS VARCHAR) || ':' || CAST(dd - 1 AS VARCHAR)), 1, 4) AS INTEGER) - 32768))) > 0
+        |                THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+        |  FROM qn, UNNEST(generate_series(0, 2)) AS t(tbl)
+        |), pb AS (
+        |  SELECT vec_id AS probe_id, tbl,
+        |         UNNEST(list_transform(generate_series(0, 6), i ->
+        |           CASE WHEN i = 0 THEN bucket
+        |                ELSE xor(bucket, CAST(1 AS BIGINT) << (i - 1)) END)) AS pbucket
+        |  FROM keyed WHERE vec_id < 5
+        |), cand AS (
+        |  SELECT DISTINCT p.probe_id, c.vec_id AS cand_id
+        |  FROM pb p JOIN keyed c
+        |    ON c.tbl = p.tbl AND c.bucket = p.pbucket AND c.vec_id <> p.probe_id
+        |), apairs AS (
+        |  SELECT probe_id, cand_id,
+        |         (SELECT SUM(x * y) FROM (SELECT UNNEST(pq.qv) AS x, UNNEST(cq.qv) AS y)) /
+        |           (sqrt(pq.n2) * sqrt(cq.n2)) AS cos
+        |  FROM cand
+        |  JOIN qn pq ON pq.vec_id = probe_id
+        |  JOIN qn cq ON cq.vec_id = cand_id
+        |), ann AS (
+        |  SELECT probe_id, cand_id FROM (
+        |    SELECT probe_id, cand_id,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+        |    FROM apairs) WHERE rank <= 5
+        |), epairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         (SELECT SUM(a * b) FROM (SELECT UNNEST(p.qv) AS a, UNNEST(c.qv) AS b)) /
+        |           (sqrt(p.n2) * sqrt(c.n2)) AS cos
+        |  FROM qn p, qn c
+        |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+        |), exact AS (
+        |  SELECT probe_id, cand_id FROM (
+        |    SELECT probe_id, cand_id,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+        |    FROM epairs) WHERE rank <= 5
+        |), j AS (
+        |  SELECT COALESCE(a.probe_id, e.probe_id) AS probe_id,
+        |         CASE WHEN a.probe_id IS NULL THEN 0 ELSE 1 END AS a,
+        |         CASE WHEN e.probe_id IS NULL THEN 0 ELSE 1 END AS e
+        |  FROM ann a FULL OUTER JOIN exact e
+        |    ON a.probe_id = e.probe_id AND a.cand_id = e.cand_id
+        |)
+        |SELECT probe_id, CAST(SUM(a) AS BIGINT) AS n_ann,
+        |       CAST(SUM(e) AS BIGINT) AS n_exact,
+        |       CAST(SUM(a * e) AS BIGINT) AS n_hit
+        |FROM j GROUP BY probe_id ORDER BY probe_id""".stripMargin,
     "sim_ann_lsh" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -93,6 +93,11 @@ class BroadcastGuardSpec extends SparkSpec {
         "lives inside the persisted table's one-time write), the " +
         "probe-to-cell routing (<= |probes| rows), and the scan table " +
         "(<= |probes| * 32 = 160 rows)"),
+    "sim_recall_audit" -> (3,
+      "the composed baselines' own bounds: sim_ann_lsh's two <= 5-probe " +
+        "hints (candidate join + rescoring) plus sim_cosine_topk's one — " +
+        "the audit adds only a full-outer join of two <= 25-row rank " +
+        "tables and a <= |probes|-group aggregate, no new hint"),
     "sim_ann_lsh" -> (2,
       "probe set: vec_id < 5 over the unique vec_id key — <= 5 probes; " +
         "the multi-probe fan-out adds NTables*(1+nPlanes) rows per probe"),
