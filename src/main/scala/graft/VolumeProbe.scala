@@ -167,12 +167,11 @@ object VolumeProbe {
         // training rounds, encode, scan, refine — is equi joins over
         // the cached frame, so no re-rooted copies survive sharing).
         "sim_ivfpq_full_trained_topk" -> 3,
-        // full-clustered: the CODES side reads the pre-ensured trained
-        // catalog table, but the scan-table side still runs the full
-        // training chain (routing needs the trained centroids and
-        // codebooks), so the same three Lloyd-chain assign crosses
-        // execute inside the residual-subspace snapshot job.
-        "sim_ivfpq_full_clustered_topk" -> 3,
+        // full-clustered: EVERY trained piece reads from pre-ensured
+        // catalog tables (codes DPP-pruned, cells, codebook), so the
+        // one bounded cross left is the probe-side KMeans.assign
+        // routing against the <= 8-row persisted cell table.
+        "sim_ivfpq_full_clustered_topk" -> 1,
         // semdedup's two bounded crosses are the two routing levels of
         // the two-level assignment (round-15: the ≤ r-row super table
         // against the corpus — level 1 — and against the ≤ k-row cell
@@ -273,6 +272,8 @@ object VolumeProbe {
       if (wanted("sim_ivfpq_full_clustered_topk")) {
         SimilarityQueries.ivfpqFullCodesTable(spark, dir1)
         SimilarityQueries.ivfpqFullCodesTable(spark, dirN)
+        SimilarityQueries.ivfpqFullArtifactTables(spark, dir1)
+        SimilarityQueries.ivfpqFullArtifactTables(spark, dirN)
       }
 
       // Dense-id embedding fixture for the semdedup cells dial (the

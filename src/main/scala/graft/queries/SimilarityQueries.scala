@@ -1012,6 +1012,16 @@ object SimilarityQueries {
     * rows total. */
   private[graft] def ivfpqFullTrainedIndex(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
+    val (_, _, codes, dtab) = ivfpqFullTrainedAll(s, d)
+    (codes, dtab)
+  }
+
+  /** The full training chain with its ≤ 8-row cell table and ≤ 32-row
+    * residual codebook exposed alongside codes/dtab — the artifacts a
+    * deployment persists next to the clustered codes (see
+    * [[ivfpqFullArtifactTables]]). */
+  private[graft] def ivfpqFullTrainedAll(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.operators.KMeans
     val q = org.apache.spark.sql.graftx.Sessions.snapshot(
       KMeans.quantize(Tables.embeddings(s, d)))._2
@@ -1098,7 +1108,7 @@ object SimilarityQueries {
           .as("pdist"))
       .join(broadcast(assignedP), col("pid") === col("probe_id"))
       .select(col("probe_id"), col("pcell"), col("pm"), col("cid"), col("pdist"))
-    (codes, dtab)
+    (c2, cbT, codes, dtab)
   }
 
   /** The declared fully-trained IVFPQR query — see
@@ -1183,25 +1193,80 @@ object SimilarityQueries {
     }
   }
 
+  /** The trained ARTIFACTS persisted next to the clustered codes: the
+    * ≤ 8-row cell-centroid table and the ≤ 32-row residual codebook,
+    * materialized once per source dir through the same ensure-once
+    * machinery. This is what makes "train once, scan many" literal for
+    * the whole index: with the artifacts on disk, a query rebuilds only
+    * the PROBE-side tables (≤ 5 rows end to end) — the corpus-scale
+    * training chain never re-runs at query time. */
+  private[graft] def ivfpqFullArtifactTables(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    import graft.sources.Bucketing
+    val tag = Bucketing.dirTag(d)
+    val (cellsName, cbName) =
+      (s"graft_ivfpqft_cells_$tag", s"graft_ivfpqft_cb_$tag")
+    // One chain materializes BOTH artifact tables (plus the codes table
+    // via [[ivfpqFullCodesTable]] when it builds in the same session —
+    // the memoized fingerprint makes later ensures catalog lookups).
+    lazy val all = ivfpqFullTrainedAll(s, d)
+    val cells = Bucketing.ensureTable(s, cellsName, d) {
+      all._1.select(col("cluster"), col("c"), col("cn2"))
+        .write.mode("overwrite").format("parquet").saveAsTable(cellsName)
+    }
+    val cb = Bucketing.ensureTable(s, cbName, d) {
+      all._2.select(col("cm"), col("cid"), col("cv"), col("cn2"))
+        .write.mode("overwrite").format("parquet").saveAsTable(cbName)
+    }
+    (cells, cb)
+  }
+
   /** The declared deployment-shaped IVFPQR query — round-15 verdict #1:
     * [[simIvfPqFullTrainedTopk]]'s exact composition (identical output,
-    * identical oracle) with the codes side read from the cell-partitioned
-    * catalog table ([[ivfpqFullCodesTable]]) instead of rebuilt inline —
-    * train once, persist clustered, scan many. The ADC join's cell key
-    * (`cell === pcell` against the broadcast scan table) drives dynamic
-    * partition pruning on the partitioned scan exactly as in
-    * [[simIvfPqClusteredTopk]] (PartitionPruningSpec pins partitions
-    * read = the probes' routed TRAINED cells; the same fixture-scale DPP
-    * honesty note applies — under default conf at 500 rows the pruning
-    * expression degrades to `true`, correct output, unpruned scan). The
-    * scan-table side still runs the training chain (routing needs the
-    * trained centroids and codebooks) — at deployment those are ≤ 32-row
-    * artifacts persisted alongside the codes; here the chain's cost is
-    * gated by the sibling full-trained probe entry, and the CODES —
-    * the corpus-scale half — are never recomputed. */
+    * identical oracle) with EVERY trained piece read from the catalog —
+    * codes from the cell-partitioned table ([[ivfpqFullCodesTable]]),
+    * cells and residual codebooks from the ≤ 32-row artifact tables
+    * ([[ivfpqFullArtifactTables]]) — train once, persist, scan many.
+    * Query-time work is exactly the deployment's: quantize the ≤ 5
+    * probe vectors, route them through the persisted cells (the same
+    * packed-argmin KMeans.assign the training ran — per-row, so
+    * probe-side assignment equals the corpus-side one the codes
+    * recorded), residualize against the routed centroid, build the
+    * ≤ |probes|·32-row ADC distance tables against the persisted
+    * codebook, scan, re-rank. The ADC join's cell key (`cell === pcell`
+    * against the broadcast scan table) drives dynamic partition pruning
+    * on the partitioned scan (PartitionPruningSpec pins partitions
+    * read = the probes' routed TRAINED cells; the fixture-scale DPP
+    * honesty note of [[simIvfPqClusteredTopk]] applies — under default
+    * conf at 500 rows the pruning expression degrades to `true`,
+    * correct output, unpruned scan). The corpus is touched ONLY through
+    * the DPP-pruned codes scan and the re-rank's ≤ |probes|·R
+    * fetch-by-id — nothing corpus-scale recomputes per query. */
   val simIvfPqFullClusteredTopk: Q = (s, d) => {
+    import graft.operators.KMeans
     val codes = ivfpqFullCodesTable(s, d)
-    val (_, dtab) = ivfpqFullTrainedIndex(s, d) // codes subtree unused → never built
+    val (cellsT, cbT) = ivfpqFullArtifactTables(s, d)
+    // Probe-side pipeline over ≤ 5 vectors: route → residualize →
+    // subspace distance tables. KMeans.assign is the training's own
+    // assignment operator, run on the probe subset.
+    val probes = KMeans.quantize(
+      Tables.embeddings(s, d).filter(col("vec_id") < 5))
+    val assigned = KMeans.assign(probes, cellsT)
+    val pr = assigned.join(broadcast(cellsT.select(
+        col("cluster").as("rc"), col("c"))), col("cluster") === col("rc"))
+      .select(col("vec_id").as("probe_id"), col("cluster").as("pcell"),
+        zip_with(col("qv"), col("c"), (x, cd) => x * 1000L - cd).as("prv"))
+    val dtab = pr
+      .select(col("probe_id"), col("pcell"), explode(array((0 until 8).map(m =>
+        struct(lit(m.toLong).as("m"),
+          slice(col("prv"), m * 8 + 1, 8).as("sv"))): _*)).as("ms"))
+      .select(col("probe_id"), col("pcell"), col("ms.m").as("pm"),
+        col("ms.sv").as("psv"))
+      .withColumn("psn2", qnorm2(col("psv")))
+      .join(broadcast(cbT), col("pm") === col("cm"))
+      .select(col("probe_id"), col("pcell"), col("pm"), col("cid"),
+        (col("psn2") - lit(2L) * qdot(col("psv"), col("cv")) + col("cn2"))
+          .as("pdist"))
     rerankRefine(s, d, ivfpqCandidates(codes, dtab, RerankShortlist))
   }
 

@@ -74,17 +74,17 @@ class BroadcastGuardSpec extends SparkSpec {
         "shortlist (<= 100 rows by the rank filter), and the probe " +
         "vectors (<= 5 rows). All sit over snapshot LogicalRDDs or " +
         "corpus scans, invisible to the root rules"),
-    "sim_ivfpq_full_clustered_topk" -> (7,
-      "sim_ivfpq_full_trained_topk's bounds minus the codes side: the " +
-        "codes read the cell-partitioned CATALOG table (no hint, " +
-        "DPP-pruned scan; the encode-side hints live inside the " +
-        "persisted table's one-time write), leaving the scan-table " +
-        "build's residual-codebook chain (<= 32 rows, hinted at the " +
-        "distance-table build with its two nested training-round hints " +
-        "cb1/cb0), the probe cell routing (<= 5 rows), the scan table " +
-        "(<= 160 rows), the re-rank shortlist (<= 100 rows by the rank " +
-        "filter), and the probe vectors (<= 5 rows) — all over snapshot " +
-        "LogicalRDDs or corpus scans, invisible to the root rules"),
+    "sim_ivfpq_full_clustered_topk" -> (6,
+      "every trained piece reads from the catalog (codes DPP-pruned, " +
+        "cells <= 8 rows, codebook <= 32 rows — the training-chain " +
+        "hints live inside the tables' one-time writes), so the six " +
+        "hints are the probe-side pipeline's: the <= 8-row persisted " +
+        "cell table hinted twice (the KMeans.assign routing cross and " +
+        "the residualize join), the <= 32-row persisted codebook at " +
+        "the distance-table build, the <= 160-row scan table, the " +
+        "<= 100-row re-rank shortlist (rank filter), and the <= 5-row " +
+        "probe vectors — catalog scans are corpus-cardinality-unknown " +
+        "to the root rules, hence allowlisted with these bounds"),
     "sim_ivfpq_clustered_topk" -> (3,
       "sim_ivfpq_topk's bounds minus one: the codes side reads the " +
         "cell-partitioned CATALOG table (no hint, DPP-pruned scan), so " +
