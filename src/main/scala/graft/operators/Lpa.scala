@@ -152,17 +152,23 @@ object Lpa {
         val cmp = next.select(col("p").as("np"), col("lbl").as("nl"))
           .join(prev.select(col("p").as("pp"), col("lbl").as("pl")),
             col("np") === col("pp"))
+        // coalesce: an EMPTY node set (no edges at all) sums over zero
+        // rows → NULL, and getLong would NPE; zero disagreements is the
+        // correct reading (the empty table is trivially a fixpoint).
         val row =
           if (prevPrev == null)
             cmp.agg(
-              sum(when(col("nl") =!= col("pl"), 1L).otherwise(0L)).as("d1"),
+              coalesce(sum(when(col("nl") =!= col("pl"), 1L).otherwise(0L)),
+                lit(0L)).as("d1"),
               lit(-1L).as("d2")).head
           else
             cmp.join(prevPrev.select(col("p").as("qp"), col("lbl").as("ql")),
                 col("np") === col("qp"))
               .agg(
-                sum(when(col("nl") =!= col("pl"), 1L).otherwise(0L)).as("d1"),
-                sum(when(col("nl") =!= col("ql"), 1L).otherwise(0L)).as("d2"))
+                coalesce(sum(when(col("nl") =!= col("pl"), 1L).otherwise(0L)),
+                  lit(0L)).as("d1"),
+                coalesce(sum(when(col("nl") =!= col("ql"), 1L).otherwise(0L)),
+                  lit(0L)).as("d2"))
               .head
         val movedPrev = row.getLong(0)
         val movedPrevPrev = row.getLong(1)
@@ -187,9 +193,17 @@ object Lpa {
       fin = f0
       prevRdd.unpersist(blocking = false)
       if (prevPrevRdd != null) prevPrevRdd.unpersist(blocking = false)
+      prevRdd = null
+      prevPrevRdd = null
     } finally {
+      // Deterministic release on EVERY exit: the success path nulls
+      // prevRdd/prevPrevRdd after its own unpersist, so these fire only
+      // when an exception escaped mid-loop with node-scale snapshots
+      // still cached (ADVICE round 16).
       if ((inFlight != null) && (inFlight ne prevRdd))
         inFlight.unpersist(blocking = false)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      if (prevPrevRdd != null) prevPrevRdd.unpersist(blocking = false)
       pRdd.unpersist(blocking = false)
       eRdd.unpersist(blocking = false)
     }

@@ -1021,10 +1021,21 @@ object SimilarityQueries {
     * deployment persists next to the clustered codes (see
     * [[ivfpqFullArtifactTables]]). */
   private[graft] def ivfpqFullTrainedAll(s: SparkSession,
-      d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      d: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    ivfpqTrainAll(s, Tables.embeddings(s, d))
+
+  /** The training chain over an ARBITRARY (vec_id, embedding) frame —
+    * the full-corpus declared index trains on everything
+    * ([[ivfpqFullTrainedAll]]); the incremental-admission index trains
+    * on the BASE partition only ([[ivfpqAppendPersisted]]), freezing the
+    * artifacts that later delta batches are quantized through. Seeds
+    * stay id-stable (vec_id < 8 cells, vec_id < 4 codebooks), so the
+    * caller's frame must contain those ids. */
+  private[graft] def ivfpqTrainAll(s: SparkSession,
+      emb: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.operators.KMeans
     val q = org.apache.spark.sql.graftx.Sessions.snapshot(
-      KMeans.quantize(Tables.embeddings(s, d)))._2
+      KMeans.quantize(emb))._2
     val cents0 = q.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cluster"), transform(col("qv"), _ * 1000L).as("c"))
       .withColumn("cn2", qdot(col("c"), col("c")))
@@ -1182,16 +1193,8 @@ object SimilarityQueries {
     * before the write gives each cell directory ~one file. Reference
     * principle: the stored map is built once and point-reads route to
     * one owner shard, `/root/reference/src/dist_map.h:121-124`. */
-  private[graft] def ivfpqFullCodesTable(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.Bucketing
-    val tbl = s"graft_ivfpqft_codes_${Bucketing.dirTag(d)}"
-    Bucketing.ensureTable(s, tbl, d) {
-      val (codes, _) = ivfpqFullTrainedIndex(s, d)
-      codes.repartition(col("cell"))
-        .write.mode("overwrite").format("parquet")
-        .partitionBy("cell").saveAsTable(tbl)
-    }
-  }
+  private[graft] def ivfpqFullCodesTable(s: SparkSession, d: String): DataFrame =
+    ivfpqFullPersisted(s, d)._1
 
   /** The trained ARTIFACTS persisted next to the clustered codes: the
     * ≤ 8-row cell-centroid table and the ≤ 32-row residual codebook,
@@ -1202,13 +1205,26 @@ object SimilarityQueries {
     * training chain never re-runs at query time. */
   private[graft] def ivfpqFullArtifactTables(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
+    val (_, cells, cb) = ivfpqFullPersisted(s, d)
+    (cells, cb)
+  }
+
+  /** ALL THREE persisted pieces of the fully-trained index — the
+    * cell-partitioned codes, the ≤ 8-row cell centroids, the ≤ 32-row
+    * residual codebook — ensured from ONE shared lazy training chain:
+    * on a cold catalog the corpus-scale chain runs exactly once and
+    * feeds every ensure body (ADVICE round 16: the previous split
+    * between [[ivfpqFullCodesTable]]'s ensure and an independent lazy
+    * in [[ivfpqFullArtifactTables]] re-trained the chain twice on first
+    * build — correct, training is deterministic, but double the
+    * advertised "train once" cost). Steady state is three catalog
+    * lookups; `all` is never forced. */
+  private[graft] def ivfpqFullPersisted(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.sources.Bucketing
     val tag = Bucketing.dirTag(d)
-    val (cellsName, cbName) =
-      (s"graft_ivfpqft_cells_$tag", s"graft_ivfpqft_cb_$tag")
-    // One chain materializes BOTH artifact tables (plus the codes table
-    // via [[ivfpqFullCodesTable]] when it builds in the same session —
-    // the memoized fingerprint makes later ensures catalog lookups).
+    val (codesName, cellsName, cbName) = (s"graft_ivfpqft_codes_$tag",
+      s"graft_ivfpqft_cells_$tag", s"graft_ivfpqft_cb_$tag")
     lazy val all = ivfpqFullTrainedAll(s, d)
     val cells = Bucketing.ensureTable(s, cellsName, d) {
       all._1.select(col("cluster"), col("c"), col("cn2"))
@@ -1218,7 +1234,12 @@ object SimilarityQueries {
       all._2.select(col("cm"), col("cid"), col("cv"), col("cn2"))
         .write.mode("overwrite").format("parquet").saveAsTable(cbName)
     }
-    (cells, cb)
+    val codes = Bucketing.ensureTable(s, codesName, d) {
+      all._3.repartition(col("cell"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("cell").saveAsTable(codesName)
+    }
+    (codes, cells, cb)
   }
 
   /** The declared deployment-shaped IVFPQR query — round-15 verdict #1:
@@ -1243,12 +1264,22 @@ object SimilarityQueries {
     * the DPP-pruned codes scan and the re-rank's ≤ |probes|·R
     * fetch-by-id — nothing corpus-scale recomputes per query. */
   val simIvfPqFullClusteredTopk: Q = (s, d) => {
+    val (codes, cellsT, cbT) = ivfpqFullPersisted(s, d)
+    val dtab = ivfpqProbeTablesFrozen(s, d, cellsT, cbT)
+    rerankRefine(s, d, ivfpqCandidates(codes, dtab, RerankShortlist))
+  }
+
+  /** Probe-side pipeline over the ≤ 5-vector probe set against FROZEN
+    * persisted artifacts: quantize → route (KMeans.assign, the
+    * training's own assignment operator, so probe-side cells equal the
+    * corpus-side ones the codes recorded) → residualize against the
+    * routed centroid → per-subspace ADC distance tables against the
+    * ≤ 32-row codebook. Shared by the full-clustered scan and the
+    * append-admitted scan — both deployments' query-time work is
+    * exactly this ≤ 5-row pipeline plus the DPP-pruned codes join. */
+  private[graft] def ivfpqProbeTablesFrozen(s: SparkSession, d: String,
+      cellsT: DataFrame, cbT: DataFrame): DataFrame = {
     import graft.operators.KMeans
-    val codes = ivfpqFullCodesTable(s, d)
-    val (cellsT, cbT) = ivfpqFullArtifactTables(s, d)
-    // Probe-side pipeline over ≤ 5 vectors: route → residualize →
-    // subspace distance tables. KMeans.assign is the training's own
-    // assignment operator, run on the probe subset.
     val probes = KMeans.quantize(
       Tables.embeddings(s, d).filter(col("vec_id") < 5))
     val assigned = KMeans.assign(probes, cellsT)
@@ -1256,7 +1287,7 @@ object SimilarityQueries {
         col("cluster").as("rc"), col("c"))), col("cluster") === col("rc"))
       .select(col("vec_id").as("probe_id"), col("cluster").as("pcell"),
         zip_with(col("qv"), col("c"), (x, cd) => x * 1000L - cd).as("prv"))
-    val dtab = pr
+    pr
       .select(col("probe_id"), col("pcell"), explode(array((0 until 8).map(m =>
         struct(lit(m.toLong).as("m"),
           slice(col("prv"), m * 8 + 1, 8).as("sv"))): _*)).as("ms"))
@@ -1267,8 +1298,209 @@ object SimilarityQueries {
       .select(col("probe_id"), col("pcell"), col("pm"), col("cid"),
         (col("psn2") - lit(2L) * qdot(col("psv"), col("cv")) + col("cn2"))
           .as("pdist"))
+  }
+
+  /** Base/delta split for the incremental-admission index: the delta
+    * batch is every 10th vector (vec_id ≡ 9 mod 10 — id-stable, so both
+    * engines and every probe arm agree), the base corpus the other 90 %.
+    * Seeds (vec_id < 8) and probes (vec_id < 5) sit in the base by
+    * construction, so the frozen artifacts are trained without ever
+    * seeing the delta — the deployment's day-0/day-1 shape. */
+  private[graft] val AppendMod = 10L
+
+  private[graft] def appendBase(emb: DataFrame): DataFrame =
+    emb.filter(pmod(col("vec_id"), lit(AppendMod)) < AppendMod - 1L)
+
+  private[graft] def appendDelta(emb: DataFrame): DataFrame =
+    emb.filter(pmod(col("vec_id"), lit(AppendMod)) === AppendMod - 1L)
+
+  /** The residual subspace stream of an arbitrary (vec_id, embedding)
+    * frame through FROZEN artifacts: quantize → route (KMeans.assign,
+    * the training's own operator) → residualize → explode to the 8
+    * subspaces. This is assign-only admission — the chain reads |emb|
+    * rows plus the ≤ 8-row broadcast cell table; no Lloyd round, no
+    * corpus-scale recompute (reference principle: `async_set` + `sync`
+    * admit keys into a BUILT store without rebuilding it,
+    * /root/reference/src/dist_map.h:118-130). */
+  private[graft] def ivfpqResidualSubFrozen(emb: DataFrame,
+      cellsT: DataFrame): DataFrame = {
+    import graft.operators.KMeans
+    val q = KMeans.quantize(emb)
+    val assigned = KMeans.assign(q, cellsT)
+    val rq = assigned.join(broadcast(cellsT.select(
+        col("cluster").as("rc"), col("c"))), col("cluster") === col("rc"))
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("qv"), col("c"), (x, cd) => x * 1000L - cd).as("rv"))
+    rq.select(col("vec_id"), col("cluster"),
+        explode(array((0 until 8).map(m =>
+          struct(lit(m.toLong).as("m"),
+            slice(col("rv"), m * 8 + 1, 8).as("sv"))): _*)).as("ms"))
+      .select(col("vec_id"), col("cluster"), col("ms.m").as("m"),
+        col("ms.sv").as("sv"))
+      .withColumn("sn2", qnorm2(col("sv")))
+  }
+
+  /** Encode an arbitrary embedding frame through FROZEN artifacts into
+    * (vec_id, cell, m, code) rows — identical arithmetic to the training
+    * chain's own encode (packed-long argmin over the broadcast ≤ 32-row
+    * codebook; the per-(vec_id, m) min is the same quantity the wide
+    * min-when collapse computes), so encoding the training frame through
+    * its own artifacts reproduces the trained codes EXACTLY
+    * (IvfpqAppendSpec pins it). */
+  private[graft] def ivfpqEncodeFrozen(emb: DataFrame,
+      cellsT: DataFrame, cbT: DataFrame): DataFrame = {
+    val sub = ivfpqResidualSubFrozen(emb, cellsT)
+    val dist = col("sn2") - lit(2L) * qdot(col("sv"), col("cv")) + col("cn2")
+    sub.join(broadcast(cbT), col("m") === col("cm"))
+      .groupBy(col("vec_id"), col("cluster"), col("m"))
+      .agg(min(dist * 4L + col("cid")).as("p"))
+      .select(col("vec_id"), col("cluster").as("cell"), col("m"),
+        pmod(col("p"), lit(4L)).as("code"))
+  }
+
+  /** The INCREMENTAL-ADMISSION index (round-16 verdict #1): artifacts
+    * trained on the BASE corpus only and frozen, base codes written
+    * cell-partitioned, and the delta batch APPEND-written into the same
+    * partitioned table after quantizing through the frozen artifacts —
+    * never a rebuild. Cold-catalog build cost decomposes as: one
+    * base-scale training chain (shared lazy across all three ensures,
+    * the [[ivfpqFullPersisted]] discipline) + one |delta|-scale encode;
+    * a later delta batch pays ONLY the encode (assign-only appends, the
+    * deployment reality — retrain is a separate decision
+    * [[simIvfPqDriftGuard]] triggers on drift). The append write lands
+    * new files inside existing cell directories: the clustered layout —
+    * and with it DPP file pruning on the scan — survives admission.
+    * Reference principle: `async_set` + `sync` admit new keys into a
+    * built store without rebuilding it,
+    * /root/reference/src/dist_map.h:118-130,147-210. */
+  private[graft] def ivfpqAppendPersisted(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.sources.Bucketing
+    val tag = Bucketing.dirTag(d)
+    val (codesName, cellsName, cbName) = (s"graft_ivfpqap_codes_$tag",
+      s"graft_ivfpqap_cells_$tag", s"graft_ivfpqap_cb_$tag")
+    lazy val all = ivfpqTrainAll(s, appendBase(Tables.embeddings(s, d)))
+    val cells = Bucketing.ensureTable(s, cellsName, d) {
+      all._1.select(col("cluster"), col("c"), col("cn2"))
+        .write.mode("overwrite").format("parquet").saveAsTable(cellsName)
+    }
+    val cb = Bucketing.ensureTable(s, cbName, d) {
+      all._2.select(col("cm"), col("cid"), col("cv"), col("cn2"))
+        .write.mode("overwrite").format("parquet").saveAsTable(cbName)
+    }
+    val codes = Bucketing.ensureTable(s, codesName, d) {
+      // Day 0: the base corpus' codes, clustered by trained cell.
+      all._3.repartition(col("cell"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("cell").saveAsTable(codesName)
+      // Day 1: the delta batch appended THROUGH THE CATALOG — the encode
+      // reads the just-persisted artifact tables (not the training
+      // chain), exactly what a later-session admission does.
+      ivfpqEncodeFrozen(appendDelta(Tables.embeddings(s, d)),
+          s.table(cellsName), s.table(cbName))
+        .repartition(col("cell"))
+        .write.mode("append").format("parquet")
+        .partitionBy("cell").saveAsTable(codesName)
+    }
+    (codes, cells, cb)
+  }
+
+  /** The declared incremental-admission query: the deployment scan
+    * ([[simIvfPqFullClusteredTopk]]'s probe pipeline + DPP-pruned
+    * cell-partitioned codes join + exact re-rank) over the
+    * APPEND-ADMITTED index — base-trained frozen artifacts, base codes
+    * written day-0, delta codes appended day-1 through the frozen
+    * artifacts. The oracle composes the trained-CTE family with the
+    * training CTEs restricted to the base partition and the encode over
+    * base ∪ delta — the retrain-free admission contract, checked
+    * cross-engine. IvfpqAppendSpec additionally proves append ≡ one-shot
+    * encode, and ≡ full retrain on a fixture where the delta carries no
+    * new information (identical-point clusters). */
+  val simIvfPqAppendTopk: Q = (s, d) => {
+    val (codes, cellsT, cbT) = ivfpqAppendPersisted(s, d)
+    val dtab = ivfpqProbeTablesFrozen(s, d, cellsT, cbT)
     rerankRefine(s, d, ivfpqCandidates(codes, dtab, RerankShortlist))
   }
+
+  /** Scale divisor for the drift statistic: per-vector quantization
+    * error is summed after an exact floor-division by 2²⁰, keeping the
+    * corpus totals inside int64 at any probed decade (per-vector qerr
+    * ≤ ~10¹⁵ micro² → scaled ≤ ~10⁹). */
+  private[graft] val DriftErrScale = 1048576L
+
+  /** Drift guard — the RETRAIN TRIGGER of the incremental-admission
+    * loop: per side (base / delta), the row count and the total
+    * quantization error of the side's vectors through the FROZEN
+    * base-trained artifacts (qerr = Σ_m min_c |sv − cv|², the exact ADC
+    * residual energy the index loses per vector), plus the verdict —
+    * retrain_needed ⇔ the delta's MEAN error exceeds 2× the base's, as
+    * the exact cross-multiply err_delta·n_base > 2·err_base·n_delta in
+    * decimal(38,0). A delta drawn from the training distribution keeps
+    * the means comparable (declared instance: false); a drifted batch —
+    * new domain, new encoder — trips it and the deployment retrains
+    * rather than keeps appending (IvfpqAppendSpec plants one). Scale
+    * shape: one linear pass over each side through the ≤ 8/≤ 32-row
+    * broadcast artifacts, one global aggregate — no corpus shuffle. */
+  val simIvfPqDriftGuard: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (_, cellsT, cbT) = ivfpqAppendPersisted(s, d)
+    val sub = ivfpqResidualSubFrozen(Tables.embeddings(s, d), cellsT)
+    val dist = col("sn2") - lit(2L) * qdot(col("sv"), col("cv")) + col("cn2")
+    val per = sub.join(broadcast(cbT), col("m") === col("cm"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(dist).as("mdist"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("mdist")).as("qerr"))
+      .select(col("vec_id"),
+        call_function("div", col("qerr"), lit(DriftErrScale)).as("qerrk"))
+    val isBase = pmod(col("vec_id"), lit(AppendMod)) < AppendMod - 1L
+    per.agg(
+        sum(when(isBase, 1L).otherwise(0L)).as("n_base"),
+        sum(when(isBase, col("qerrk")).otherwise(0L)).as("err_base"),
+        sum(when(!isBase, 1L).otherwise(0L)).as("n_delta"),
+        sum(when(!isBase, col("qerrk")).otherwise(0L)).as("err_delta"))
+      .select(col("n_base"), col("err_base"), col("n_delta"), col("err_delta"),
+        (col("err_delta").cast(dec) * col("n_base").cast(dec) >
+          lit(2L).cast(dec) * col("err_base").cast(dec) *
+            col("n_delta").cast(dec)).as("retrain_needed"))
+  }
+
+  /** The audit join shared by both recall audits: per probe, the
+    * integer intersection counts of an ANN top-5 and the exact cosine
+    * top-5 — one full-outer equi-join of two ≤ 25-row rank tables plus
+    * one ≤ |probes|-group aggregate. */
+  private[graft] def recallAuditJoin(ann: DataFrame,
+      exact: DataFrame): DataFrame = {
+    val a = ann.select(col("probe_id"), col("cand_id"), lit(1L).as("a"))
+    val e = exact.select(col("probe_id").as("e_pid"),
+      col("cand_id").as("e_cid"), lit(1L).as("e"))
+    a.join(e,
+        col("probe_id") === col("e_pid") && col("cand_id") === col("e_cid"),
+        "full_outer")
+      .select(coalesce(col("probe_id"), col("e_pid")).as("probe_id"),
+        coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("e"), lit(0L)).as("e"))
+      .groupBy("probe_id")
+      .agg(sum(col("a")).as("n_ann"), sum(col("e")).as("n_exact"),
+        sum(col("a") * col("e")).as("n_hit"))
+      .orderBy("probe_id")
+  }
+
+  /** Recall audit over the DEPLOYMENT index (round-16 verdict #4): the
+    * [[simRecallAudit]] shape with the ANN side swapped to the
+    * full-clustered IVFPQR scan — per probe, |IVFPQR top-5 ∩ exact
+    * cosine top-5|. This is the number that justifies the deployment's
+    * recall dials (nprobe, shortlist R = [[RerankShortlist]]): a dial
+    * change shows up here before it ships. Both sides are
+    * already-declared plans instantiated once; the audit adds one
+    * ≤ 25-row full-outer join. NB the two sides rank under different
+    * metrics (L2 on millunit quantized vectors vs cosine) — on
+    * normalized-ish embeddings they mostly agree, and the audit reports
+    * the honest overlap, whatever it is. */
+  val simIvfpqrRecallAudit: Q = (s, d) =>
+    recallAuditJoin(
+      simIvfPqFullClusteredTopk(s, d),
+      graft.queries.ExtensionQueries.simCosineTopk(s, d))
 
   /** ANN recall audit — the index-quality diagnostic a deployment runs
     * BEFORE trusting an approximate index for curation decisions:
@@ -1293,21 +1525,8 @@ object SimilarityQueries {
     * (the standard recall-estimation protocol); the probe-set dial is
     * shared with the baselines (vec_id < 5, the id-stable convention). */
   val simRecallAudit: Q = (s, d) => {
-    val ann = simAnnLsh(s, d)
-      .select(col("probe_id"), col("cand_id"), lit(1L).as("a"))
-    val exact = graft.queries.ExtensionQueries.simCosineTopk(s, d)
-      .select(col("probe_id").as("e_pid"), col("cand_id").as("e_cid"),
-        lit(1L).as("e"))
-    ann.join(exact,
-        col("probe_id") === col("e_pid") && col("cand_id") === col("e_cid"),
-        "full_outer")
-      .select(coalesce(col("probe_id"), col("e_pid")).as("probe_id"),
-        coalesce(col("a"), lit(0L)).as("a"),
-        coalesce(col("e"), lit(0L)).as("e"))
-      .groupBy("probe_id")
-      .agg(sum(col("a")).as("n_ann"), sum(col("e")).as("n_exact"),
-        sum(col("a") * col("e")).as("n_hit"))
-      .orderBy("probe_id")
+    recallAuditJoin(simAnnLsh(s, d),
+      graft.queries.ExtensionQueries.simCosineTopk(s, d))
   }
 
   /** τ² = 9/100 → cosine radius τ = 0.3 for [[simRangeSearch]], exact.
@@ -1383,7 +1602,10 @@ object SimilarityQueries {
     "sim_ivfpq_clustered_topk" -> simIvfPqClusteredTopk,
     "sim_ivfpq_full_trained_topk" -> simIvfPqFullTrainedTopk,
     "sim_ivfpq_full_clustered_topk" -> simIvfPqFullClusteredTopk,
+    "sim_ivfpq_append" -> simIvfPqAppendTopk,
+    "sim_ivfpq_drift_guard" -> simIvfPqDriftGuard,
     "sim_recall_audit" -> simRecallAudit,
+    "sim_ivfpqr_recall_audit" -> simIvfpqrRecallAudit,
   )
 
   /** Shared DuckDB oracle for `sim_ivfpq_topk` AND its clustered-scan
@@ -1440,6 +1662,160 @@ object SimilarityQueries {
         |  FROM adc
         |)
         |SELECT probe_id, cand_id, adist FROM ranked WHERE rk <= 5
+        |ORDER BY probe_id, cand_id""".stripMargin
+
+  /** The fully-trained IVFPQR oracle's TRAINING CTE chain (two coarse
+    * Lloyd rounds -> trained cells -> residual stream -> two residual-PQ
+    * Lloyd rounds -> trained codebook), parameterized over the training
+    * population: the declared full index trains on everything
+    * (`baseOnly = false`); the incremental-admission index trains on the
+    * base partition only (vec_id % [[AppendMod]] < [[AppendMod]] - 1),
+    * with the final assignment (a3) and everything downstream of the
+    * frozen artifacts still running over ALL rows -- that asymmetry IS
+    * the append contract (admission encodes through frozen artifacts;
+    * training never sees the delta). One template serves both entries so
+    * the two oracles cannot silently diverge. */
+  private def ivfpqTrainedCtes(baseOnly: Boolean): String = {
+    val cf = if (baseOnly) s" WHERE v.vec_id % $AppendMod < ${AppendMod - 1}" else ""
+    val pf = if (baseOnly) s" WHERE s.vec_id % $AppendMod < ${AppendMod - 1}" else ""
+    s"""q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), qn AS (
+        |  SELECT vec_id, qv, (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2 FROM q
+        |), c0 AS (
+        |  SELECT vec_id AS cluster, list_transform(qv, x -> x * 1000) AS c
+        |  FROM q WHERE vec_id < 8
+        |), c0n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c0
+        |), a1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c0n c$cf) WHERE rk = 1
+        |), s1 AS (
+        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM a1 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
+        |  GROUP BY cluster, d
+        |), c1 AS (
+        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
+        |  FROM s1 GROUP BY cluster
+        |), c1n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c1
+        |), a2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c1n c$cf) WHERE rk = 1
+        |), s2 AS (
+        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM a2 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
+        |  GROUP BY cluster, d
+        |), c2 AS (
+        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
+        |  FROM s2 GROUP BY cluster
+        |), c2n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c2
+        |), a3 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c2n c) WHERE rk = 1
+        |), rvl AS (
+        |  SELECT v.vec_id, a.cluster,
+        |         list_transform(generate_series(1, 64), d -> v.qv[d] * 1000 - c.c[d]) AS rv
+        |  FROM q v JOIN a3 a ON a.vec_id = v.vec_id JOIN c2 c ON c.cluster = a.cluster
+        |), rsub AS (
+        |  SELECT vec_id, cluster, m, list_slice(rv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM rvl, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), rsubn AS (
+        |  SELECT vec_id, cluster, m, sv,
+        |         CAST((SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS BIGINT) AS sn2
+        |  FROM rsub
+        |), pcb0 AS (
+        |  SELECT vec_id AS cid, m AS cm, sv AS cv, sn2 AS cn2 FROM rsubn WHERE vec_id < 4
+        |), pa1 AS (
+        |  SELECT vec_id, m, sv, code FROM (
+        |    SELECT s.vec_id, s.m, s.sv, c.cid AS code,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        |             s.sn2
+        |             - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y))
+        |             + c.cn2, c.cid) AS rk
+        |    FROM rsubn s JOIN pcb0 c ON s.m = c.cm$pf) WHERE rk = 1
+        |), ps1 AS (
+        |  SELECT m, code, d, CAST(SUM(sv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM pa1, UNNEST(generate_series(1, 8)) AS t(d)
+        |  GROUP BY m, code, d
+        |), pcb1 AS (
+        |  SELECT cm, cid, cv, (SELECT SUM(u * u) FROM UNNEST(cv) AS t(u)) AS cn2 FROM (
+        |    SELECT m AS cm, code AS cid,
+        |           list((sd - ((sd % n + n) % n)) // n ORDER BY d) AS cv
+        |    FROM ps1 GROUP BY m, code)
+        |), pa2 AS (
+        |  SELECT vec_id, m, sv, code FROM (
+        |    SELECT s.vec_id, s.m, s.sv, c.cid AS code,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        |             s.sn2
+        |             - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y))
+        |             + c.cn2, c.cid) AS rk
+        |    FROM rsubn s JOIN pcb1 c ON s.m = c.cm$pf) WHERE rk = 1
+        |), ps2 AS (
+        |  SELECT m, code, d, CAST(SUM(sv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM pa2, UNNEST(generate_series(1, 8)) AS t(d)
+        |  GROUP BY m, code, d
+        |), pcb2 AS (
+        |  SELECT cm, cid, cv, (SELECT SUM(u * u) FROM UNNEST(cv) AS t(u)) AS cn2 FROM (
+        |    SELECT m AS cm, code AS cid,
+        |           list((sd - ((sd % n + n) % n)) // n ORDER BY d) AS cv
+        |    FROM ps2 GROUP BY m, code)
+        |)""".stripMargin
+  }
+
+  /** The routed-ADC scan + exact re-rank tail of the trained-family
+    * oracles -- appended verbatim after [[ivfpqTrainedCtes]]. */
+  private val IvfpqScanTail: String =
+    """|, codes AS (
+        |  SELECT s.vec_id, ANY_VALUE(s.cluster) AS cell, s.m,
+        |         CAST(MIN((s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid) % 4 AS BIGINT) AS code
+        |  FROM rsubn s JOIN pcb2 c ON s.m = c.cm GROUP BY s.vec_id, s.m
+        |), dtab AS (
+        |  SELECT p.vec_id AS probe_id, p.cluster AS pcell, p.m AS pm, c.cid,
+        |         p.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(p.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2 AS pdist
+        |  FROM rsubn p JOIN pcb2 c ON p.m = c.cm WHERE p.vec_id < 5
+        |), adc AS (
+        |  SELECT d.probe_id, k.vec_id AS cand_id, CAST(SUM(d.pdist) AS BIGINT) AS adist
+        |  FROM codes k
+        |  JOIN dtab d ON k.m = d.pm AND k.code = d.cid AND k.cell = d.pcell
+        |             AND k.vec_id <> d.probe_id
+        |  GROUP BY d.probe_id, k.vec_id
+        |), shortlist AS (
+        |  SELECT probe_id, cand_id, adist FROM (
+        |    SELECT probe_id, cand_id, adist,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rk
+        |    FROM adc) WHERE rk <= 20
+        |), exact AS (
+        |  SELECT s.probe_id, s.cand_id, s.adist,
+        |         CAST((SELECT SUM((x - y) * (x - y))
+        |               FROM (SELECT UNNEST(qc.qv) AS x, UNNEST(qp.qv) AS y)) AS BIGINT) AS edist
+        |  FROM shortlist s
+        |  JOIN q qc ON qc.vec_id = s.cand_id
+        |  JOIN q qp ON qp.vec_id = s.probe_id
+        |), eranked AS (
+        |  SELECT probe_id, cand_id, adist, edist,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY edist, cand_id) AS rk
+        |  FROM exact
+        |)
+        |SELECT probe_id, cand_id, adist, edist FROM eranked WHERE rk <= 5
         |ORDER BY probe_id, cand_id""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
@@ -1743,139 +2119,36 @@ object SimilarityQueries {
     // directories), which the oracle cannot and need not see.
     "sim_ivfpq_clustered_topk" -> IvfpqTopkOracle,
     "sim_ivfpq_full_trained_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-        |  FROM embeddings
-        |), qn AS (
-        |  SELECT vec_id, qv, (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2 FROM q
-        |), c0 AS (
-        |  SELECT vec_id AS cluster, list_transform(qv, x -> x * 1000) AS c
-        |  FROM q WHERE vec_id < 8
-        |), c0n AS (
-        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c0
-        |), a1 AS (
-        |  SELECT vec_id, cluster FROM (
-        |    SELECT v.vec_id, c.cluster,
-        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-        |             1000000 * v.n2
-        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
-        |             + c.cn2, c.cluster) AS rk
-        |    FROM qn v CROSS JOIN c0n c) WHERE rk = 1
-        |), s1 AS (
-        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
-        |  FROM a1 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
-        |  GROUP BY cluster, d
-        |), c1 AS (
-        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
-        |  FROM s1 GROUP BY cluster
-        |), c1n AS (
-        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c1
-        |), a2 AS (
-        |  SELECT vec_id, cluster FROM (
-        |    SELECT v.vec_id, c.cluster,
-        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-        |             1000000 * v.n2
-        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
-        |             + c.cn2, c.cluster) AS rk
-        |    FROM qn v CROSS JOIN c1n c) WHERE rk = 1
-        |), s2 AS (
-        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
-        |  FROM a2 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
-        |  GROUP BY cluster, d
-        |), c2 AS (
-        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
-        |  FROM s2 GROUP BY cluster
-        |), c2n AS (
-        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM c2
-        |), a3 AS (
-        |  SELECT vec_id, cluster FROM (
-        |    SELECT v.vec_id, c.cluster,
-        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-        |             1000000 * v.n2
-        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
-        |             + c.cn2, c.cluster) AS rk
-        |    FROM qn v CROSS JOIN c2n c) WHERE rk = 1
-        |), rvl AS (
-        |  SELECT v.vec_id, a.cluster,
-        |         list_transform(generate_series(1, 64), d -> v.qv[d] * 1000 - c.c[d]) AS rv
-        |  FROM q v JOIN a3 a ON a.vec_id = v.vec_id JOIN c2 c ON c.cluster = a.cluster
-        |), rsub AS (
-        |  SELECT vec_id, cluster, m, list_slice(rv, m * 8 + 1, m * 8 + 8) AS sv
-        |  FROM rvl, (SELECT UNNEST(generate_series(0, 7)) AS m)
-        |), rsubn AS (
-        |  SELECT vec_id, cluster, m, sv,
-        |         CAST((SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS BIGINT) AS sn2
-        |  FROM rsub
-        |), pcb0 AS (
-        |  SELECT vec_id AS cid, m AS cm, sv AS cv, sn2 AS cn2 FROM rsubn WHERE vec_id < 4
-        |), pa1 AS (
-        |  SELECT vec_id, m, sv, code FROM (
-        |    SELECT s.vec_id, s.m, s.sv, c.cid AS code,
-        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-        |             s.sn2
-        |             - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y))
-        |             + c.cn2, c.cid) AS rk
-        |    FROM rsubn s JOIN pcb0 c ON s.m = c.cm) WHERE rk = 1
-        |), ps1 AS (
-        |  SELECT m, code, d, CAST(SUM(sv[d]) AS BIGINT) AS sd, COUNT(*) AS n
-        |  FROM pa1, UNNEST(generate_series(1, 8)) AS t(d)
-        |  GROUP BY m, code, d
-        |), pcb1 AS (
-        |  SELECT cm, cid, cv, (SELECT SUM(u * u) FROM UNNEST(cv) AS t(u)) AS cn2 FROM (
-        |    SELECT m AS cm, code AS cid,
-        |           list((sd - ((sd % n + n) % n)) // n ORDER BY d) AS cv
-        |    FROM ps1 GROUP BY m, code)
-        |), pa2 AS (
-        |  SELECT vec_id, m, sv, code FROM (
-        |    SELECT s.vec_id, s.m, s.sv, c.cid AS code,
-        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-        |             s.sn2
-        |             - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y))
-        |             + c.cn2, c.cid) AS rk
-        |    FROM rsubn s JOIN pcb1 c ON s.m = c.cm) WHERE rk = 1
-        |), ps2 AS (
-        |  SELECT m, code, d, CAST(SUM(sv[d]) AS BIGINT) AS sd, COUNT(*) AS n
-        |  FROM pa2, UNNEST(generate_series(1, 8)) AS t(d)
-        |  GROUP BY m, code, d
-        |), pcb2 AS (
-        |  SELECT cm, cid, cv, (SELECT SUM(u * u) FROM UNNEST(cv) AS t(u)) AS cn2 FROM (
-        |    SELECT m AS cm, code AS cid,
-        |           list((sd - ((sd % n + n) % n)) // n ORDER BY d) AS cv
-        |    FROM ps2 GROUP BY m, code)
-        |), codes AS (
-        |  SELECT s.vec_id, ANY_VALUE(s.cluster) AS cell, s.m,
-        |         CAST(MIN((s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid) % 4 AS BIGINT) AS code
+      (s"WITH ${ivfpqTrainedCtes(baseOnly = false)}" + IvfpqScanTail),
+    // The incremental-admission scan: SAME index family, trained on the
+    // base partition only, codes over base UNION delta (the append-write
+    // through frozen artifacts) -- the training CTEs carry the base
+    // filter, the encode/scan CTEs do not.
+    "sim_ivfpq_append" ->
+      (s"WITH ${ivfpqTrainedCtes(baseOnly = true)}" + IvfpqScanTail),
+    // Drift guard over the frozen base-trained artifacts: per side, row
+    // count and total residual quantization error (per-vector qerr
+    // floor-scaled by DriftErrScale), plus the exact cross-multiplied
+    // retrain verdict.
+    "sim_ivfpq_drift_guard" ->
+      (s"WITH ${ivfpqTrainedCtes(baseOnly = true)}" + s"""
+        |, perm AS (
+        |  SELECT s.vec_id, s.m,
+        |         MIN(s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) AS mdist
         |  FROM rsubn s JOIN pcb2 c ON s.m = c.cm GROUP BY s.vec_id, s.m
-        |), dtab AS (
-        |  SELECT p.vec_id AS probe_id, p.cluster AS pcell, p.m AS pm, c.cid,
-        |         p.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(p.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2 AS pdist
-        |  FROM rsubn p JOIN pcb2 c ON p.m = c.cm WHERE p.vec_id < 5
-        |), adc AS (
-        |  SELECT d.probe_id, k.vec_id AS cand_id, CAST(SUM(d.pdist) AS BIGINT) AS adist
-        |  FROM codes k
-        |  JOIN dtab d ON k.m = d.pm AND k.code = d.cid AND k.cell = d.pcell
-        |             AND k.vec_id <> d.probe_id
-        |  GROUP BY d.probe_id, k.vec_id
-        |), shortlist AS (
-        |  SELECT probe_id, cand_id, adist FROM (
-        |    SELECT probe_id, cand_id, adist,
-        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rk
-        |    FROM adc) WHERE rk <= 20
-        |), exact AS (
-        |  SELECT s.probe_id, s.cand_id, s.adist,
-        |         CAST((SELECT SUM((x - y) * (x - y))
-        |               FROM (SELECT UNNEST(qc.qv) AS x, UNNEST(qp.qv) AS y)) AS BIGINT) AS edist
-        |  FROM shortlist s
-        |  JOIN q qc ON qc.vec_id = s.cand_id
-        |  JOIN q qp ON qp.vec_id = s.probe_id
-        |), eranked AS (
-        |  SELECT probe_id, cand_id, adist, edist,
-        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY edist, cand_id) AS rk
-        |  FROM exact
+        |), perv AS (
+        |  SELECT vec_id, CAST(SUM(mdist) AS BIGINT) // $DriftErrScale AS qerrk
+        |  FROM perm GROUP BY vec_id
         |)
-        |SELECT probe_id, cand_id, adist, edist FROM eranked WHERE rk <= 5
-        |ORDER BY probe_id, cand_id""".stripMargin,
+        |SELECT CAST(SUM(CASE WHEN vec_id % $AppendMod < ${AppendMod - 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |       CAST(SUM(CASE WHEN vec_id % $AppendMod < ${AppendMod - 1} THEN qerrk ELSE 0 END) AS BIGINT) AS err_base,
+        |       CAST(SUM(CASE WHEN vec_id % $AppendMod = ${AppendMod - 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        |       CAST(SUM(CASE WHEN vec_id % $AppendMod = ${AppendMod - 1} THEN qerrk ELSE 0 END) AS BIGINT) AS err_delta,
+        |       (CAST(SUM(CASE WHEN vec_id % $AppendMod = ${AppendMod - 1} THEN qerrk ELSE 0 END) AS HUGEINT)
+        |          * SUM(CASE WHEN vec_id % $AppendMod < ${AppendMod - 1} THEN 1 ELSE 0 END)
+        |        > 2 * CAST(SUM(CASE WHEN vec_id % $AppendMod < ${AppendMod - 1} THEN qerrk ELSE 0 END) AS HUGEINT)
+        |          * SUM(CASE WHEN vec_id % $AppendMod = ${AppendMod - 1} THEN 1 ELSE 0 END)) AS retrain_needed
+        |FROM perv""".stripMargin),
     "sim_pq_adc_topk" ->
       """WITH q AS (
         |  SELECT vec_id,
@@ -2254,5 +2527,43 @@ object SimilarityQueries {
     * pattern, without relocating the unrolled CTE text). */
   val oracles: Map[String, String] = oraclesBase +
     ("sim_ivfpq_full_clustered_topk" ->
-      oraclesBase("sim_ivfpq_full_trained_topk"))
+      oraclesBase("sim_ivfpq_full_trained_topk")) +
+    // Deployment-index recall audit (round-16 verdict #4): the ANN side
+    // is the ENTIRE full-trained IVFPQR oracle nested as a derived
+    // table (DuckDB scopes its CTEs to the subquery), the exact side is
+    // the sim_recall_audit cosine baseline at the 10⁶ quantization, and
+    // the tail is the shared integer intersect-count join.
+    ("sim_ivfpqr_recall_audit" ->
+      s"""WITH ann AS (
+        |  SELECT probe_id, cand_id FROM (
+        |${oraclesBase("sim_ivfpq_full_trained_topk")}
+        |  )
+        |), q6 AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), qn6 AS (
+        |  SELECT vec_id, qv, (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2 FROM q6
+        |), epairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         (SELECT SUM(a * b) FROM (SELECT UNNEST(p.qv) AS a, UNNEST(c.qv) AS b)) /
+        |           (sqrt(p.n2) * sqrt(c.n2)) AS cos
+        |  FROM qn6 p, qn6 c
+        |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+        |), exact AS (
+        |  SELECT probe_id, cand_id FROM (
+        |    SELECT probe_id, cand_id,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+        |    FROM epairs) WHERE rank <= 5
+        |), j AS (
+        |  SELECT COALESCE(a.probe_id, e.probe_id) AS probe_id,
+        |         CASE WHEN a.probe_id IS NULL THEN 0 ELSE 1 END AS a,
+        |         CASE WHEN e.probe_id IS NULL THEN 0 ELSE 1 END AS e
+        |  FROM ann a FULL OUTER JOIN exact e
+        |    ON a.probe_id = e.probe_id AND a.cand_id = e.cand_id
+        |)
+        |SELECT probe_id, CAST(SUM(a) AS BIGINT) AS n_ann,
+        |       CAST(SUM(e) AS BIGINT) AS n_exact,
+        |       CAST(SUM(a * e) AS BIGINT) AS n_hit
+        |FROM j GROUP BY probe_id ORDER BY probe_id""".stripMargin)
 }

@@ -21,6 +21,17 @@ object TextQueries {
   private val stopDe = Seq("der", "die", "das", "und", "ist")
   private val stopFr = Seq("le", "la", "de", "et", "les")
 
+  /** Scrub blocklist shared by [[textScrubTerms]] and its oracle. */
+  private val scrubBlock = Seq("the", "a", "of", "and", "to", "table", "row")
+
+  /** SQL literal list of a word set — interpolated into every oracle
+    * that tests membership against a Spark-side constant, so the two
+    * engines can never silently diverge on the list (round-16 verdict
+    * #6: a hardcoded copy in the SQL text is a fork waiting for an
+    * edit). */
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(",")
+
   private def hits(w: Column, set: Seq[String]): Column =
     size(filter(w, x => x.isin(set.map(s => s: Any): _*)))
 
@@ -786,7 +797,7 @@ object TextQueries {
     * (filter + rejoin, no regex backtracking); the only shuffle is the
     * tiny per-source aggregate — linear at any corpus size. */
   val textScrubTerms: Q = (s, d) => {
-    val block = Seq("the", "a", "of", "and", "to", "table", "row")
+    val block = scrubBlock
     Tables.documents(s, d)
       .select(col("source"), words(col("text")).as("w"))
       .select(col("source"), size(col("w")).cast("long").as("n_words"),
@@ -1523,7 +1534,7 @@ object TextQueries {
         |         CAST(len(kept) AS BIGINT) AS n_kept,
         |         COALESCE(list_aggregate(kept, 'string_agg', ' '), '') AS scrubbed
         |  FROM (SELECT source, w,
-        |          list_filter(w, x -> x NOT IN ('the','a','of','and','to','table','row')) AS kept
+        |          list_filter(w, x -> x NOT IN (${sqlList(scrubBlock)})) AS kept
         |        FROM (SELECT source, ${wordsSql.format("text")} AS w FROM documents))
         |)
         |SELECT source, COUNT(*) AS n_docs,
@@ -1695,10 +1706,10 @@ object TextQueries {
     "text_lang_id" ->
       s"""WITH scored AS (
         |  SELECT lang,
-        |    len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS he,
-        |    len(list_filter(w, x -> x IN ('el','la','de','y','que'))) AS hs,
-        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS hd,
-        |    len(list_filter(w, x -> x IN ('le','la','de','et','les'))) AS hf
+        |    len(list_filter(w, x -> x IN (${sqlList(stopEn)}))) AS he,
+        |    len(list_filter(w, x -> x IN (${sqlList(stopEs)}))) AS hs,
+        |    len(list_filter(w, x -> x IN (${sqlList(stopDe)}))) AS hd,
+        |    len(list_filter(w, x -> x IN (${sqlList(stopFr)}))) AS hf
         |  FROM (SELECT lang, ${wordsSql.format("text")} AS w FROM documents)
         |)
         |SELECT lang,
@@ -1716,7 +1727,7 @@ object TextQueries {
         |FROM (
         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
         |         CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
-        |         CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
+        |         CAST(len(list_filter(w, x -> x IN (${sqlList(stopEn)}))) AS BIGINT) AS n_stop
         |  FROM (SELECT doc_id, ${wordsSql.format("text")} AS w FROM documents)
         |)
         |WHERE n_words > 0 ORDER BY doc_id""".stripMargin,

@@ -118,9 +118,15 @@ object Sessions {
     val (rdd, snap) = snapshot(df)
     val flat = snap.queryExecution.analyzed match {
       case l: LogicalRDD =>
+        // Constraints ride through unchanged (ADVICE round 16: passing
+        // None here silently dropped the origin's not-null/filter
+        // inference too, falsifying this method's "only stats differ"
+        // contract): `l.constraints` is the public view of the origin
+        // constraints `fromDataset` copied onto the snapshot leaf.
         LogicalRDD(l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
           l.isStreaming, l.stream)(
-          df.sparkSession.asInstanceOf[classic.SparkSession], None, None)
+          df.sparkSession.asInstanceOf[classic.SparkSession], None,
+          Some(l.constraints))
       case other => other // defensive: snapshot always returns a LogicalRDD root
     }
     (rdd, classic.Dataset.ofRows(

@@ -155,6 +155,23 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("planted near-dups: the deployment IVFPQR index recovers >=0.9 of the exact top-5") {
+    // Round-16 verdict #4: the recall gate extended from the LSH ANN to
+    // the index a deployment actually serves — the persisted
+    // full-clustered IVFPQR behind `sim_ivfpq_full_clustered_topk`. On
+    // the planted corpus each probe's 5 true neighbors sit at θ ≈ 8–18°;
+    // the trained coarse cells keep a dup in its base's cell, the
+    // R = 20 shortlist covers the ~16-row cell, and the exact re-rank
+    // restores any ADC inversion — so the declared dials (nprobe = 1,
+    // R = 20) must clear 0.9 here, the number that justifies them.
+    val audit = SimilarityQueries.simIvfpqrRecallAudit(spark, plantedDir)
+      .agg(sum(col("n_hit")).as("hit"), sum(col("n_exact")).as("total")).head
+    val (hit, total) = (audit.getLong(0), audit.getLong(1))
+    assert(total == 25)
+    assert(hit >= math.ceil(0.9 * total).toLong,
+      s"IVFPQR deployment-index recall: $hit/$total < 0.9")
+  }
+
   test("real documents: dedup_minhash_lsh candidates cover >=0.9 of exact Jaccard>=0.5 pairs") {
     val truth = DedupQueries.dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
     val cand = DedupQueries.dedupMinhashLsh(spark, sfDir)
