@@ -125,6 +125,7 @@ object VolumeProbe {
           "sim_ivfpq_rerank_topk", "sim_ivfpq_nprobe_topk",
           "sim_ivfpq_clustered_topk", "sim_ivfpq_full_trained_topk",
           "sim_ivfpq_full_clustered_topk",
+          "sim_ivfpq_append", "sim_ivfpq_drift_guard",
           "emb_pq_trained_codes", "dedup_semdedup")
       // The lloyd loop's planted-chain fixture (see below) — its own
       // corpus, not the embeddings fixture.
@@ -172,6 +173,10 @@ object VolumeProbe {
         // one bounded cross left is the probe-side KMeans.assign
         // routing against the <= 8-row persisted cell table.
         "sim_ivfpq_full_clustered_topk" -> 1,
+        // append-admitted scan: same deployment plan as full-clustered
+        // (probe-side assign is the one bounded cross); drift guard's
+        // one cross is the corpus-side assign through the frozen cells.
+        "sim_ivfpq_append" -> 1, "sim_ivfpq_drift_guard" -> 1,
         // semdedup's two bounded crosses are the two routing levels of
         // the two-level assignment (round-15: the ≤ r-row super table
         // against the corpus — level 1 — and against the ≤ k-row cell
@@ -274,6 +279,10 @@ object VolumeProbe {
         SimilarityQueries.ivfpqFullCodesTable(spark, dirN)
         SimilarityQueries.ivfpqFullArtifactTables(spark, dir1)
         SimilarityQueries.ivfpqFullArtifactTables(spark, dirN)
+      }
+      if (wanted("sim_ivfpq_append") || wanted("sim_ivfpq_drift_guard")) {
+        SimilarityQueries.ivfpqAppendPersisted(spark, dir1)
+        SimilarityQueries.ivfpqAppendPersisted(spark, dirN)
       }
 
       // Dense-id embedding fixture for the semdedup cells dial (the
@@ -723,6 +732,18 @@ object VolumeProbe {
           // persisted layout).
           sym("sim_ivfpq_full_clustered_topk",
             SimilarityQueries.simIvfPqFullClusteredTopk),
+          // round 17 (r16 verdict #1): the append-admitted index's
+          // declared scan — base-trained frozen artifacts, base codes
+          // day-0, delta codes appended day-1 through the catalog. Same
+          // blanket + scan/refine isolation arms as full-clustered, PLUS
+          // the dedicated admission-isolation arm below gating the delta
+          // encode's join/shuffle work against analytic |delta|-only
+          // bounds (admission must cost ∝ |delta|, never ∝ |corpus|).
+          sym("sim_ivfpq_append", SimilarityQueries.simIvfPqAppendTopk),
+          // round 17: the retrain trigger — one linear pass per side
+          // through the frozen ≤ 8/≤ 32-row broadcast artifacts into one
+          // global aggregate; flat gates, one bounded assign cross.
+          sym("sim_ivfpq_drift_guard", SimilarityQueries.simIvfPqDriftGuard),
           // round 14: the trained-codebook PQ encode — three corpus
           // passes (two Lloyd rounds + the final encode), each an EQUI
           // broadcast-hash join on the subspace index collapsed by the
@@ -947,7 +968,7 @@ object VolumeProbe {
           // (b) cross-copy pairs ≤ 1% of the result (chance mass is
           // ~1e-4 of it; a residual regression is ~30×).
           val isolation = maxHamN <= 4L && cross * 100L <= resN
-          entryExtraOk = isolation
+          entryExtraOk = entryExtraOk && isolation
           extra ++= s""""result_1x":$res1,"result_${factor}x":$resN,"""
           extra ++= f""""result_growth":$growth%.2f,"cross_copy_pairs":$cross,"""
           extra ++= s""""max_hamming_${factor}x":$maxHamN,"""
@@ -994,7 +1015,7 @@ object VolumeProbe {
           // cap and must not fail this arm.
           val hotOver = 20L * factor > graft.queries.LinkageQueries.MaxBlock
           val capEngaged = oc1 == 0L && (!hotOver || ocN >= 1L)
-          entryExtraOk = capEngaged
+          entryExtraOk = entryExtraOk && capEngaged
           extra ++= s""""overcap_blocks_1x":$oc1,"overcap_blocks_${factor}x":$ocN,"""
           extra ++= s""""gate_cap_engaged":$capEngaged,"""
         }
@@ -1007,7 +1028,7 @@ object VolumeProbe {
             .agg(max(col("df_shard"))).head.getLong(0)
           Sessions.releaseSnapshots()
           val bounded = mx <= graft.queries.LinkageQueries.PostingShard
-          entryExtraOk = bounded
+          entryExtraOk = entryExtraOk && bounded
           extra ++= s""""max_df_shard_${factor}x":$mx,"""
           extra ++= s""""gate_posting_bound":$bounded,"""
         }
@@ -1033,7 +1054,7 @@ object VolumeProbe {
             2.0 * factor * roundScale * math.max(k1.joinOutputRows, 10000L)
           val roundsOk = roundsN <=
             rounds1 + math.ceil(math.log(factor) / math.log(2)).toInt + 2
-          entryExtraOk = roundsOk
+          entryExtraOk = entryExtraOk && roundsOk
           extra ++= s""""rounds_1x":$rounds1,"rounds_${factor}x":$roundsN,"""
           extra ++= s""""gate_rounds":$roundsOk,"""
           extra ++= s""""joinrows_gate":"joinrows<=2x_linear_per_round","""
@@ -1054,7 +1075,7 @@ object VolumeProbe {
           val cb1 = Metrics.broadcastsContainingScan(plans1, "documents.parquet")
           val cbN = Metrics.broadcastsContainingScan(plansN, "documents.parquet")
           val noCorpusBroadcast = cb1 == 0 && cbN == 0
-          entryExtraOk = noCorpusBroadcast
+          entryExtraOk = entryExtraOk && noCorpusBroadcast
           extra ++= s""""corpus_broadcasts_1x":$cb1,"corpus_broadcasts_${factor}x":$cbN,"""
           extra ++= s""""gate_no_corpus_broadcast":$noCorpusBroadcast,"""
         }
@@ -1067,7 +1088,8 @@ object VolumeProbe {
         // With the fixture's 10 cells the measured mass sits near n/10
         // per probe; a regression that drops the cell key from the scan
         // join reverts to ~n per probe and fails both arms of the gate.
-        if (name.startsWith("sim_ivfpq") && name != "sim_ivfpq_rerank_topk") {
+        if (name.startsWith("sim_ivfpq") && name != "sim_ivfpq_rerank_topk" &&
+            name != "sim_ivfpq_drift_guard") {
           def scanProbe(dir: String, parts: Int): (Long, Long, Long) = {
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             val (codes, scanTab) =
@@ -1085,6 +1107,12 @@ object VolumeProbe {
               else if (name == "sim_ivfpq_full_clustered_topk")
                 (SimilarityQueries.ivfpqFullCodesTable(spark, dir),
                   SimilarityQueries.ivfpqFullTrainedIndex(spark, dir)._2)
+              else if (name == "sim_ivfpq_append") {
+                val (c, cellsT, cbT) =
+                  SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+                (c, SimilarityQueries.ivfpqProbeTablesFrozen(
+                  spark, dir, cellsT, cbT))
+              }
               else SimilarityQueries.ivfpqIndex(spark, dir)
             val (cRdd, codesSnap) = Sessions.snapshot(codes)
             val (tRdd, tabSnap) = Sessions.snapshot(scanTab)
@@ -1125,7 +1153,7 @@ object VolumeProbe {
           // output rows); 1.25× is headroom for metric semantics only.
           val scanOk = 4 * scan1 <= 5 * exp1 && 4 * scanN <= 5 * expN &&
             2 * scanN <= fullN
-          entryExtraOk = scanOk
+          entryExtraOk = entryExtraOk && scanOk
           extra ++= s""""scan_joinrows_1x":$scan1,"scan_expected_1x":$exp1,"""
           extra ++= s""""scan_joinrows_${factor}x":$scanN,"scan_expected_${factor}x":$expN,"""
           extra ++= s""""scan_fullscan_equiv_${factor}x":$fullN,"""
@@ -1142,7 +1170,8 @@ object VolumeProbe {
         // by the corpus factor.
         if (name == "sim_ivfpq_rerank_topk" ||
             name == "sim_ivfpq_full_trained_topk" ||
-            name == "sim_ivfpq_full_clustered_topk") {
+            name == "sim_ivfpq_full_clustered_topk" ||
+            name == "sim_ivfpq_append") {
           def refineProbe(dir: String, parts: Int): (Long, Long) = {
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             val (codes, scanTab) =
@@ -1151,6 +1180,12 @@ object VolumeProbe {
               else if (name == "sim_ivfpq_full_clustered_topk")
                 (SimilarityQueries.ivfpqFullCodesTable(spark, dir),
                   SimilarityQueries.ivfpqFullTrainedIndex(spark, dir)._2)
+              else if (name == "sim_ivfpq_append") {
+                val (c, cellsT, cbT) =
+                  SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+                (c, SimilarityQueries.ivfpqProbeTablesFrozen(
+                  spark, dir, cellsT, cbT))
+              }
               else SimilarityQueries.ivfpqIndex(spark, dir)
             val (sRdd, shortSnap) = Sessions.snapshot(
               SimilarityQueries.ivfpqCandidates(codes, scanTab,
@@ -1168,11 +1203,58 @@ object VolumeProbe {
           val bound = 2L * 5 * SimilarityQueries.RerankShortlist
           val refineOk = ref1 == 2 * n1 && refN == 2 * nN &&
             refN <= bound && refN == ref1
-          entryExtraOk = refineOk
+          entryExtraOk = entryExtraOk && refineOk
           extra ++= s""""refine_joinrows_1x":$ref1,"shortlist_1x":$n1,"""
           extra ++= s""""refine_joinrows_${factor}x":$refN,"shortlist_${factor}x":$nN,"""
           extra ++= s""""refine_bound":$bound,"gate_refine_constant":$refineOk,"""
           extra ++= s""""refine_gate":"isolated_refine_joinrows==2x_shortlist_constant_across_arms","""
+        }
+        // round 17 (r16 verdict #1 done-criterion): ADMISSION in
+        // isolation — the cost of admitting a delta batch into the
+        // already-built index must be ∝ |delta|, never ∝ |corpus|.
+        // With the artifacts pre-ensured (fixture setup), the measured
+        // job is exactly the day-1 admission: encode the delta through
+        // the frozen catalog artifacts. Its join output decomposes
+        // analytically in |delta| ALONE — 8 rows/vector in the routing
+        // cross (≤ 8 persisted cells), 1 in the centroid equi join,
+        // 8·4 in the codebook equi join = 41·|delta| — so the gate is
+        // joinrows ≤ 2× that bound at BOTH arms (a retrain regression
+        // re-enters the corpus-scale Lloyd chain and blows it by
+        // |corpus|/|delta| ≈ 10×); shuffle records (the two packed-min
+        // aggregates' map-side-combined partials, ≤ 9·|delta|) get the
+        // same |delta|-only form with a per-partition partial allowance.
+        if (name == "sim_ivfpq_append") {
+          def admitProbe(dir: String, parts: Int): (Long, Long, Long) = {
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            val (_, cellsT, cbT) =
+              SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+            val delta = SimilarityQueries.appendDelta(
+              graft.sources.Tables.embeddings(spark, dir))
+            val nDelta = delta.count()
+            val (_, work, _) = Metrics.withTaskWorkPlans(spark) {
+              SimilarityQueries.ivfpqEncodeFrozen(delta, cellsT, cbT)
+                .write.mode("overwrite").format("noop").save()
+            }
+            Sessions.releaseSnapshots()
+            (work.joinOutputRows, work.shuffleRecordsRead, nDelta)
+          }
+          val (aj1, ar1, nd1) = admitProbe(dir1, cpus.toInt)
+          val (ajN, arN, ndN) = admitProbe(dirN, partsN)
+          val joinBound1 = 2L * 41L * nd1
+          val joinBoundN = 2L * 41L * ndN
+          val recBound1 = 2L * 9L * nd1 + 10L * cpus.toInt
+          val recBoundN = 2L * 9L * ndN + 10L * partsN
+          val admitOk = aj1 <= joinBound1 && ajN <= joinBoundN &&
+            ar1 <= recBound1 && arN <= recBoundN
+          entryExtraOk = entryExtraOk && admitOk
+          extra ++= s""""admit_delta_1x":$nd1,"admit_joinrows_1x":$aj1,"""
+          extra ++= s""""admit_records_1x":$ar1,"""
+          extra ++= s""""admit_delta_${factor}x":$ndN,"admit_joinrows_${factor}x":$ajN,"""
+          extra ++= s""""admit_records_${factor}x":$arN,"""
+          extra ++= s""""admit_join_bound_${factor}x":$joinBoundN,"""
+          extra ++= s""""admit_rec_bound_${factor}x":$recBoundN,"""
+          extra ++= s""""gate_admission_delta_bounded":$admitOk,"""
+          extra ++= s""""admission_gate":"isolated_delta_encode_joinrows<=2x41x|delta|_and_records<=2x9x|delta|+partials_both_arms","""
         }
         // round 15 (r14 verdict #1): dedup_semdedup — the flat n×k
         // assignment cross join is GONE (two-level routing,
@@ -1247,7 +1329,7 @@ object VolumeProbe {
           joinOk = k1.joinOutputRows <= 2L * expect1 &&
             kN.joinOutputRows <= 2L * expectN
           customJoinGate = true
-          entryExtraOk = refineOk && candOk && qualOk
+          entryExtraOk = entryExtraOk && refineOk && candOk && qualOk
           extra ++= s""""cells_1x":$k1c,"cells_${factor}x":$kNc,"""
           extra ++= s""""supers_1x":$r1c,"supers_${factor}x":$rNc,"""
           extra ++= s""""refine_joinrows_1x":$ref1,"refine_bound_1x":${refBound(n1, k1c, r1c)},"""
@@ -1283,7 +1365,7 @@ object VolumeProbe {
           // The contraction bound: rounds-to-tol depend on damping and
           // tol only; +2 absorbs integer-floor wobble near the fixpoint.
           val roundsOk = prRoundsN <= prRounds1 + 2
-          entryExtraOk = roundsOk && prConv1 && prConvN
+          entryExtraOk = entryExtraOk && roundsOk && prConv1 && prConvN
           extra ++= s""""rounds_1x":$prRounds1,"rounds_${factor}x":$prRoundsN,"""
           extra ++= s""""converged_1x":$prConv1,"converged_${factor}x":$prConvN,"""
           extra ++= s""""gate_rounds":$roundsOk,"""
@@ -1304,7 +1386,7 @@ object VolumeProbe {
           customJoinGate = true
           val target = graft.queries.TextQueries.BpeMerges
           val roundsOk = bpeRounds1 == target && bpeRoundsN == target
-          entryExtraOk = roundsOk
+          entryExtraOk = entryExtraOk && roundsOk
           extra ++= s""""rounds_1x":$bpeRounds1,"rounds_${factor}x":$bpeRoundsN,"""
           extra ++= s""""target_merges":$target,"gate_rounds":$roundsOk,"""
           extra ++= s""""records_gate":"records<=2x_linear_per_round","""
@@ -1324,7 +1406,7 @@ object VolumeProbe {
           customRecGate = true
           customJoinGate = true
           val roundsOk = lpaRoundsN <= lpaRounds1 + 2
-          entryExtraOk = roundsOk && lpaTerm1 && lpaTermN
+          entryExtraOk = entryExtraOk && roundsOk && lpaTerm1 && lpaTermN
           extra ++= s""""rounds_1x":$lpaRounds1,"rounds_${factor}x":$lpaRoundsN,"""
           extra ++= s""""terminated_1x":$lpaTerm1,"terminated_${factor}x":$lpaTermN,"""
           extra ++= s""""gate_rounds":$roundsOk,"""
@@ -1346,7 +1428,7 @@ object VolumeProbe {
           planSane = !Metrics.hasCartesian(plans1) &&
             !Metrics.hasCartesian(plansN) &&
             b1 == kmRounds1 && bN == kmRoundsN
-          entryExtraOk = roundsOk && kmConv1 && kmConvN
+          entryExtraOk = entryExtraOk && roundsOk && kmConv1 && kmConvN
           extra ++= s""""rounds_1x":$kmRounds1,"rounds_${factor}x":$kmRoundsN,"""
           extra ++= s""""converged_1x":$kmConv1,"converged_${factor}x":$kmConvN,"""
           extra ++= s""""bnlj_1x":$b1,"bnlj_${factor}x":$bN,"""
