@@ -18,17 +18,45 @@ import graft.queries.TextQueries
   * when no adjacent pair remains at all.
   *
   * One deliberate divergence from the declared query's plan: each
-  * round's ≤ 1-row arg-max winner is COLLECTED to the driver (the
-  * round's one action — the lloyd count() precedent) and the merge is
-  * applied as string LITERALS, so the per-round plan is a pure
-  * projection over the ≤ [[TextQueries.BpeVocabCap]]-row vocabulary —
-  * no per-round cross join at all (the declared query keeps the
-  * broadcast-cross form because its oracle must express the winner as
-  * a CTE). The merge table is the driver-resident artifact a tokenizer
-  * ships — ≤ targetMerges rows by definition — so driver residency is
-  * the deployment shape, not a scale leak; the corpus is still touched
+  * round collects the aggregated PAIR TABLE to the driver (vocabulary-
+  * scale by construction — ≤ Σ_w (|w| − 1) rows over the ≤
+  * [[TextQueries.BpeVocabCap]]-row vocabulary, the same artifact class
+  * as the merge table a tokenizer ships) and the merges are applied as
+  * string LITERALS, so the per-round plan is a pure projection over
+  * the capped vocabulary — no per-round cross join at all (the
+  * declared query keeps the broadcast-cross form because its oracle
+  * must express the winner as a CTE). The corpus is still touched
   * exactly once (the word-count aggregate behind the capped
   * vocabulary).
+  *
+  * BATCHED merges (round-16 verdict #5 — the real-vocab wall-clock
+  * answer): a 32k-merge target as 32k sequential driver jobs is hours
+  * of pure scheduling latency at ANY corpus size, so each round
+  * applies a BATCH of merges chosen so the result is EXACTLY the
+  * sequential trainer's (BpeSpec pins equality on every fixture,
+  * planted and real). The batch is the longest prefix of the
+  * (count desc, lhs asc, rhs asc)-sorted pair table such that
+  *
+  *  (a) members are mutually non-interacting — no two share a symbol
+  *      (lhs or rhs) — so applying one cannot change another's count
+  *      or applicability (a merge only touches adjacencies of its own
+  *      two symbols, and replacing two symbols with one never creates
+  *      an adjacency between bystander symbols);
+  *  (b) the cut is STRICT: the last batched count exceeds the first
+  *      excluded count. Every pair a batched merge can CREATE —
+  *      (x, ab) from merging (a, b) — has count ≤ the old count of an
+  *      interacting pair ((x, a), which shares `a` and is therefore
+  *      outside the prefix), hence < every batched count; and
+  *      existing-pair counts never increase under a merge. So the
+  *      sequential arg-max at step i of the batch still selects
+  *      member i: the batch order IS the sequential order.
+  *
+  * A batch that would shrink below one pair falls back to the plain
+  * winner (k = 1 is unconditionally sequential). `maxBatch` bounds the
+  * folded replace-expression depth per round. Rounds counted in
+  * [[lastRounds]] remain MERGES (the probe's target contract);
+  * [[lastBatches]] records the driver-round count the batching buys
+  * down.
   *
   * Loop discipline (the [[KMeans]]/[[PageRank]]/[[Lpa]] contract):
   * conf-isolated `newSession()` clone, AQE off, shuffle width
@@ -51,6 +79,11 @@ object Bpe {
     * rather than by reaching `targetMerges`. */
   @volatile var lastConverged: Boolean = false
 
+  /** Driver rounds (= batches = Spark job pairs) the most recent
+    * [[train]] used — ≤ [[lastRounds]]; the quantity batching exists to
+    * shrink (32k merges in ~32k/avgBatch driver rounds). */
+  @volatile var lastBatches: Int = -1
+
   /** @param docWords     (doc_id, word) occurrence stream — the
     *                     [[TextQueries.bpeDocWords]] contract (empty
     *                     and marker-bearing words already excluded)
@@ -59,14 +92,19 @@ object Bpe {
     *                     drops below this (2 = Sennrich's "frequency
     *                     1 is noise" rule; 1 disables the early stop)
     * @param loopParts    shuffle width for the iterative stage
+    * @param maxBatch     cap on merges applied per driver round (bounds
+    *                     the folded replace-expression depth; exactness
+    *                     does not depend on it)
     * @return the trained merge table (round, lhs, rhs, pair_count),
     *         ≤ targetMerges rows, under the caller's session */
   def train(docWords: DataFrame, targetMerges: Int, minCount: Long = 2L,
-            loopParts: Int = 8): DataFrame = {
+            loopParts: Int = 8, maxBatch: Int = 64): DataFrame = {
     require(targetMerges >= 1, s"targetMerges must be positive: $targetMerges")
     require(minCount >= 1L, s"minCount must be positive: $minCount")
+    require(maxBatch >= 1, s"maxBatch must be positive: $maxBatch")
     lastRounds = -1
     lastConverged = false
+    lastBatches = -1
     val parent = docWords.sparkSession
     val s = parent.newSession()
     Sessions.copyRuntimeConf(parent, s)
@@ -83,13 +121,21 @@ object Bpe {
     var vocabRdd: org.apache.spark.rdd.RDD[_] = v0Rdd
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var round = 0
+    var batches = 0
     var exhausted = false
     var inFlight: org.apache.spark.rdd.RDD[_] = null
     try {
       while (round < targetMerges && !exhausted) {
         val syms = split(col("w").substr(lit(2), length(col("w")) - 2), MM)
-        // The round's ONE action: the ≤ 1-row arg-max winner, collected.
-        val winner: Array[Row] = vocab
+        // The round's collect: the aggregated pair table, UNSORTED —
+        // vocabulary-scale (≤ Σ_w (|w| − 1) rows) — then sorted on the
+        // driver: a distributed orderBy here would add a range-partition
+        // sample job + sort shuffle per round for rows that are about to
+        // be collected anyway (measured: +84 % wall over the LIMIT-1
+        // loop at 89 rounds). The driver sort uses unsigned UTF-8 byte
+        // order — exactly Spark's `asc` on strings — so the arg-max
+        // tie-break stays bit-identical to the declared query's.
+        val pairs: Array[Row] = vocab
           .select(col("cnt"), syms.as("syms"))
           .filter(size(col("syms")) > 1)
           .select(col("cnt"), explode(zip_with(
@@ -98,22 +144,53 @@ object Bpe {
             (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("pr"))
           .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
           .agg(sum(col("cnt")).as("pair_count"))
-          .orderBy(desc("pair_count"), asc("lhs"), asc("rhs"))
-          .limit(1)
           .collect()
-        if (winner.isEmpty || winner.head.getAs[Long]("pair_count") < minCount) {
+        if (pairs.isEmpty) {
           exhausted = true
         } else {
-          val (lhs, rhs, cnt) = (winner.head.getAs[String]("lhs"),
-            winner.head.getAs[String]("rhs"),
-            winner.head.getAs[Long]("pair_count"))
-          round += 1
-          merges += ((round.toLong, lhs, rhs, cnt))
+          def u8(s: String): Array[Byte] =
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val sorted = pairs.sortWith { (x, y) =>
+            val (cx, cy) = (x.getAs[Long]("pair_count"), y.getAs[Long]("pair_count"))
+            if (cx != cy) cx > cy
+            else {
+              val cl = java.util.Arrays.compareUnsigned(
+                u8(x.getAs[String]("lhs")), u8(y.getAs[String]("lhs")))
+              if (cl != 0) cl < 0
+              else java.util.Arrays.compareUnsigned(
+                u8(x.getAs[String]("rhs")), u8(y.getAs[String]("rhs"))) < 0
+            }
+          }
+          val ls = sorted.map(_.getAs[String]("lhs"))
+          val rs = sorted.map(_.getAs[String]("rhs"))
+          val cnts = sorted.map(_.getAs[Long]("pair_count"))
+          if (cnts(0) < minCount) exhausted = true
+          else {
+          // Longest mutually-non-interacting ≥ minCount prefix, bounded
+          // by maxBatch and the remaining merge budget.
+          val used = scala.collection.mutable.Set.empty[String]
+          val limit = math.min(maxBatch, targetMerges - round)
+          var k = 0
+          while (k < limit && k < pairs.length && cnts(k) >= minCount &&
+              !used.contains(ls(k)) && !used.contains(rs(k))) {
+            used += ls(k); used += rs(k); k += 1
+          }
+          // Strict cut (exactness condition b): shrink until the last
+          // batched count strictly exceeds the first excluded one; k = 1
+          // needs no cut — applying just the winner is sequential.
+          while (k > 1 && k < pairs.length && cnts(k - 1) == cnts(k)) k -= 1
+          (0 until k).foreach { i =>
+            round += 1
+            merges += ((round.toLong, ls(i), rs(i), cnts(i)))
+          }
+          batches += 1
           if (round < targetMerges) {
+            // Fold the batch's literal replaces in batch order — the
+            // sequential application, one projection, one job.
+            val mergedW = (0 until k).foldLeft(col("w")) { (c, i) =>
+              TextQueries.bpeApply(c, lit(ls(i)), lit(rs(i))) }
             val (nextRdd, next) = Sessions.snapshot(
-              vocab.select(
-                TextQueries.bpeApply(col("w"), lit(lhs), lit(rhs)).as("w"),
-                col("cnt")))
+              vocab.select(mergedW.as("w"), col("cnt")))
             nextRdd.localCheckpoint()
             inFlight = nextRdd
             next.count() // materialize before releasing the previous round
@@ -122,10 +199,12 @@ object Bpe {
             vocabRdd = nextRdd
             inFlight = null
           }
+          }
         }
       }
       lastRounds = round
       lastConverged = exhausted
+      lastBatches = batches
     } finally {
       if ((inFlight != null) && (inFlight ne vocabRdd))
         inFlight.unpersist(blocking = false)

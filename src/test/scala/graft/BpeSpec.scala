@@ -116,6 +116,49 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("train loop: batching engages on disjoint-symbol pairs and stays sequential-exact") {
+    import graft.operators.Bpe
+    // Four disjoint-symbol pairs at strictly descending counts: the
+    // batch rule takes all four in ONE driver round (mutually
+    // non-interacting, strict cut trivial — nothing excluded), so the
+    // 4-merge target costs 1 batch, and the merge table must still be
+    // the sequential reference's row for row.
+    val words = Map("ab" -> 100L, "cd" -> 90L, "ef" -> 80L, "gh" -> 70L)
+    val dir = plant(words)
+    val (want, _) = refTrain(words, 4, minCount = 2L)
+    val got = Bpe.train(TextQueries.bpeDocWords(spark, dir), 4,
+        minCount = 2L, loopParts = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+    assert(got == want, s"$got != $want")
+    assert(Bpe.lastRounds == 4 && Bpe.lastBatches == 1,
+      s"rounds=${Bpe.lastRounds} batches=${Bpe.lastBatches} — " +
+        "the disjoint-pair fixture must train in one batch")
+  }
+
+  test("train loop: the strict-cut fallback keeps interacting ties sequential") {
+    import graft.operators.Bpe
+    // (a,b)=10, (c,d)=10, (c,e)=10: the sorted prefix {(a,b),(c,d)}
+    // excludes the interacting tie (c,e) at the SAME count, so the
+    // strict cut shrinks the batch to the bare winner — three driver
+    // rounds, each sequential, and exact equality with the reference.
+    val words = Map("ab" -> 10L, "cd" -> 10L, "ce" -> 10L)
+    val dir = plant(words)
+    val (want, _) = refTrain(words, 3, minCount = 2L)
+    val got = Bpe.train(TextQueries.bpeDocWords(spark, dir), 3,
+        minCount = 2L, loopParts = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+    assert(got == want, s"$got != $want")
+    assert(Bpe.lastRounds == 3 && Bpe.lastBatches == 3,
+      s"rounds=${Bpe.lastRounds} batches=${Bpe.lastBatches} — " +
+        "the tied interacting fixture must fall back to one merge per round")
+  }
+
   test("train loop: stops early once the best pair falls below minCount") {
     import graft.operators.Bpe
     // "ab" x5 merges once (count 5); the only remaining pair (c, d) has
