@@ -93,6 +93,29 @@ class BroadcastGuardSpec extends SparkSpec {
         "lives inside the persisted table's one-time write), the " +
         "probe-to-cell routing (<= |probes| rows), and the scan table " +
         "(<= |probes| * 32 = 160 rows)"),
+    "sim_ivfpq_append" -> (6,
+      "sim_ivfpq_full_clustered_topk's exact bounds at the append-" +
+        "admitted tables: every trained piece reads from the catalog " +
+        "(cell-partitioned codes with the day-1 delta appended, cells " +
+        "<= 8 rows, codebook <= 32 rows — the training-chain AND the " +
+        "delta-encode hints live inside the tables' one-time writes), " +
+        "so the six hints are the probe-side pipeline's: the persisted " +
+        "cell table hinted twice (assign routing + residualize), the " +
+        "persisted codebook at the distance-table build, the <= 160-row " +
+        "scan table, the <= 100-row re-rank shortlist, and the <= 5-row " +
+        "probe vectors"),
+    "sim_ivfpq_drift_guard" -> (3,
+      "the frozen-artifact encode pass over the corpus: the <= 8-row " +
+        "persisted cell table hinted twice (KMeans.assign routing cross " +
+        "+ the residualize join) and the <= 32-row persisted codebook " +
+        "at the per-subspace min-distance join — catalog scans are " +
+        "corpus-cardinality-unknown to the root rules"),
+    "sim_ivfpqr_recall_audit" -> (7,
+      "the composed plans' own bounds: sim_ivfpq_full_clustered_topk's " +
+        "six catalog-side probe-pipeline hints plus sim_cosine_topk's " +
+        "one <= 5-probe hint — the audit adds only a full-outer join " +
+        "of two <= 25-row rank tables and a <= |probes|-group " +
+        "aggregate, no new hint"),
     "sim_recall_audit" -> (3,
       "the composed baselines' own bounds: sim_ann_lsh's two <= 5-probe " +
         "hints (candidate join + rescoring) plus sim_cosine_topk's one — " +
