@@ -137,6 +137,20 @@ class LpaSpec extends SparkSpec {
     assert(got == want, s"labels $got != reference $want")
   }
 
+  test("iterate: an empty edge frame returns an empty label table, not an NPE") {
+    import graft.operators.Lpa
+    // ADVICE round 16: with zero nodes the disagreement sums aggregate
+    // over zero rows to NULL and getLong NPE'd; the empty table is
+    // trivially a fixpoint and must be returned as such.
+    val out = Lpa.iterate(
+      Seq.empty[(Long, Long)].toDF("pa", "pb"), loopParts = 2)
+    val n = out.count()
+    org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+    assert(n == 0, s"empty graph produced $n labels")
+    assert(Lpa.lastConverged,
+      s"empty graph must exit as a fixpoint (rounds=${Lpa.lastRounds})")
+  }
+
   test("iterate: terminates on the fixture co-order graph") {
     import graft.operators.Lpa
     val out = Lpa.iterate(

@@ -185,4 +185,56 @@ class PartitionPruningSpec extends SparkSpec {
         "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
     }
   }
+
+  test("append-admitted IVFPQR scan keeps DPP: only the probed cells' files are read") {
+    import graft.queries.SimilarityQueries
+    // Round 17: admission must not cost the clustered layout its file
+    // pruning — the delta codes are APPENDED as new files inside
+    // existing cell directories, so the partitioned scan prunes exactly
+    // as the day-0 table did. Same fixture-asymmetry knobs as the
+    // trained case above.
+    val (codes, cellsT, cbT) = SimilarityQueries.ivfpqAppendPersisted(spark, sfDir)
+    val nCells = codes.select("cell").distinct().count()
+    assert(nCells > 1, "append index collapsed to one cell; test is vacuous")
+    val probedCells = SimilarityQueries
+      .ivfpqProbeTablesFrozen(spark, sfDir, cellsT, cbT)
+      .select("pcell").distinct().count()
+    assert(probedCells < nCells,
+      s"all $nCells cells probed; pruning test is vacuous")
+
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100000")
+    spark.conf.set("spark.sql.defaultSizeInBytes", (1L << 20).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val out = SimilarityQueries.simIvfPqAppendTopk(spark, sfDir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      val scans = out.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("graft_ivfpqap_codes_")) => s
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec over the append codes table")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(
+        _.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+        s"no dynamic pruning filter on the append codes scan: ${scan.partitionFilters}")
+      val partsRead = scan.metrics("numPartitions").value
+      assert(partsRead == probedCells,
+        s"read $partsRead cell partitions, probes route to $probedCells")
+      assert(partsRead < nCells,
+        s"read all $nCells cells — pruning did not engage")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.defaultSizeInBytes")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
 }
