@@ -1287,6 +1287,14 @@ object SimilarityQueries {
         col("cluster").as("rc"), col("c"))), col("cluster") === col("rc"))
       .select(col("vec_id").as("probe_id"), col("cluster").as("pcell"),
         zip_with(col("qv"), col("c"), (x, cd) => x * 1000L - cd).as("prv"))
+    probeDtabFromResiduals(pr, cbT)
+  }
+
+  /** The shared tail of the frozen-artifact probe pipelines: explode the
+    * per-(probe, routed-cell) residual into the 8 subspaces and build
+    * the ADC distance tables against the broadcast ≤ 32-row codebook.
+    * `pr` carries (probe_id, pcell, prv). */
+  private def probeDtabFromResiduals(pr: DataFrame, cbT: DataFrame): DataFrame =
     pr
       .select(col("probe_id"), col("pcell"), explode(array((0 until 8).map(m =>
         struct(lit(m.toLong).as("m"),
@@ -1298,6 +1306,35 @@ object SimilarityQueries {
       .select(col("probe_id"), col("pcell"), col("pm"), col("cid"),
         (col("psn2") - lit(2L) * qdot(col("psv"), col("cv")) + col("cn2"))
           .as("pdist"))
+
+  /** [[ivfpqProbeTablesFrozen]] at nprobe > 1 — the deployment recall
+    * dial applied to the PERSISTED index: rank every frozen cell by the
+    * exact cleared-scale squared distance (the same 10⁶·n2 − 2000·(qv·c)
+    * + cn2 expansion KMeans.assign packs; rank 1 of this ordering IS the
+    * assign argmin, so nprobe = 1 here ≡ the declared probe pipeline —
+    * RecallSpec pins it), residualize the probe against EACH routed
+    * centroid, and emit per-(probe, cell) distance tables. The scan then
+    * touches nprobe cells' partitions instead of one — the
+    * [[simIvfPqNprobeTopk]] semantics at the frozen deployment artifacts,
+    * used by RecallSpec to show the dial buys audited recall on the
+    * planted corpus. */
+  private[graft] def ivfpqProbeTablesFrozenNprobe(s: SparkSession, d: String,
+      cellsT: DataFrame, cbT: DataFrame, nprobe: Int): DataFrame = {
+    import graft.operators.KMeans
+    val probes = KMeans.quantize(
+      Tables.embeddings(s, d).filter(col("vec_id") < 5))
+    val dist = lit(1000000L) * col("n2") -
+      lit(2000L) * qdot(col("qv"), col("c")) + col("cn2")
+    val w = Window.partitionBy("vec_id").orderBy(asc("d"), asc("cluster"))
+    val routed = probes.crossJoin(broadcast(cellsT))
+      .select(col("vec_id"), col("cluster"), col("qv"), dist.as("d"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nprobe)
+    val pr = routed.join(broadcast(cellsT.select(
+        col("cluster").as("rc"), col("c"))), col("cluster") === col("rc"))
+      .select(col("vec_id").as("probe_id"), col("cluster").as("pcell"),
+        zip_with(col("qv"), col("c"), (x, cd) => x * 1000L - cd).as("prv"))
+    probeDtabFromResiduals(pr, cbT)
   }
 
   /** Base/delta split for the incremental-admission index: the delta

@@ -172,6 +172,65 @@ class RecallSpec extends SparkSpec {
       s"IVFPQR deployment-index recall: $hit/$total < 0.9")
   }
 
+  test("frozen-index nprobe dial: rank-1 routing == the declared pipeline, nprobe=2 never loses recall") {
+    // The audit exists to justify the recall dials; this pins that the
+    // dial WORKS at the persisted deployment artifacts: (a) the exact
+    // cell ranking's rank-1 equals KMeans.assign's packed argmin (so
+    // nprobe = 1 through the generalized router is the declared probe
+    // pipeline, distance table for distance table), and (b) widening to
+    // nprobe = 2 never removes a true neighbor from the re-ranked top-5
+    // (more routed cells = a superset ADC scan; the exact re-rank keeps
+    // the winners) — on the planted corpus, where exact top-5 is
+    // all-planted and recall is the quantity at stake.
+    val (codes, cellsT, cbT) =
+      SimilarityQueries.ivfpqFullPersisted(spark, plantedDir)
+    val d1 = SimilarityQueries
+      .ivfpqProbeTablesFrozen(spark, plantedDir, cellsT, cbT)
+      .collect().map(_.toSeq).toSet
+    val d1n = SimilarityQueries
+      .ivfpqProbeTablesFrozenNprobe(spark, plantedDir, cellsT, cbT, 1)
+      .collect().map(_.toSeq).toSet
+    assert(d1 == d1n,
+      "rank-1 of the exact cell ranking diverged from KMeans.assign routing")
+    def top5(nprobe: Int): Map[Long, Set[Long]] = {
+      val dtab = SimilarityQueries
+        .ivfpqProbeTablesFrozenNprobe(spark, plantedDir, cellsT, cbT, nprobe)
+      SimilarityQueries.rerankRefine(spark, plantedDir,
+          SimilarityQueries.ivfpqCandidates(codes, dtab,
+            SimilarityQueries.RerankShortlist))
+        .collect()
+        .groupBy(_.getAs[Long]("probe_id"))
+        .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    }
+    val exact = {
+      val q = graft.sources.Tables.embeddings(spark, plantedDir)
+        .select(col("vec_id"), graft.functions.ColFns.quantizeVec(col("embedding")).as("qv"))
+        .withColumn("n2", graft.functions.ColFns.qnorm2(col("qv")))
+      val probes = q.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"), col("n2").as("pn2"))
+      val cos = graft.functions.ColFns.qdot(col("pv"), col("qv")) /
+        (sqrt(col("pn2")) * sqrt(col("n2")))
+      val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("cand_id"))
+      q.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .collect()
+        .groupBy(_.getAs[Long]("probe_id"))
+        .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    }
+    val (t1, t2) = (top5(1), top5(2))
+    org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+    def hits(t: Map[Long, Set[Long]]): Int =
+      exact.map { case (p, e) => (t.getOrElse(p, Set.empty) & e).size }.sum
+    val (h1, h2) = (hits(t1), hits(t2))
+    assert(h2 >= h1,
+      s"nprobe=2 recall $h2/25 fell below nprobe=1's $h1/25 — the dial is broken")
+    assert(h2 >= math.ceil(0.9 * 25).toInt,
+      s"nprobe=2 recall $h2/25 < 0.9 on planted near-dups")
+  }
+
   test("real documents: dedup_minhash_lsh candidates cover >=0.9 of exact Jaccard>=0.5 pairs") {
     val truth = DedupQueries.dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
     val cand = DedupQueries.dedupMinhashLsh(spark, sfDir)
