@@ -50,6 +50,23 @@ import graft.queries.TextQueries
   *      existing-pair counts never increase under a merge. So the
   *      sequential arg-max at step i of the batch still selects
   *      member i: the batch order IS the sequential order.
+  *  (c) no member's CREATED symbol collides with an existing one
+  *      (ADVICE round 17): merging (a, b) mints the symbol string
+  *      a + b, and if that string already names a symbol present in
+  *      the pair table (reachable by a different merge path — 'in'+'g'
+  *      minting 'ing' where 'ing' exists from 'i'+'ng'), the mint
+  *      merges new occurrences INTO the existing symbol, so pairs
+  *      involving it can GAIN count mid-batch — breaking (b)'s
+  *      "existing counts never increase" premise. The prefix therefore
+  *      ends at the first candidate whose concatenation appears as any
+  *      lhs/rhs in the collected pair table or equals a previous
+  *      member's concatenation, and a candidate whose own lhs/rhs
+  *      equals a previous member's concatenation (a pair of the minted
+  *      symbol, whose count is stale the moment the minter applies) is
+  *      likewise a prefix end. With (c) holding, no batched merge can
+  *      touch the count of any pair over the pre-batch symbol
+  *      alphabet ∪ minted symbols except the created-pair cases (b)
+  *      already bounds.
   *
   * A batch that would shrink below one pair falls back to the plain
   * winner (k = 1 is unconditionally sequential). `maxBatch` bounds the
@@ -167,14 +184,31 @@ object Bpe {
           if (cnts(0) < minCount) exhausted = true
           else {
           // Longest mutually-non-interacting ≥ minCount prefix, bounded
-          // by maxBatch and the remaining merge budget.
+          // by maxBatch and the remaining merge budget. Condition (c):
+          // `symSet` is every symbol the pair table mentions; a candidate
+          // whose minted symbol ls+rs is already in it (or was minted by
+          // an earlier member), or whose own sides touch an earlier
+          // member's mint, ends the prefix — its application could grow
+          // an existing pair's count and void the strict-cut proof.
           val used = scala.collection.mutable.Set.empty[String]
+          val symSet = new java.util.HashSet[String](pairs.length * 2)
+          var si = 0
+          while (si < ls.length) { symSet.add(ls(si)); symSet.add(rs(si)); si += 1 }
+          val minted = scala.collection.mutable.Set.empty[String]
           val limit = math.min(maxBatch, targetMerges - round)
           var k = 0
-          while (k < limit && k < pairs.length && cnts(k) >= minCount &&
-              !used.contains(ls(k)) && !used.contains(rs(k))) {
-            used += ls(k); used += rs(k); k += 1
+          var cut = false
+          while (!cut && k < limit && k < pairs.length && cnts(k) >= minCount &&
+              !used.contains(ls(k)) && !used.contains(rs(k)) &&
+              !minted.contains(ls(k)) && !minted.contains(rs(k))) {
+            val cc = ls(k) + rs(k)
+            if (symSet.contains(cc) || minted.contains(cc)) cut = true
+            else { used += ls(k); used += rs(k); minted += cc; k += 1 }
           }
+          // The winner alone is unconditionally sequential — even a
+          // colliding mint is applied exactly as the sequential trainer
+          // would, and the next round recounts from scratch.
+          if (k == 0) k = 1
           // Strict cut (exactness condition b): shrink until the last
           // batched count strictly exceeds the first excluded one; k = 1
           // needs no cut — applying just the winner is sequential.

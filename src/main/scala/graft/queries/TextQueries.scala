@@ -30,7 +30,7 @@ object TextQueries {
     * #6: a hardcoded copy in the SQL text is a fork waiting for an
     * edit). */
   private def sqlList(ws: Seq[String]): String =
-    ws.map(w => s"'$w'").mkString(",")
+    ws.map(w => s"'${w.replace("'", "''")}'").mkString(",")
 
   private def hits(w: Column, set: Seq[String]): Column =
     size(filter(w, x => x.isin(set.map(s => s: Any): _*)))

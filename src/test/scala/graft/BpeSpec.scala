@@ -159,6 +159,42 @@ class BpeSpec extends SparkSpec {
         "the tied interacting fixture must fall back to one merge per round")
   }
 
+  test("train loop: batched trajectory stays sequential-exact on a deep corpus") {
+    import graft.operators.Bpe
+    // ADVICE round 17: the batch cut must also guard CREATED-SYMBOL
+    // collisions (a member minting a string that already names a symbol
+    // in the pair table, whose pairs would then gain count mid-batch).
+    // Such collisions are unreachable on the tiny two-letter fixtures
+    // above; this corpus drives ~60 merge rounds over a shared alphabet
+    // with heavy symbol reuse ("aba"/"ab"/"ba"-style alternative
+    // compositions at every length) so the guard's prefix cuts engage
+    // and the trajectory must STILL equal the sequential reference,
+    // merge for merge, count for count.
+    val words = Map(
+      "abababab" -> 40L, "babababa" -> 38L, "aabbaabb" -> 36L,
+      "abcabcab" -> 34L, "bcabcabc" -> 32L, "cababcba" -> 30L,
+      "aaabbbab" -> 28L, "ababcccc" -> 26L, "ccababab" -> 24L,
+      "bacbacba" -> 22L, "abbaabba" -> 20L, "cbacbacb" -> 18L,
+      "aabababb" -> 16L, "abcbabca" -> 14L, "bbababaa" -> 12L,
+      "acacacac" -> 10L, "cacacaca" -> 9L, "aaccaacc" -> 8L,
+      "abacabad" -> 7L, "dababadd" -> 6L, "addaadda" -> 5L,
+      "dcbadcba" -> 4L, "abcdabcd" -> 3L, "ddccbbaa" -> 2L)
+    val dir = plant(words)
+    val (want, _) = refTrain(words, 60, minCount = 2L)
+    assert(want.size >= 30, s"fixture too shallow: ${want.size} merges")
+    val got = Bpe.train(TextQueries.bpeDocWords(spark, dir), 60,
+        minCount = 2L, loopParts = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
+    assert(got == want,
+      s"batched trajectory diverged from sequential:\n$got\n!=\n$want")
+    assert(Bpe.lastBatches < Bpe.lastRounds,
+      s"batches=${Bpe.lastBatches} rounds=${Bpe.lastRounds} — " +
+        "batching must still engage under the collision guard")
+  }
+
   test("train loop: stops early once the best pair falls below minCount") {
     import graft.operators.Bpe
     // "ab" x5 merges once (count 5); the only remaining pair (c, d) has

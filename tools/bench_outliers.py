@@ -12,7 +12,8 @@ sentence ("no query-specific regression outside xN") may only be written
 when this scan prints no outliers — r16's DESIGN.md claim was falsified
 by two 2x outliers its own artifact contained.
 
-Exit code: 0 = no outliers, 1 = outliers found, 2 = usage error.
+Exit code: 0 = no outliers, 1 = outliers found or common set shrank
+(queries dropped from the new artifact), 2 = usage error.
 """
 import json
 import statistics
@@ -36,6 +37,13 @@ def main(prev_path, new_path, threshold=1.5):
     only_new = sorted(set(nmins) - set(pmins))
     if only_new:
         print(f"new-only queries (not compared): {', '.join(only_new)}")
+    only_prev = sorted(set(pmins) - set(nmins))
+    if only_prev:
+        # A shrinking common set is itself a finding: a query that
+        # vanished from the new artifact can hide a regression this scan
+        # would otherwise flag (ADVICE round 17).
+        print(f"PREV-ONLY queries (dropped from the new artifact): "
+              f"{', '.join(only_prev)}")
     if outliers:
         print("OUTLIERS (investigate before writing any uniformity claim):")
         for q in sorted(outliers, key=lambda q: -abs(outliers[q] - med)):
@@ -44,7 +52,9 @@ def main(prev_path, new_path, threshold=1.5):
         return 1
     print("no per-query outliers: every common query within "
           f"[{med/threshold:.2f}, {med*threshold:.2f}]x")
-    return 0
+    # Dropped queries mean the "no outliers" verdict covers less than the
+    # previous artifact did — refuse the clean exit.
+    return 1 if only_prev else 0
 
 
 if __name__ == "__main__":
