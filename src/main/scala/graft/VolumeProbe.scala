@@ -126,6 +126,8 @@ object VolumeProbe {
           "sim_ivfpq_clustered_topk", "sim_ivfpq_full_trained_topk",
           "sim_ivfpq_full_clustered_topk",
           "sim_ivfpq_append", "sim_ivfpq_drift_guard",
+          "sim_ivfpq_delete_topk", "sim_ivfpq_append_nprobe",
+          "sim_ivfpq_cell_stats",
           "emb_pq_trained_codes", "dedup_semdedup")
       // The lloyd loop's planted-chain fixture (see below) — its own
       // corpus, not the embeddings fixture.
@@ -177,6 +179,16 @@ object VolumeProbe {
         // (probe-side assign is the one bounded cross); drift guard's
         // one cross is the corpus-side assign through the frozen cells.
         "sim_ivfpq_append" -> 1, "sim_ivfpq_drift_guard" -> 1,
+        // delete: the append plan's probe-side assign cross — the
+        // logical tree instantiates the <= 5-row probe pipeline twice
+        // (scan distance tables + the probed-cell list pruning the
+        // tombstone fetch) but the planner SHARES the subtree, so one
+        // BNLJ node survives (measured at the 10x smoke); tombstone
+        // build is ingest. cell stats' one cross is the <= |cells|-row
+        // totals broadcast; the nprobe dial's is the rank <= 2 routing
+        // cross.
+        "sim_ivfpq_delete_topk" -> 1, "sim_ivfpq_append_nprobe" -> 1,
+        "sim_ivfpq_cell_stats" -> 1,
         // semdedup's two bounded crosses are the two routing levels of
         // the two-level assignment (round-15: the ≤ r-row super table
         // against the corpus — level 1 — and against the ≤ k-row cell
@@ -280,9 +292,18 @@ object VolumeProbe {
         SimilarityQueries.ivfpqFullArtifactTables(spark, dir1)
         SimilarityQueries.ivfpqFullArtifactTables(spark, dirN)
       }
-      if (wanted("sim_ivfpq_append") || wanted("sim_ivfpq_drift_guard")) {
+      if (wanted("sim_ivfpq_append") || wanted("sim_ivfpq_drift_guard") ||
+          wanted("sim_ivfpq_delete_topk") || wanted("sim_ivfpq_append_nprobe") ||
+          wanted("sim_ivfpq_cell_stats")) {
         SimilarityQueries.ivfpqAppendPersisted(spark, dir1)
         SimilarityQueries.ivfpqAppendPersisted(spark, dirN)
+      }
+      // The tombstone table is ingest too (the delete ADMISSION is the
+      // tombstone-isolation arm's measured job; the declared query's
+      // cost is the fetch + anti-join it gates).
+      if (wanted("sim_ivfpq_delete_topk")) {
+        SimilarityQueries.ivfpqTombstones(spark, dir1)
+        SimilarityQueries.ivfpqTombstones(spark, dirN)
       }
 
       // Dense-id embedding fixture for the semdedup cells dial (the
@@ -740,6 +761,26 @@ object VolumeProbe {
           // encode's join/shuffle work against analytic |delta|-only
           // bounds (admission must cost ∝ |delta|, never ∝ |corpus|).
           sym("sim_ivfpq_append", SimilarityQueries.simIvfPqAppendTopk),
+          // round 18 (r17 verdict #1): the DELETE path — tombstones
+          // routed through the frozen artifacts at |deleted|-only cost
+          // (the tombstone-isolation arm below), fetched cell-pruned,
+          // anti-joined into the DPP-pruned scan. Blanket arms over the
+          // declared plan; the scan-isolation arm reads the LIVE
+          // (anti-joined) codes so the probed-cell mass bound is the
+          // post-delete one; the refine arm pins the constant re-rank.
+          sym("sim_ivfpq_delete_topk", SimilarityQueries.simIvfPqDeleteTopk),
+          // round 18 (r17 verdict #2): the declared nprobe = 2 dial on
+          // the frozen persisted artifacts — the scan-isolation arm
+          // gates the probed mass over BOTH routed cells per probe
+          // against the same half-a-full-scan denominator, and the
+          // refine arm pins the constant re-rank at the widened dial.
+          sym("sim_ivfpq_append_nprobe",
+            SimilarityQueries.simIvfPqAppendNprobeTopk),
+          // round 18 (r17 verdict #3): the per-cell balance audit — one
+          // m = 0 corpus scan into a <= |cells|-row aggregate; the
+          // custom arm pins joinrows CONSTANT (the <= |cells|-row totals
+          // cross) across arms.
+          sym("sim_ivfpq_cell_stats", SimilarityQueries.simIvfPqCellStats),
           // round 17: the retrain trigger — one linear pass per side
           // through the frozen ≤ 8/≤ 32-row broadcast artifacts into one
           // global aggregate; flat gates, one bounded assign cross.
@@ -1089,7 +1130,7 @@ object VolumeProbe {
         // per probe; a regression that drops the cell key from the scan
         // join reverts to ~n per probe and fails both arms of the gate.
         if (name.startsWith("sim_ivfpq") && name != "sim_ivfpq_rerank_topk" &&
-            name != "sim_ivfpq_drift_guard") {
+            name != "sim_ivfpq_drift_guard" && name != "sim_ivfpq_cell_stats") {
           def scanProbe(dir: String, parts: Int): (Long, Long, Long) = {
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             val (codes, scanTab) =
@@ -1113,6 +1154,28 @@ object VolumeProbe {
                 (c, SimilarityQueries.ivfpqProbeTablesFrozen(
                   spark, dir, cellsT, cbT))
               }
+              else if (name == "sim_ivfpq_delete_topk") {
+                // The LIVE codes: full tombstone anti-join applied up
+                // front, so the probed-cell mass bound below is the
+                // post-delete one (the declared plan prunes the
+                // tombstone fetch to the probed cells; for the snapshot
+                // the unpruned anti is the same live set).
+                val (c, cellsT, cbT) =
+                  SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+                val tomb = SimilarityQueries.ivfpqTombstones(spark, dir)
+                  .select(col("vec_id").as("t_id"), col("cell").as("t_cell"))
+                val live = c.join(broadcast(tomb),
+                  col("cell") === col("t_cell") &&
+                    col("vec_id") === col("t_id"), "left_anti")
+                (live, SimilarityQueries.ivfpqProbeTablesFrozen(
+                  spark, dir, cellsT, cbT))
+              }
+              else if (name == "sim_ivfpq_append_nprobe") {
+                val (c, cellsT, cbT) =
+                  SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+                (c, SimilarityQueries.ivfpqProbeTablesFrozenNprobe(
+                  spark, dir, cellsT, cbT, SimilarityQueries.AppendNprobe))
+              }
               else SimilarityQueries.ivfpqIndex(spark, dir)
             val (cRdd, codesSnap) = Sessions.snapshot(codes)
             val (tRdd, tabSnap) = Sessions.snapshot(scanTab)
@@ -1135,13 +1198,16 @@ object VolumeProbe {
               .map(r => r.getLong(0) -> r.get(1).toString).toMap
             val routed = tabSnap.select(col("probe_id"), col("pcell")).distinct()
               .collect().map(r => (r.getLong(0), r.get(1).toString))
+            // probeCell.get: a DELETED probe (the delete entry's vec 4)
+            // owns no live codes, so it subtracts nothing anywhere.
             val expected = routed.map { case (p, c) =>
-              8L * (sizes(c) - (if (probeCell(p) == c) 1L else 0L)) }.sum
+              8L * (sizes.getOrElse(c, 0L) -
+                (if (probeCell.get(p).contains(c)) 1L else 0L)) }.sum
             // Denominator = what the UNROUTED scan pays: 8 lookups per
             // (probe, candidate) pair — per PROBE, not per routed cell,
             // so the nprobe = 2 entry is honestly compared against one
             // full scan, not two.
-            val fullEquiv = 8L * probeCell.size * (nVec - 1)
+            val fullEquiv = 8L * routed.map(_._1).distinct.length * (nVec - 1)
             cRdd.unpersist(blocking = false)
             tRdd.unpersist(blocking = false)
             (work.joinOutputRows, expected, fullEquiv)
@@ -1171,7 +1237,9 @@ object VolumeProbe {
         if (name == "sim_ivfpq_rerank_topk" ||
             name == "sim_ivfpq_full_trained_topk" ||
             name == "sim_ivfpq_full_clustered_topk" ||
-            name == "sim_ivfpq_append") {
+            name == "sim_ivfpq_append" ||
+            name == "sim_ivfpq_delete_topk" ||
+            name == "sim_ivfpq_append_nprobe") {
           def refineProbe(dir: String, parts: Int): (Long, Long) = {
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             val (codes, scanTab) =
@@ -1185,6 +1253,23 @@ object VolumeProbe {
                   SimilarityQueries.ivfpqAppendPersisted(spark, dir)
                 (c, SimilarityQueries.ivfpqProbeTablesFrozen(
                   spark, dir, cellsT, cbT))
+              }
+              else if (name == "sim_ivfpq_delete_topk") {
+                val (c, cellsT, cbT) =
+                  SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+                val tomb = SimilarityQueries.ivfpqTombstones(spark, dir)
+                  .select(col("vec_id").as("t_id"), col("cell").as("t_cell"))
+                val live = c.join(broadcast(tomb),
+                  col("cell") === col("t_cell") &&
+                    col("vec_id") === col("t_id"), "left_anti")
+                (live, SimilarityQueries.ivfpqProbeTablesFrozen(
+                  spark, dir, cellsT, cbT))
+              }
+              else if (name == "sim_ivfpq_append_nprobe") {
+                val (c, cellsT, cbT) =
+                  SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+                (c, SimilarityQueries.ivfpqProbeTablesFrozenNprobe(
+                  spark, dir, cellsT, cbT, SimilarityQueries.AppendNprobe))
               }
               else SimilarityQueries.ivfpqIndex(spark, dir)
             val (sRdd, shortSnap) = Sessions.snapshot(
@@ -1255,6 +1340,62 @@ object VolumeProbe {
           extra ++= s""""admit_rec_bound_${factor}x":$recBoundN,"""
           extra ++= s""""gate_admission_delta_bounded":$admitOk,"""
           extra ++= s""""admission_gate":"isolated_delta_encode_joinrows<=2x41x|delta|_and_records<=2x9x|delta|+partials_both_arms","""
+        }
+        // round 18 (r17 verdict #1 done-criterion): DELETE-side work in
+        // isolation — the cost of removing a deletion set from the
+        // served index must be ∝ |deleted|, never ∝ |corpus|. The
+        // measured job is the tombstone build: route the deleted
+        // vectors through the frozen cell centroids (the training's own
+        // assign — one |deleted|×(≤ 8 cells) bounded cross = 8·|deleted|
+        // join rows, one packed-min aggregate ≤ |deleted| shuffle rows
+        // with a per-partition partial allowance). A regression that
+        // rebuilds instead (re-encoding the survivors) re-enters the
+        // corpus-scale chain and blows the bound by |corpus|/|deleted|
+        // ≈ 10×.
+        if (name == "sim_ivfpq_delete_topk") {
+          def tombProbe(dir: String, parts: Int): (Long, Long, Long) = {
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            val (_, cellsT, _) =
+              SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+            val del = SimilarityQueries.deleteSet(
+              graft.sources.Tables.embeddings(spark, dir))
+            val nDel = del.count()
+            import graft.operators.KMeans
+            val (_, work, _) = Metrics.withTaskWorkPlans(spark) {
+              KMeans.assign(KMeans.quantize(del), cellsT)
+                .select(col("vec_id"), col("cluster").as("cell"))
+                .write.mode("overwrite").format("noop").save()
+            }
+            Sessions.releaseSnapshots()
+            (work.joinOutputRows, work.shuffleRecordsRead, nDel)
+          }
+          val (tj1, tr1, td1) = tombProbe(dir1, cpus.toInt)
+          val (tjN, trN, tdN) = tombProbe(dirN, partsN)
+          val tjBound1 = 2L * 8L * td1
+          val tjBoundN = 2L * 8L * tdN
+          val trBound1 = 2L * td1 + 10L * cpus.toInt
+          val trBoundN = 2L * tdN + 10L * partsN
+          val tombOk = tj1 <= tjBound1 && tjN <= tjBoundN &&
+            tr1 <= trBound1 && trN <= trBoundN
+          entryExtraOk = entryExtraOk && tombOk
+          extra ++= s""""tomb_deleted_1x":$td1,"tomb_joinrows_1x":$tj1,"""
+          extra ++= s""""tomb_records_1x":$tr1,"""
+          extra ++= s""""tomb_deleted_${factor}x":$tdN,"tomb_joinrows_${factor}x":$tjN,"""
+          extra ++= s""""tomb_records_${factor}x":$trN,"""
+          extra ++= s""""tomb_join_bound_${factor}x":$tjBoundN,"""
+          extra ++= s""""tomb_rec_bound_${factor}x":$trBoundN,"""
+          extra ++= s""""gate_delete_deleted_bounded":$tombOk,"""
+          extra ++= s""""delete_gate":"isolated_tombstone_build_joinrows<=2x8x|deleted|_and_records<=2x|deleted|+partials_both_arms","""
+        }
+        // round 18 (r17 verdict #3): the balance audit's join output is
+        // the ≤ |cells|-row totals cross — CONSTANT across arms (cells
+        // come from the frozen k = 8 seeds, not the corpus size).
+        if (name == "sim_ivfpq_cell_stats") {
+          val statsConst = k1.joinOutputRows == kN.joinOutputRows &&
+            kN.joinOutputRows <= 16L
+          entryExtraOk = entryExtraOk && statsConst
+          extra ++= s""""gate_cellstats_constant":$statsConst,"""
+          extra ++= s""""cellstats_gate":"joinrows_constant_<=|cells|_across_arms","""
         }
         // round 15 (r14 verdict #1): dedup_semdedup — the flat n×k
         // assignment cross join is GONE (two-level routing,

@@ -684,13 +684,17 @@ object SimilarityQueries {
     * produce join output; adist = the 8-lookup sum; top-`r` per probe,
     * self excluded, (adist asc, cand asc) ties. `r = 5` IS the declared
     * scan ([[ivfpqScan]]); `r = RerankShortlist` feeds the exact re-rank
-    * refine stage ([[simIvfPqRerankTopk]]). */
+    * refine stage ([[simIvfPqRerankTopk]]). `pre` (default identity)
+    * transforms the joined stream BEFORE the per-candidate aggregation —
+    * the delete query's tombstone anti-join rides here, ABOVE the
+    * DPP-generating equi-join, so the partitioned codes scan prunes
+    * exactly as without it. */
   private[graft] def ivfpqCandidates(codes: DataFrame, scanTab: DataFrame,
-      r: Int): DataFrame = {
+      r: Int, pre: DataFrame => DataFrame = identity): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(asc("adist"), asc("cand_id"))
-    codes.join(broadcast(scanTab),
+    pre(codes.join(broadcast(scanTab),
         col("m") === col("pm") && col("code") === col("cid") &&
-          col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+          col("cell") === col("pcell") && col("vec_id") =!= col("probe_id")))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("pdist")).as("adist"))
       .select(col("probe_id"), col("vec_id").as("cand_id"), col("adist"))
@@ -1502,6 +1506,139 @@ object SimilarityQueries {
             col("n_delta").cast(dec)).as("retrain_needed"))
   }
 
+  /** Deletion-set convention for the persisted index's delete path:
+    * vec_id ≡ [[DeleteResidue]] mod [[AppendMod]] — id-stable (both
+    * engines and every probe arm agree), a residue class INSIDE the
+    * base partition (4 ≠ 9), so the scenario is the deployment's: a
+    * curation pass (dedup losers, takedowns) removes vectors the
+    * frozen artifacts were TRAINED on and the index still serves.
+    * Training is untouched by deletion — only the served codes are. */
+  private[graft] val DeleteResidue = 4L
+
+  private[graft] def deleteSet(emb: DataFrame): DataFrame =
+    emb.filter(pmod(col("vec_id"), lit(AppendMod)) === DeleteResidue)
+
+  /** The TOMBSTONE table of the append-admitted index — the reference's
+    * `unset` on a BUILT store (backshift delete,
+    * /root/reference/src/bare_hash_container.h:150-179; the public
+    * erase verb at src/concurrent_map.h:50) re-expressed for an
+    * immutable-file deployment: instead of rewriting the cell
+    * partitions in place, deletion ADMITS (vec_id, cell) tombstones and
+    * every scan anti-joins them — the same owner-shard routing as
+    * insertion (the delete is routed through the FROZEN cell centroids
+    * with the training's own assignment operator, so tomb.cell equals
+    * the stored cell exactly; IvfpqDeleteSpec pins it). Build cost is
+    * |deleted| rows through the ≤ 8-row broadcast cell table — no
+    * corpus scan, no retrain — and the table persists CELL-PARTITIONED
+    * so a query fetches only the probed cells' tombstones. */
+  private[graft] def ivfpqTombstones(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Bucketing
+    import graft.operators.KMeans
+    val tag = Bucketing.dirTag(d)
+    val name = s"graft_ivfpqap_tomb_$tag"
+    Bucketing.ensureTable(s, name, d) {
+      val (_, cellsT, _) = ivfpqAppendPersisted(s, d)
+      KMeans.assign(KMeans.quantize(deleteSet(Tables.embeddings(s, d))), cellsT)
+        .select(col("vec_id"), col("cluster").as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("cell").saveAsTable(name)
+    }
+  }
+
+  /** The declared DELETE-path query (round-17 verdict #1) — the one
+    * lifecycle verb the admission family lacked: the deployment scan
+    * over the append-admitted index with the deletion set REMOVED from
+    * service. Shape: the probe pipeline routes as always; the probed
+    * cells' tombstones are fetched from the cell-partitioned tombstone
+    * table (≤ |deleted ∩ probed cells| rows — the only tombstones a
+    * query can need, the bound that keeps the anti-join's build side
+    * probe-local at any corpus size); the codes⋈dtab join stream is
+    * anti-joined against them on (cell, vec_id) BEFORE aggregation, so
+    * the anti rides the already DPP-pruned scan (PartitionPruningSpec
+    * pins partitions read = probed cells, unchanged). Restricting the
+    * anti to probed-cell tombstones loses nothing: a deleted vector in
+    * an unprobed cell never joins dtab in the first place.
+    * IvfpqDeleteSpec proves the scan ≡ the index built WITHOUT the
+    * deleted vectors (delete ≡ never-inserted), the done-criterion. */
+  val simIvfPqDeleteTopk: Q = (s, d) => {
+    val (codes, cellsT, cbT) = ivfpqAppendPersisted(s, d)
+    val tomb = ivfpqTombstones(s, d)
+    val dtab = ivfpqProbeTablesFrozen(s, d, cellsT, cbT)
+    val tombPruned = tomb
+      .join(broadcast(dtab.select(col("pcell").as("qcell")).distinct()),
+        col("cell") === col("qcell"), "left_semi")
+      .select(col("vec_id").as("t_id"), col("cell").as("t_cell"))
+    val anti = (joined: DataFrame) => joined.join(broadcast(tombPruned),
+      col("cell") === col("t_cell") && col("vec_id") === col("t_id"),
+      "left_anti")
+    rerankRefine(s, d, ivfpqCandidates(codes, dtab, RerankShortlist, anti))
+  }
+
+  /** nprobe dial for the deployment index's declared widened scan —
+    * 2 probed cells per query, the [[simIvfPqNprobeTopk]] recall dial
+    * applied to the PERSISTED frozen artifacts a deployment tunes. */
+  private[graft] val AppendNprobe = 2
+
+  /** The declared nprobe = [[AppendNprobe]] scan over the APPEND-ADMITTED
+    * index (round-17 verdict #2): [[ivfpqProbeTablesFrozenNprobe]] —
+    * until now spec-only — promoted to a declared query over the frozen
+    * persisted artifacts. Each probe ranks every frozen cell by the
+    * exact cleared-scale distance, routes to its top 2, residualizes
+    * against EACH routed centroid, and the DPP-pruned codes scan reads 2
+    * cells' partitions per probe instead of 1 — the recall dial
+    * RecallSpec proves monotone (nprobe = 2 never loses re-ranked recall
+    * vs 1), now deployed where a deployment would turn it. Oracle: the
+    * shared trained-CTE template with a rank ≤ 2 routing tail and
+    * per-routed-cell residual distance tables. */
+  val simIvfPqAppendNprobeTopk: Q = (s, d) => {
+    val (codes, cellsT, cbT) = ivfpqAppendPersisted(s, d)
+    val dtab = ivfpqProbeTablesFrozenNprobe(s, d, cellsT, cbT, AppendNprobe)
+    rerankRefine(s, d, ivfpqCandidates(codes, dtab, RerankShortlist))
+  }
+
+  /** Recall audit AT THE WIDENED DIAL (round-17 verdict #2's second
+    * half): per probe, |append-index nprobe = 2 top-5 ∩ exact cosine
+    * top-5| — the [[simIvfpqrRecallAudit]] composition with the ANN side
+    * swapped to [[simIvfPqAppendNprobeTopk]], so the number RecallSpec
+    * proves monotone is REPORTED for the served index at the dial a
+    * deployment would actually widen to. Integer-only output, one
+    * ≤ 25-row full-outer join on top of two already-declared plans. */
+  val simIvfPqAppendRecallAudit: Q = (s, d) =>
+    recallAuditJoin(
+      simIvfPqAppendNprobeTopk(s, d),
+      graft.queries.ExtensionQueries.simCosineTopk(s, d))
+
+  /** Per-cell balance audit of the append-admitted index (round-17
+    * verdict #3) — the reference's load-factor / probe-length
+    * monitoring (/root/reference/src/bare_hash_container.h:135-148, the
+    * grow-on-imbalance signal; src/dist_map.h:98-116) as a declared
+    * query over the served codes table: per cell, the admitted vector
+    * count, the corpus total, the cell count, and the HOT verdict —
+    * is_hot ⇔ n_vectors·n_cells > 2·n_total (load > 2× the mean), the
+    * exact cross-multiply in decimal(38,0). This is the PARTIAL-retrain
+    * signal the global drift guard cannot give: a delta batch that
+    * piles into one Voronoi cell keeps the corpus-mean quantization
+    * error flat (guard false) while degrading that cell's scans —
+    * IvfpqDeleteSpec plants exactly that batch and shows the audit
+    * flagging it. Scale shape: one scan of the codes table restricted
+    * to the m = 0 subspace (one row per admitted vector, the filter
+    * pushed to parquet), one ≤ |cells|-group aggregate, one broadcast
+    * of the 1-row total — output bounded by |cells|. */
+  val simIvfPqCellStats: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (codes, _, _) = ivfpqAppendPersisted(s, d)
+    val perCell = codes.filter(col("m") === 0L)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val tot = perCell.agg(
+      sum(col("n_vectors")).as("n_total"), count(lit(1)).as("n_cells"))
+    perCell.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"), col("n_total"), col("n_cells"),
+        (col("n_vectors").cast(dec) * col("n_cells").cast(dec) >
+          lit(2L).cast(dec) * col("n_total").cast(dec)).as("is_hot"))
+      .orderBy("cell")
+  }
+
   /** The audit join shared by both recall audits: per probe, the
     * integer intersection counts of an ANN top-5 and the exact cosine
     * top-5 — one full-outer equi-join of two ≤ 25-row rank tables plus
@@ -1640,6 +1777,10 @@ object SimilarityQueries {
     "sim_ivfpq_full_trained_topk" -> simIvfPqFullTrainedTopk,
     "sim_ivfpq_full_clustered_topk" -> simIvfPqFullClusteredTopk,
     "sim_ivfpq_append" -> simIvfPqAppendTopk,
+    "sim_ivfpq_delete_topk" -> simIvfPqDeleteTopk,
+    "sim_ivfpq_append_nprobe" -> simIvfPqAppendNprobeTopk,
+    "sim_ivfpq_append_recall_audit" -> simIvfPqAppendRecallAudit,
+    "sim_ivfpq_cell_stats" -> simIvfPqCellStats,
     "sim_ivfpq_drift_guard" -> simIvfPqDriftGuard,
     "sim_recall_audit" -> simRecallAudit,
     "sim_ivfpqr_recall_audit" -> simIvfpqrRecallAudit,
@@ -1819,12 +1960,16 @@ object SimilarityQueries {
   }
 
   /** The routed-ADC scan + exact re-rank tail of the trained-family
-    * oracles -- appended verbatim after [[ivfpqTrainedCtes]]. */
-  private val IvfpqScanTail: String =
-    """|, codes AS (
+    * oracles -- appended verbatim after [[ivfpqTrainedCtes]].
+    * `codesFilter` (a " WHERE ..." clause over alias `s`, or empty)
+    * restricts which vectors the SERVED codes cover -- the delete
+    * oracle's tombstone semantics: the scan side shrinks, the probe
+    * side and the frozen artifacts do not. */
+  private def ivfpqScanTail(codesFilter: String): String =
+    s"""|, codes AS (
         |  SELECT s.vec_id, ANY_VALUE(s.cluster) AS cell, s.m,
         |         CAST(MIN((s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid) % 4 AS BIGINT) AS code
-        |  FROM rsubn s JOIN pcb2 c ON s.m = c.cm GROUP BY s.vec_id, s.m
+        |  FROM rsubn s JOIN pcb2 c ON s.m = c.cm$codesFilter GROUP BY s.vec_id, s.m
         |), dtab AS (
         |  SELECT p.vec_id AS probe_id, p.cluster AS pcell, p.m AS pm, c.cid,
         |         p.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(p.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2 AS pdist
@@ -1854,6 +1999,9 @@ object SimilarityQueries {
         |)
         |SELECT probe_id, cand_id, adist, edist FROM eranked WHERE rk <= 5
         |ORDER BY probe_id, cand_id""".stripMargin
+
+  /** The unfiltered tail -- every non-delete trained-family oracle. */
+  private val IvfpqScanTail: String = ivfpqScanTail("")
 
   private val oraclesBase: Map[String, String] = Map(
     "sim_range_search" ->
@@ -2186,6 +2334,93 @@ object SimilarityQueries {
         |        > 2 * CAST(SUM(CASE WHEN vec_id % $AppendMod < ${AppendMod - 1} THEN qerrk ELSE 0 END) AS HUGEINT)
         |          * SUM(CASE WHEN vec_id % $AppendMod = ${AppendMod - 1} THEN 1 ELSE 0 END)) AS retrain_needed
         |FROM perv""".stripMargin),
+    // Delete path: SAME admission index, the deletion residue class
+    // removed from the SERVED codes (the tombstone anti-join's
+    // semantics) -- training CTEs keep the base filter, the codes CTE
+    // additionally excludes the deleted vectors, probes and artifacts
+    // untouched. Delete == never-inserted, checked cross-engine.
+    "sim_ivfpq_delete_topk" ->
+      (s"WITH ${ivfpqTrainedCtes(baseOnly = true)}" +
+        ivfpqScanTail(s" WHERE s.vec_id % $AppendMod <> $DeleteResidue")),
+    // nprobe = 2 over the frozen base-trained artifacts: probes rank
+    // every trained cell by the exact cleared-scale distance, route to
+    // the top 2, and build PER-ROUTED-CELL residual distance tables
+    // (rank 1 of this ordering IS the assign argmin, so this tail at
+    // nprobe = 1 degenerates to the append oracle's).
+    "sim_ivfpq_append_nprobe" ->
+      (s"WITH ${ivfpqTrainedCtes(baseOnly = true)}" + s"""
+        |, codes AS (
+        |  SELECT s.vec_id, ANY_VALUE(s.cluster) AS cell, s.m,
+        |         CAST(MIN((s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid) % 4 AS BIGINT) AS code
+        |  FROM rsubn s JOIN pcb2 c ON s.m = c.cm GROUP BY s.vec_id, s.m
+        |), proute AS (
+        |  SELECT probe_id, pcell FROM (
+        |    SELECT v.vec_id AS probe_id, c.cluster AS pcell,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN c2n c WHERE v.vec_id < 5) WHERE rk <= $AppendNprobe
+        |), prv AS (
+        |  SELECT p.probe_id, p.pcell,
+        |         list_transform(generate_series(1, 64), d -> v.qv[d] * 1000 - c.c[d]) AS rv
+        |  FROM proute p JOIN q v ON v.vec_id = p.probe_id JOIN c2 c ON c.cluster = p.pcell
+        |), prsub AS (
+        |  SELECT probe_id, pcell, m, list_slice(rv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM prv, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), prsubn AS (
+        |  SELECT probe_id, pcell, m, sv,
+        |         CAST((SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS BIGINT) AS sn2
+        |  FROM prsub
+        |), dtab AS (
+        |  SELECT p.probe_id, p.pcell, p.m AS pm, c.cid,
+        |         p.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(p.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2 AS pdist
+        |  FROM prsubn p JOIN pcb2 c ON p.m = c.cm
+        |), adc AS (
+        |  SELECT d.probe_id, k.vec_id AS cand_id, CAST(SUM(d.pdist) AS BIGINT) AS adist
+        |  FROM codes k
+        |  JOIN dtab d ON k.m = d.pm AND k.code = d.cid AND k.cell = d.pcell
+        |             AND k.vec_id <> d.probe_id
+        |  GROUP BY d.probe_id, k.vec_id
+        |), shortlist AS (
+        |  SELECT probe_id, cand_id, adist FROM (
+        |    SELECT probe_id, cand_id, adist,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rk
+        |    FROM adc) WHERE rk <= 20
+        |), exact AS (
+        |  SELECT s.probe_id, s.cand_id, s.adist,
+        |         CAST((SELECT SUM((x - y) * (x - y))
+        |               FROM (SELECT UNNEST(qc.qv) AS x, UNNEST(qp.qv) AS y)) AS BIGINT) AS edist
+        |  FROM shortlist s
+        |  JOIN q qc ON qc.vec_id = s.cand_id
+        |  JOIN q qp ON qp.vec_id = s.probe_id
+        |), eranked AS (
+        |  SELECT probe_id, cand_id, adist, edist,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY edist, cand_id) AS rk
+        |  FROM exact
+        |)
+        |SELECT probe_id, cand_id, adist, edist FROM eranked WHERE rk <= 5
+        |ORDER BY probe_id, cand_id""".stripMargin),
+    // Per-cell balance audit: the served cell of EVERY admitted vector
+    // is the frozen-centroid argmin (a3 -- the training's own final
+    // assignment, which the append encode reproduces exactly), so the
+    // audit is one group-by over it plus the exact cross-multiplied
+    // hot verdict.
+    "sim_ivfpq_cell_stats" ->
+      (s"WITH ${ivfpqTrainedCtes(baseOnly = true)}" + s"""
+        |, percell AS (
+        |  SELECT cluster AS cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |  FROM a3 GROUP BY cluster
+        |), tot AS (
+        |  SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total,
+        |         CAST(COUNT(*) AS BIGINT) AS n_cells
+        |  FROM percell
+        |)
+        |SELECT p.cell, p.n_vectors, t.n_total, t.n_cells,
+        |       (CAST(p.n_vectors AS HUGEINT) * t.n_cells >
+        |          2 * CAST(t.n_total AS HUGEINT)) AS is_hot
+        |FROM percell p, tot t
+        |ORDER BY p.cell""".stripMargin),
     "sim_pq_adc_topk" ->
       """WITH q AS (
         |  SELECT vec_id,
@@ -2570,6 +2805,41 @@ object SimilarityQueries {
     // table (DuckDB scopes its CTEs to the subquery), the exact side is
     // the sim_recall_audit cosine baseline at the 10⁶ quantization, and
     // the tail is the shared integer intersect-count join.
+    // Same composition at the WIDENED dial: the ANN side is the whole
+    // nprobe = 2 append-index oracle nested as a derived table.
+    ("sim_ivfpq_append_recall_audit" ->
+      s"""WITH ann AS (
+        |  SELECT probe_id, cand_id FROM (
+        |${oraclesBase("sim_ivfpq_append_nprobe")}
+        |  )
+        |), q6 AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), qn6 AS (
+        |  SELECT vec_id, qv, (SELECT SUM(u * u) FROM UNNEST(qv) AS t(u)) AS n2 FROM q6
+        |), epairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         (SELECT SUM(a * b) FROM (SELECT UNNEST(p.qv) AS a, UNNEST(c.qv) AS b)) /
+        |           (sqrt(p.n2) * sqrt(c.n2)) AS cos
+        |  FROM qn6 p, qn6 c
+        |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+        |), exact AS (
+        |  SELECT probe_id, cand_id FROM (
+        |    SELECT probe_id, cand_id,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+        |    FROM epairs) WHERE rank <= 5
+        |), j AS (
+        |  SELECT COALESCE(a.probe_id, e.probe_id) AS probe_id,
+        |         CASE WHEN a.probe_id IS NULL THEN 0 ELSE 1 END AS a,
+        |         CASE WHEN e.probe_id IS NULL THEN 0 ELSE 1 END AS e
+        |  FROM ann a FULL OUTER JOIN exact e
+        |    ON a.probe_id = e.probe_id AND a.cand_id = e.cand_id
+        |)
+        |SELECT probe_id, CAST(SUM(a) AS BIGINT) AS n_ann,
+        |       CAST(SUM(e) AS BIGINT) AS n_exact,
+        |       CAST(SUM(a * e) AS BIGINT) AS n_hit
+        |FROM j GROUP BY probe_id ORDER BY probe_id""".stripMargin) +
     ("sim_ivfpqr_recall_audit" ->
       s"""WITH ann AS (
         |  SELECT probe_id, cand_id FROM (

@@ -104,6 +104,27 @@ class BroadcastGuardSpec extends SparkSpec {
         "persisted codebook at the distance-table build, the <= 160-row " +
         "scan table, the <= 100-row re-rank shortlist, and the <= 5-row " +
         "probe vectors"),
+    "sim_ivfpq_delete_topk" -> (11,
+      "sim_ivfpq_append's six probe-pipeline hints, plus the probed-" +
+        "cells derivation for the tombstone fetch re-instantiating the " +
+        "probe pipeline's three (cells twice + codebook once — <= 5 " +
+        "rows end to end), plus the <= 5-row probed-cell list hinted " +
+        "into the tombstone semi-join, plus the probed-cell tombstones " +
+        "(<= |deleted in probed cells| — the cell-partitioned fetch " +
+        "bound) hinted into the anti-join riding the DPP-pruned scan"),
+    "sim_ivfpq_append_nprobe" -> (6,
+      "sim_ivfpq_append's exact bounds at the widened dial: the " +
+        "persisted <= 8-row cell table hinted twice (the rank <= 2 " +
+        "routing cross + residualize), the persisted codebook at the " +
+        "distance-table build, the <= |probes| * 2 * 32 = 320-row scan " +
+        "table, the <= 100-row re-rank shortlist, and the <= 5-row " +
+        "probe vectors"),
+    "sim_ivfpq_append_recall_audit" -> (7,
+      "the composed plans' own bounds: sim_ivfpq_append_nprobe's six " +
+        "catalog-side probe-pipeline hints plus sim_cosine_topk's one " +
+        "<= 5-probe hint — the audit adds only a full-outer join of two " +
+        "<= 25-row rank tables and a <= |probes|-group aggregate, no " +
+        "new hint"),
     "sim_ivfpq_drift_guard" -> (3,
       "the frozen-artifact encode pass over the corpus: the <= 8-row " +
         "persisted cell table hinted twice (KMeans.assign routing cross " +

@@ -237,4 +237,52 @@ class PartitionPruningSpec extends SparkSpec {
         "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
     }
   }
+
+  test("tombstoned delete scan keeps DPP: the anti-join costs no pruning") {
+    import graft.queries.SimilarityQueries
+    // Round 18: the delete query's tombstone anti-join sits ABOVE the
+    // DPP-generating codes⋈dtab equi-join (the `pre` hook of
+    // ivfpqCandidates), so the partitioned codes scan must prune to the
+    // probed cells exactly as the append scan does.
+    val (codes, cellsT, cbT) = SimilarityQueries.ivfpqAppendPersisted(spark, sfDir)
+    val nCells = codes.select("cell").distinct().count()
+    val probedCells = SimilarityQueries
+      .ivfpqProbeTablesFrozen(spark, sfDir, cellsT, cbT)
+      .select("pcell").distinct().count()
+    assert(probedCells < nCells,
+      s"all $nCells cells probed; pruning test is vacuous")
+
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100000")
+    spark.conf.set("spark.sql.defaultSizeInBytes", (1L << 20).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val out = SimilarityQueries.simIvfPqDeleteTopk(spark, sfDir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      val scans = out.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("graft_ivfpqap_codes_")) => s
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec over the append codes table")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(
+        _.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+        s"no dynamic pruning filter on the tombstoned codes scan: ${scan.partitionFilters}")
+      val partsRead = scan.metrics("numPartitions").value
+      assert(partsRead == probedCells,
+        s"read $partsRead cell partitions, probes route to $probedCells")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.defaultSizeInBytes")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
 }
