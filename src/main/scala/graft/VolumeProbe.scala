@@ -127,7 +127,8 @@ object VolumeProbe {
           "sim_ivfpq_full_clustered_topk",
           "sim_ivfpq_append", "sim_ivfpq_drift_guard",
           "sim_ivfpq_delete_topk", "sim_ivfpq_append_nprobe",
-          "sim_ivfpq_cell_stats",
+          "sim_ivfpq_cell_stats", "sim_ivfpq_gc_stats",
+          "sim_ivfpq_compact_topk", "sim_ivfpq_cell_split",
           "emb_pq_trained_codes", "dedup_semdedup")
       // The lloyd loop's planted-chain fixture (see below) — its own
       // corpus, not the embeddings fixture.
@@ -189,6 +190,11 @@ object VolumeProbe {
         // cross.
         "sim_ivfpq_delete_topk" -> 1, "sim_ivfpq_append_nprobe" -> 1,
         "sim_ivfpq_cell_stats" -> 1,
+        // compact/split: the deployment scan's one probe-side assign
+        // cross (over the 8-row gc generation's cells / the 9-row split
+        // cells table); the reclaim and split jobs' own crosses live
+        // inside the tables' one-time writes (fixture setup).
+        "sim_ivfpq_compact_topk" -> 1, "sim_ivfpq_cell_split" -> 1,
         // semdedup's two bounded crosses are the two routing levels of
         // the two-level assignment (round-15: the ≤ r-row super table
         // against the corpus — level 1 — and against the ≤ k-row cell
@@ -294,16 +300,29 @@ object VolumeProbe {
       }
       if (wanted("sim_ivfpq_append") || wanted("sim_ivfpq_drift_guard") ||
           wanted("sim_ivfpq_delete_topk") || wanted("sim_ivfpq_append_nprobe") ||
-          wanted("sim_ivfpq_cell_stats")) {
+          wanted("sim_ivfpq_cell_stats") || wanted("sim_ivfpq_gc_stats") ||
+          wanted("sim_ivfpq_compact_topk") || wanted("sim_ivfpq_cell_split")) {
         SimilarityQueries.ivfpqAppendPersisted(spark, dir1)
         SimilarityQueries.ivfpqAppendPersisted(spark, dirN)
       }
       // The tombstone table is ingest too (the delete ADMISSION is the
       // tombstone-isolation arm's measured job; the declared query's
       // cost is the fetch + anti-join it gates).
-      if (wanted("sim_ivfpq_delete_topk")) {
+      if (wanted("sim_ivfpq_delete_topk") || wanted("sim_ivfpq_gc_stats") ||
+          wanted("sim_ivfpq_compact_topk")) {
         SimilarityQueries.ivfpqTombstones(spark, dir1)
         SimilarityQueries.ivfpqTombstones(spark, dirN)
+      }
+      // The compacted generation and the split generation are ingest as
+      // well — the one-time rewrites are the maintenance jobs their
+      // isolation arms measure; the declared queries read the catalog.
+      if (wanted("sim_ivfpq_compact_topk")) {
+        SimilarityQueries.ivfpqCompactedCodes(spark, dir1)
+        SimilarityQueries.ivfpqCompactedCodes(spark, dirN)
+      }
+      if (wanted("sim_ivfpq_cell_split")) {
+        SimilarityQueries.ivfpqSplitTables(spark, dir1)
+        SimilarityQueries.ivfpqSplitTables(spark, dirN)
       }
 
       // Dense-id embedding fixture for the semdedup cells dial (the
@@ -781,6 +800,24 @@ object VolumeProbe {
           // custom arm pins joinrows CONSTANT (the <= |cells|-row totals
           // cross) across arms.
           sym("sim_ivfpq_cell_stats", SimilarityQueries.simIvfPqCellStats),
+          // round 18: the gc audit — the cell-stats posture plus one
+          // <= |cells|-row broadcast join against the per-cell tombstone
+          // counts; its custom arm pins joinrows CONSTANT across arms.
+          sym("sim_ivfpq_gc_stats", SimilarityQueries.simIvfPqGcStats),
+          // round 18: the post-compaction scan — the append deployment
+          // plan over the COMPACTED generation (no anti-join anywhere);
+          // scan/refine isolation arms pick the gc table by name, and
+          // the compaction-isolation arm below gates the reclaim job's
+          // join output against the exact 16·M_t − 8·D decomposition
+          // (touched-cell mass, never the corpus... on this uniform
+          // fixture M_t spans all cells — the locality is file-level,
+          // IvfpqMaintenanceSpec's dynamic-overwrite pin).
+          sym("sim_ivfpq_compact_topk", SimilarityQueries.simIvfPqCompactTopk),
+          // round 18: the post-split scan — probe routing over the
+          // 9-row split cells table, DPP-pruned codes from the split
+          // generation; the split-isolation arm below gates the member
+          // re-encode + 2-means chain against |parent cell|-only bounds.
+          sym("sim_ivfpq_cell_split", SimilarityQueries.simIvfPqCellSplit),
           // round 17: the retrain trigger — one linear pass per side
           // through the frozen ≤ 8/≤ 32-row broadcast artifacts into one
           // global aggregate; flat gates, one bounded assign cross.
@@ -1130,7 +1167,8 @@ object VolumeProbe {
         // per probe; a regression that drops the cell key from the scan
         // join reverts to ~n per probe and fails both arms of the gate.
         if (name.startsWith("sim_ivfpq") && name != "sim_ivfpq_rerank_topk" &&
-            name != "sim_ivfpq_drift_guard" && name != "sim_ivfpq_cell_stats") {
+            name != "sim_ivfpq_drift_guard" && name != "sim_ivfpq_cell_stats" &&
+            name != "sim_ivfpq_gc_stats") {
           def scanProbe(dir: String, parts: Int): (Long, Long, Long) = {
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             val (codes, scanTab) =
@@ -1175,6 +1213,23 @@ object VolumeProbe {
                   SimilarityQueries.ivfpqAppendPersisted(spark, dir)
                 (c, SimilarityQueries.ivfpqProbeTablesFrozenNprobe(
                   spark, dir, cellsT, cbT, SimilarityQueries.AppendNprobe))
+              }
+              else if (name == "sim_ivfpq_compact_topk") {
+                // The compacted generation IS the live set — no anti
+                // anywhere; the probed-cell mass bound is the gc
+                // table's own.
+                val (_, cellsT, cbT) =
+                  SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+                (SimilarityQueries.ivfpqCompactedCodes(spark, dir),
+                  SimilarityQueries.ivfpqProbeTablesFrozen(
+                    spark, dir, cellsT, cbT))
+              }
+              else if (name == "sim_ivfpq_cell_split") {
+                val (c2, cells2) = SimilarityQueries.ivfpqSplitTables(spark, dir)
+                val (_, _, cbT) =
+                  SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+                (c2, SimilarityQueries.ivfpqProbeTablesFrozen(
+                  spark, dir, cells2, cbT))
               }
               else SimilarityQueries.ivfpqIndex(spark, dir)
             val (cRdd, codesSnap) = Sessions.snapshot(codes)
@@ -1239,7 +1294,9 @@ object VolumeProbe {
             name == "sim_ivfpq_full_clustered_topk" ||
             name == "sim_ivfpq_append" ||
             name == "sim_ivfpq_delete_topk" ||
-            name == "sim_ivfpq_append_nprobe") {
+            name == "sim_ivfpq_append_nprobe" ||
+            name == "sim_ivfpq_compact_topk" ||
+            name == "sim_ivfpq_cell_split") {
           def refineProbe(dir: String, parts: Int): (Long, Long) = {
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             val (codes, scanTab) =
@@ -1270,6 +1327,20 @@ object VolumeProbe {
                   SimilarityQueries.ivfpqAppendPersisted(spark, dir)
                 (c, SimilarityQueries.ivfpqProbeTablesFrozenNprobe(
                   spark, dir, cellsT, cbT, SimilarityQueries.AppendNprobe))
+              }
+              else if (name == "sim_ivfpq_compact_topk") {
+                val (_, cellsT, cbT) =
+                  SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+                (SimilarityQueries.ivfpqCompactedCodes(spark, dir),
+                  SimilarityQueries.ivfpqProbeTablesFrozen(
+                    spark, dir, cellsT, cbT))
+              }
+              else if (name == "sim_ivfpq_cell_split") {
+                val (c2, cells2) = SimilarityQueries.ivfpqSplitTables(spark, dir)
+                val (_, _, cbT) =
+                  SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+                (c2, SimilarityQueries.ivfpqProbeTablesFrozen(
+                  spark, dir, cells2, cbT))
               }
               else SimilarityQueries.ivfpqIndex(spark, dir)
             val (sRdd, shortSnap) = Sessions.snapshot(
@@ -1396,6 +1467,110 @@ object VolumeProbe {
           entryExtraOk = entryExtraOk && statsConst
           extra ++= s""""gate_cellstats_constant":$statsConst,"""
           extra ++= s""""cellstats_gate":"joinrows_constant_<=|cells|_across_arms","""
+        }
+        // round 18: the gc audit's join output is the ≤ |cells|-row
+        // stored⟕tombstone-counts broadcast join — CONSTANT across arms
+        // (the cell_stats posture with one more bounded join).
+        if (name == "sim_ivfpq_gc_stats") {
+          val gcConst = k1.joinOutputRows == kN.joinOutputRows &&
+            kN.joinOutputRows <= 16L
+          entryExtraOk = entryExtraOk && gcConst
+          extra ++= s""""gate_gcstats_constant":$gcConst,"""
+          extra ++= s""""gcstats_gate":"joinrows_constant_<=|cells|_across_arms","""
+        }
+        // round 18: COMPACTION in isolation — the reclaim job (the
+        // dynamic-partition-overwrite's input frame) must cost the
+        // TOUCHED cells' mass, never more than the corpus and never the
+        // quadratic anti-join a naive implementation pays. Join output
+        // decomposes exactly: 8·M_t from the touched-cells semi +
+        // 8·(M_t − D) from the tombstone anti = 16·M_t − 8·D (M_t =
+        // vectors in tombstoned cells, D = |deleted|); shuffle records
+        // are the tombstone-distinct's ≤ D rows plus partials. On this
+        // uniform fixture the deletion residue touches every cell, so
+        // M_t = n — the file-level locality (untouched partitions never
+        // rewritten) is IvfpqMaintenanceSpec's dynamic-overwrite pin.
+        if (name == "sim_ivfpq_compact_topk") {
+          def reclaimProbe(dir: String, parts: Int): (Long, Long, Long, Long) = {
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            val (codes, _, _) =
+              SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+            val tomb = SimilarityQueries.ivfpqTombstones(spark, dir)
+            val nDel = tomb.count()
+            val touched = tomb.select(col("cell").as("tc")).distinct()
+            val mt = codes.filter(col("m") === 0L)
+              .join(broadcast(touched), col("cell") === col("tc"), "left_semi")
+              .count()
+            val (_, work, _) = Metrics.withTaskWorkPlans(spark) {
+              SimilarityQueries.ivfpqCompactLive(spark, dir)
+                .write.mode("overwrite").format("noop").save()
+            }
+            Sessions.releaseSnapshots()
+            (work.joinOutputRows, work.shuffleRecordsRead, mt, nDel)
+          }
+          val (cj1, cr1, mt1, d1) = reclaimProbe(dir1, cpus.toInt)
+          val (cjN, crN, mtN, dN) = reclaimProbe(dirN, partsN)
+          val cjExp1 = 16L * mt1 - 8L * d1
+          val cjExpN = 16L * mtN - 8L * dN
+          val crBound1 = 2L * d1 + 10L * cpus.toInt
+          val crBoundN = 2L * dN + 10L * partsN
+          val reclaimOk = cj1 <= 2L * cjExp1 && cjN <= 2L * cjExpN &&
+            cr1 <= crBound1 && crN <= crBoundN
+          entryExtraOk = entryExtraOk && reclaimOk
+          extra ++= s""""reclaim_touched_mass_1x":$mt1,"reclaim_deleted_1x":$d1,"""
+          extra ++= s""""reclaim_joinrows_1x":$cj1,"reclaim_expected_1x":$cjExp1,"""
+          extra ++= s""""reclaim_records_1x":$cr1,"""
+          extra ++= s""""reclaim_touched_mass_${factor}x":$mtN,"reclaim_deleted_${factor}x":$dN,"""
+          extra ++= s""""reclaim_joinrows_${factor}x":$cjN,"reclaim_expected_${factor}x":$cjExpN,"""
+          extra ++= s""""reclaim_records_${factor}x":$crN,"""
+          extra ++= s""""gate_reclaim_touched_bounded":$reclaimOk,"""
+          extra ++= s""""reclaim_gate":"isolated_reclaim_joinrows<=2x(16xMt-8xD)_and_records<=2xD+partials_both_arms","""
+        }
+        // round 18: the SPLIT in isolation — the measured job is the
+        // member re-encode chain (2-means seeds/rounds + residual
+        // re-encode through the frozen codebook). Its JOIN output is
+        // |parent cell|-bounded exactly: the member semi (M) + the
+        // member-vector fetch join (M — the reference's point-get
+        // batch; with raw vectors cell-partitioned, the deployment
+        // layout, this fetch prunes to the parent partition) + two
+        // 2-means assign crosses (2M each) + the encode's child-assign
+        // cross (2M), centroid join (M), and codebook join (32M) +
+        // ≤ 16 rows of seed/children constants = 41·M + O(1). Shuffle
+        // records carry the fetch's corpus-side sort-merge (≤ ~2·n
+        // skinny rows — the one corpus-∝ term, the layout caveat above)
+        // plus M-bounded aggregate partials.
+        if (name == "sim_ivfpq_cell_split") {
+          def splitProbe(dir: String, parts: Int): (Long, Long, Long, Long) = {
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            val (codes0, _, _) =
+              SimilarityQueries.ivfpqAppendPersisted(spark, dir)
+            val m = codes0.filter(col("m") === 0L)
+              .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+              .agg(max(col("n"))).head.getLong(0)
+            val n = codes0.count() / 8L
+            val (_, work, _) = Metrics.withTaskWorkPlans(spark) {
+              SimilarityQueries.ivfpqSplitBuild(spark, dir)._2
+                .write.mode("overwrite").format("noop").save()
+            }
+            Sessions.releaseSnapshots()
+            (work.joinOutputRows, work.shuffleRecordsRead, m, n)
+          }
+          val (sj1, sr1, m1, n1) = splitProbe(dir1, cpus.toInt)
+          val (sjN, srN, mN, nN) = splitProbe(dirN, partsN)
+          val sjBound1 = 2L * (41L * m1 + 16L)
+          val sjBoundN = 2L * (41L * mN + 16L)
+          val srBound1 = 2L * (2L * n1 + 12L * m1) + 10L * cpus.toInt
+          val srBoundN = 2L * (2L * nN + 12L * mN) + 10L * partsN
+          val splitOk = sj1 <= sjBound1 && sjN <= sjBoundN &&
+            sr1 <= srBound1 && srN <= srBoundN
+          entryExtraOk = entryExtraOk && splitOk
+          extra ++= s""""split_members_1x":$m1,"split_joinrows_1x":$sj1,"""
+          extra ++= s""""split_records_1x":$sr1,"""
+          extra ++= s""""split_members_${factor}x":$mN,"split_joinrows_${factor}x":$sjN,"""
+          extra ++= s""""split_records_${factor}x":$srN,"""
+          extra ++= s""""split_join_bound_${factor}x":$sjBoundN,"""
+          extra ++= s""""split_rec_bound_${factor}x":$srBoundN,"""
+          extra ++= s""""gate_split_member_bounded":$splitOk,"""
+          extra ++= s""""split_gate":"isolated_member_reencode_joinrows<=2x(41xM+16)_and_records<=2x(2n+12M)+partials_both_arms","""
         }
         // round 15 (r14 verdict #1): dedup_semdedup — the flat n×k
         // assignment cross join is GONE (two-level routing,

@@ -1366,7 +1366,15 @@ object SimilarityQueries {
   private[graft] def ivfpqResidualSubFrozen(emb: DataFrame,
       cellsT: DataFrame): DataFrame = {
     import graft.operators.KMeans
-    val q = KMeans.quantize(emb)
+    ivfpqResidualSubFrozenQ(KMeans.quantize(emb), cellsT)
+  }
+
+  /** [[ivfpqResidualSubFrozen]] from an ALREADY-QUANTIZED (vec_id, qv,
+    * n2) frame — the split path feeds its snapshotted member frame here
+    * so the corpus-side fetch happens exactly once. */
+  private[graft] def ivfpqResidualSubFrozenQ(q: DataFrame,
+      cellsT: DataFrame): DataFrame = {
+    import graft.operators.KMeans
     val assigned = KMeans.assign(q, cellsT)
     val rq = assigned.join(broadcast(cellsT.select(
         col("cluster").as("rc"), col("c"))), col("cluster") === col("rc"))
@@ -1390,7 +1398,15 @@ object SimilarityQueries {
     * (IvfpqAppendSpec pins it). */
   private[graft] def ivfpqEncodeFrozen(emb: DataFrame,
       cellsT: DataFrame, cbT: DataFrame): DataFrame = {
-    val sub = ivfpqResidualSubFrozen(emb, cellsT)
+    import graft.operators.KMeans
+    ivfpqEncodeFrozenQ(KMeans.quantize(emb), cellsT, cbT)
+  }
+
+  /** [[ivfpqEncodeFrozen]] from an already-quantized frame (see
+    * [[ivfpqResidualSubFrozenQ]]) — identical arithmetic. */
+  private[graft] def ivfpqEncodeFrozenQ(q: DataFrame,
+      cellsT: DataFrame, cbT: DataFrame): DataFrame = {
+    val sub = ivfpqResidualSubFrozenQ(q, cellsT)
     val dist = col("sn2") - lit(2L) * qdot(col("sv"), col("cv")) + col("cn2")
     sub.join(broadcast(cbT), col("m") === col("cm"))
       .groupBy(col("vec_id"), col("cluster"), col("m"))
@@ -1639,6 +1655,223 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** Per-cell GARBAGE audit of the tombstoned index — the COMPACTION
+    * TRIGGER, completing the maintenance-signal trio (drift guard =
+    * retrain, cell stats = split, gc stats = compact): per cell of the
+    * served codes table, the live count, the tombstone count, and the
+    * verdict needs_gc ⇔ 5·n_tomb > n_stored (garbage above 20 % of the
+    * cell's stored rows — the reclaim threshold a deployment compacts
+    * at, the role load-factor-driven rehash thresholds play in the
+    * reference's growth policy, /root/reference/src/
+    * bare_hash_container.h:135-148) as an exact decimal(38,0)
+    * cross-multiply. Scale shape: the [[simIvfPqCellStats]] m = 0 scan
+    * plus one ≤ |cells|-row broadcast join against the per-cell
+    * tombstone counts — output bounded by |cells|. */
+  val simIvfPqGcStats: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (codes, _, _) = ivfpqAppendPersisted(s, d)
+    val tomb = ivfpqTombstones(s, d)
+    val stored = codes.filter(col("m") === 0L)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_stored"))
+    val tc = tomb.groupBy(col("cell")).agg(count(lit(1)).as("n_tomb"))
+      .withColumnRenamed("cell", "t_cell")
+    stored.join(broadcast(tc), col("cell") === col("t_cell"), "left_outer")
+      .select(col("cell"),
+        (col("n_stored") - coalesce(col("n_tomb"), lit(0L))).as("n_live"),
+        coalesce(col("n_tomb"), lit(0L)).as("n_tomb"),
+        (lit(5L).cast(dec) * coalesce(col("n_tomb"), lit(0L)).cast(dec) >
+          col("n_stored").cast(dec)).as("needs_gc"))
+      .orderBy("cell")
+  }
+
+  /** The COMPACTED generation of the tombstoned index — the reference's
+    * backshift delete made durable (/root/reference/src/
+    * bare_hash_container.h:150-179 reclaims the slot at erase time;
+    * an immutable-file deployment reclaims it by REWRITING the touched
+    * partitions): generation 0 clones the served table's clustered
+    * layout (in production the gc generation IS the served table; the
+    * clone keeps both generations addressable for the declared
+    * surface), then ONE dynamic-partition-overwrite job reads ONLY the
+    * tombstone-touched cells' partitions, anti-joins the tombstones on
+    * (cell, vec_id), and overwrites ONLY those partitions — cells
+    * without tombstones are never read or rewritten (IvfpqCompactSpec
+    * proves it on a single-cell deletion fixture), so the reclaim cost
+    * is the touched cells' mass, not the corpus. After compaction the
+    * scan needs NO tombstone anti-join — [[simIvfPqDeleteTopk]]'s
+    * filter became the storage layout — and DPP file pruning is
+    * untouched (same partitioned table shape). */
+  /** The reclaim job's data flow, exposed for the volume probe's
+    * compaction-isolation arm: the TOUCHED cells' codes (left-semi on
+    * the tombstoned cells) with the tombstones anti-joined out — the
+    * exact frame the dynamic partition overwrite writes. Join output
+    * decomposes analytically: 8·M_t rows from the semi (M_t = vectors
+    * in touched cells) + 8·(M_t − D) from the anti (D = |deleted|) =
+    * 16·M_t − 8·D. */
+  private[graft] def ivfpqCompactLive(s: SparkSession, d: String): DataFrame = {
+    val (codes, _, _) = ivfpqAppendPersisted(s, d)
+    val tomb = ivfpqTombstones(s, d)
+    val touched = tomb.select(col("cell").as("g_cell")).distinct()
+    codes
+      .join(broadcast(touched), col("cell") === col("g_cell"), "left_semi")
+      .join(broadcast(tomb.select(col("vec_id").as("t_id"),
+          col("cell").as("t_cell"))),
+        col("cell") === col("t_cell") && col("vec_id") === col("t_id"),
+        "left_anti")
+  }
+
+  private[graft] def ivfpqCompactedCodes(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Bucketing
+    val tag = Bucketing.dirTag(d)
+    val name = s"graft_ivfpqap_gc_$tag"
+    Bucketing.ensureTable(s, name, d) {
+      val (codes, _, _) = ivfpqAppendPersisted(s, d)
+      codes.repartition(col("cell"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("cell").saveAsTable(name)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      try ivfpqCompactLive(s, d)
+        .select(col("vec_id"), col("m"), col("code"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").insertInto(name)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+  }
+
+  /** The declared post-compaction scan: the deployment pipeline over the
+    * COMPACTED codes table — no tombstone anti-join anywhere in the
+    * plan, because compaction moved the delete from query time to the
+    * storage layout. Result ≡ [[simIvfPqDeleteTopk]] ≡ never-inserted
+    * (IvfpqCompactSpec chains all three), so the oracle is the delete
+    * oracle verbatim; what changed is WHERE the filter lives, which is
+    * the entire point of the verb. */
+  val simIvfPqCompactTopk: Q = (s, d) => {
+    val (_, cellsT, cbT) = ivfpqAppendPersisted(s, d)
+    val codes = ivfpqCompactedCodes(s, d)
+    val dtab = ivfpqProbeTablesFrozen(s, d, cellsT, cbT)
+    rerankRefine(s, d, ivfpqCandidates(codes, dtab, RerankShortlist))
+  }
+
+  /** Cell id minted for the split's second child — the first id above
+    * the trained cell range (cells are 0..7, the vec_id < 8 seed rule),
+    * inside the packed-argmin label domain [0, 16). */
+  private[graft] val SplitCellId = 8L
+
+  /** CELL SPLIT of the admitted index — the reference's
+    * grow-on-load-factor (/root/reference/src/bare_hash_container.h:
+    * 135-148 grows and rehashes when occupancy crosses the threshold;
+    * src/dist_map.h:98-116 surfaces the imbalance) re-expressed as the
+    * PARTIAL retrain the [[simIvfPqCellStats]] audit signals: the most
+    * loaded cell (count desc, cell asc — the audit's hot verdict made
+    * total and deterministic) is split in two by an exact 2-means over
+    * ONLY its members (seeds = the two smallest member ids, two Lloyd
+    * rounds — the training chain's own assign/update at k = 2), its
+    * members are re-encoded through the new child centroids and the
+    * FROZEN PQ codebook, and the codes table is rewritten by ONE
+    * dynamic-partition-overwrite job that touches exactly two
+    * partitions — the parent's (replaced) and the new child's (created).
+    * Every other cell's partition, codes, and centroid are untouched
+    * (IvfpqSplitSpec pins bytes-equal rows), so the split costs
+    * |parent cell|, not the corpus — the hot-cell remedy without the
+    * full retrain the drift guard would trigger.
+    *
+    * The cells table gains a row: child 0 keeps the parent's id (its
+    * centroid moves), child 1 takes [[SplitCellId]]. Probe routing
+    * argmins over the 9-row table unchanged in form; the PQ codebook
+    * stays frozen — only the coarse quantizer refined, which is what
+    * keeps the re-encode |parent|-bounded. */
+  /** The split job's data flow — (new cells table, the re-encoded
+    * member codes, the pre-split codes) — exposed for the volume
+    * probe's split-isolation arm: everything after the parent argmax is
+    * |parent cell|-bounded (the 2-means assigns, the member re-encode),
+    * never corpus-bounded. */
+  private[graft] def ivfpqSplitBuild(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.KMeans
+    val (codes0, cellsT, cbT) = ivfpqAppendPersisted(s, d)
+    val parent = codes0.filter(col("m") === 0L)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("cell")).limit(1)
+      .select(col("cell").as("p_cell"))
+    val memberIds = codes0.filter(col("m") === 0L)
+      .join(broadcast(parent), col("cell") === col("p_cell"), "left_semi")
+      .select(col("vec_id"))
+    // The member-vector fetch — the reference's point-get batch, and the
+    // one corpus-side term in the split (with raw vectors
+    // cell-partitioned, the deployment layout, it prunes to the parent
+    // partition). Snapshotted so the 2-means rounds and the re-encode
+    // read the |parent|-row cache instead of re-running the fetch (the
+    // ivfpqTrainAll discipline; the 10× smoke measured the unsnapshotted
+    // chain at 3 corpus shuffles and ~45·M join rows vs 41·M + O(1)
+    // here).
+    val mq = org.apache.spark.sql.graftx.Sessions.snapshot(
+      KMeans.quantize(Tables.embeddings(s, d)).join(memberIds, "vec_id"))._2
+    val seeds = mq.orderBy(asc("vec_id")).limit(2)
+      .select(col("vec_id"), col("qv"))
+    val minId = seeds.agg(min(col("vec_id")).as("s_min"))
+    val cents0 = seeds.crossJoin(broadcast(minId))
+      .select(when(col("vec_id") === col("s_min"), 0L).otherwise(1L)
+          .as("cluster"),
+        transform(col("qv"), _ * 1000L).as("c"))
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    val c1 = KMeans.update(KMeans.assign(mq, cents0), 64)
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    val c2 = KMeans.update(KMeans.assign(mq, c1), 64)
+      .withColumn("cn2", qdot(col("c"), col("c")))
+    val children = c2.crossJoin(broadcast(parent))
+      .select(when(col("cluster") === 0L, col("p_cell"))
+          .otherwise(lit(SplitCellId)).as("cluster"),
+        col("c"), col("cn2"))
+    val newCells = cellsT
+      .join(broadcast(parent), col("cluster") === col("p_cell"), "left_anti")
+      .select(col("cluster"), col("c"), col("cn2"))
+      .unionByName(children)
+    val memberCodes = ivfpqEncodeFrozenQ(mq, children, cbT)
+    (newCells, memberCodes, codes0)
+  }
+
+  private[graft] def ivfpqSplitTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.sources.Bucketing
+    val tag = Bucketing.dirTag(d)
+    val cellsName = s"graft_ivfpqsp_cells_$tag"
+    val codesName = s"graft_ivfpqsp_codes_$tag"
+    // ONE shared lazy chain feeds both ensures (the ivfpqFullPersisted
+    // discipline): parent selection, the in-cell 2-means, and the
+    // member re-encode run at most once per cold catalog.
+    lazy val built: (DataFrame, DataFrame, DataFrame) = ivfpqSplitBuild(s, d)
+    val cells = Bucketing.ensureTable(s, cellsName, d) {
+      built._1.write.mode("overwrite").format("parquet").saveAsTable(cellsName)
+    }
+    val codes = Bucketing.ensureTable(s, codesName, d) {
+      built._3.repartition(col("cell"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("cell").saveAsTable(codesName)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      try built._2.select(col("vec_id"), col("m"), col("code"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").insertInto(codesName)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+    (codes, cells)
+  }
+
+  /** The declared post-split scan: the deployment pipeline with the
+    * probe router argmin-ing over the SPLIT cells table (9 rows) and
+    * the DPP-pruned scan reading the split codes partitions. A probe
+    * routed to an unsplit cell sees an identical plan and identical
+    * results ([[simIvfPqAppendTopk]]'s — IvfpqSplitSpec pins it); a
+    * probe routed into the split region scans ONE child instead of the
+    * whole former parent — the balance remedy, half the hot cell's mass
+    * per probe at equal recall machinery (the exact re-rank still
+    * re-scores the shortlist). */
+  val simIvfPqCellSplit: Q = (s, d) => {
+    val (codes, cellsT2) = ivfpqSplitTables(s, d)
+    val (_, _, cbT) = ivfpqAppendPersisted(s, d)
+    val dtab = ivfpqProbeTablesFrozen(s, d, cellsT2, cbT)
+    rerankRefine(s, d, ivfpqCandidates(codes, dtab, RerankShortlist))
+  }
+
   /** The audit join shared by both recall audits: per probe, the
     * integer intersection counts of an ANN top-5 and the exact cosine
     * top-5 — one full-outer equi-join of two ≤ 25-row rank tables plus
@@ -1781,6 +2014,9 @@ object SimilarityQueries {
     "sim_ivfpq_append_nprobe" -> simIvfPqAppendNprobeTopk,
     "sim_ivfpq_append_recall_audit" -> simIvfPqAppendRecallAudit,
     "sim_ivfpq_cell_stats" -> simIvfPqCellStats,
+    "sim_ivfpq_gc_stats" -> simIvfPqGcStats,
+    "sim_ivfpq_compact_topk" -> simIvfPqCompactTopk,
+    "sim_ivfpq_cell_split" -> simIvfPqCellSplit,
     "sim_ivfpq_drift_guard" -> simIvfPqDriftGuard,
     "sim_recall_audit" -> simRecallAudit,
     "sim_ivfpqr_recall_audit" -> simIvfpqrRecallAudit,
@@ -2421,6 +2657,176 @@ object SimilarityQueries {
         |          2 * CAST(t.n_total AS HUGEINT)) AS is_hot
         |FROM percell p, tot t
         |ORDER BY p.cell""".stripMargin),
+    // Post-compaction scan == the delete scan (compaction moves the
+    // tombstone anti-join into the storage layout; the served rows are
+    // identical) -- the delete oracle verbatim.
+    "sim_ivfpq_compact_topk" ->
+      (s"WITH ${ivfpqTrainedCtes(baseOnly = true)}" +
+        ivfpqScanTail(s" WHERE s.vec_id % $AppendMod <> $DeleteResidue")),
+    // Per-cell garbage audit: stored = every admitted vector's frozen
+    // cell (a3), tombstoned = the deletion residue class grouped by the
+    // same assignment, verdict 5 * n_tomb > n_stored cross-multiplied.
+    "sim_ivfpq_gc_stats" ->
+      (s"WITH ${ivfpqTrainedCtes(baseOnly = true)}" + s"""
+        |, percell AS (
+        |  SELECT cluster AS cell, CAST(COUNT(*) AS BIGINT) AS n_stored
+        |  FROM a3 GROUP BY cluster
+        |), tombc AS (
+        |  SELECT cluster AS cell, CAST(COUNT(*) AS BIGINT) AS n_tomb
+        |  FROM a3 WHERE vec_id % $AppendMod = $DeleteResidue GROUP BY cluster
+        |)
+        |SELECT p.cell,
+        |       p.n_stored - COALESCE(t.n_tomb, 0) AS n_live,
+        |       COALESCE(t.n_tomb, 0) AS n_tomb,
+        |       (5 * CAST(COALESCE(t.n_tomb, 0) AS HUGEINT) >
+        |          CAST(p.n_stored AS HUGEINT)) AS needs_gc
+        |FROM percell p LEFT JOIN tombc t ON p.cell = t.cell
+        |ORDER BY p.cell""".stripMargin),
+    // Cell split: parent = argmax-load cell of a3; an exact 2-means over
+    // ONLY its members (seeds = two smallest member ids, two Lloyd
+    // rounds -- the sc*/ss* chain mirrors the c*/s* training chain at
+    // k = 2); members re-encode through the child centroids and the
+    // FROZEN pcb2 codebook; probes route over the 9-cell table; routed
+    // ADC scan + exact re-rank unchanged.
+    "sim_ivfpq_cell_split" ->
+      (s"WITH ${ivfpqTrainedCtes(baseOnly = true)}" + s"""
+        |, loads AS (
+        |  SELECT cluster, COUNT(*) AS n FROM a3 GROUP BY cluster
+        |), parent AS (
+        |  SELECT cluster AS pcl FROM loads ORDER BY n DESC, cluster LIMIT 1
+        |), mem AS (
+        |  SELECT a.vec_id FROM a3 a, parent p WHERE a.cluster = p.pcl
+        |), mqn AS (
+        |  SELECT v.vec_id, v.qv, v.n2 FROM qn v JOIN mem m ON m.vec_id = v.vec_id
+        |), sseed AS (
+        |  SELECT vec_id,
+        |         CASE WHEN vec_id = (SELECT MIN(vec_id) FROM mem) THEN 0 ELSE 1 END AS cluster
+        |  FROM mem ORDER BY vec_id LIMIT 2
+        |), sc0 AS (
+        |  SELECT s.cluster, list_transform(v.qv, x -> x * 1000) AS c
+        |  FROM sseed s JOIN q v ON v.vec_id = s.vec_id
+        |), sc0n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM sc0
+        |), sa1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM mqn v CROSS JOIN sc0n c) WHERE rk = 1
+        |), ss1 AS (
+        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM sa1 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
+        |  GROUP BY cluster, d
+        |), sc1 AS (
+        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
+        |  FROM ss1 GROUP BY cluster
+        |), sc1n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM sc1
+        |), sa2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM mqn v CROSS JOIN sc1n c) WHERE rk = 1
+        |), ss2 AS (
+        |  SELECT cluster, d, CAST(SUM(qv[d]) AS BIGINT) AS sd, COUNT(*) AS n
+        |  FROM sa2 JOIN q USING (vec_id), UNNEST(generate_series(1, 64)) AS t(d)
+        |  GROUP BY cluster, d
+        |), sc2 AS (
+        |  SELECT cluster, list((1000 * sd - ((1000 * sd % n + n) % n)) // n ORDER BY d) AS c
+        |  FROM ss2 GROUP BY cluster
+        |), sc2n AS (
+        |  SELECT cluster, c, (SELECT SUM(u * u) FROM UNNEST(c) AS t(u)) AS cn2 FROM sc2
+        |), chn AS (
+        |  SELECT CASE WHEN cluster = 0 THEN (SELECT pcl FROM parent)
+        |              ELSE $SplitCellId END AS cluster, c, cn2
+        |  FROM sc2n
+        |), newcells AS (
+        |  SELECT cluster, c, cn2 FROM c2n
+        |  WHERE cluster <> (SELECT pcl FROM parent)
+        |  UNION ALL SELECT cluster, c, cn2 FROM chn
+        |), ma AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM mqn v CROSS JOIN chn c) WHERE rk = 1
+        |), mrvl AS (
+        |  SELECT v.vec_id, a.cluster,
+        |         list_transform(generate_series(1, 64), d -> v.qv[d] * 1000 - c.c[d]) AS rv
+        |  FROM q v JOIN ma a ON a.vec_id = v.vec_id JOIN chn c ON c.cluster = a.cluster
+        |), mrsub AS (
+        |  SELECT vec_id, cluster, m, list_slice(rv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM mrvl, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), mrsubn AS (
+        |  SELECT vec_id, cluster, m, sv,
+        |         CAST((SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS BIGINT) AS sn2
+        |  FROM mrsub
+        |), codes AS (
+        |  SELECT s.vec_id, ANY_VALUE(s.cluster) AS cell, s.m,
+        |         CAST(MIN((s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid) % 4 AS BIGINT) AS code
+        |  FROM rsubn s JOIN pcb2 c ON s.m = c.cm
+        |  WHERE s.cluster <> (SELECT pcl FROM parent)
+        |  GROUP BY s.vec_id, s.m
+        |  UNION ALL
+        |  SELECT s.vec_id, ANY_VALUE(s.cluster) AS cell, s.m,
+        |         CAST(MIN((s.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2) * 4 + c.cid) % 4 AS BIGINT) AS code
+        |  FROM mrsubn s JOIN pcb2 c ON s.m = c.cm
+        |  GROUP BY s.vec_id, s.m
+        |), proute AS (
+        |  SELECT probe_id, pcell FROM (
+        |    SELECT v.vec_id AS probe_id, c.cluster AS pcell,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |             1000000 * v.n2
+        |             - 2000 * (SELECT SUM(x * y) FROM (SELECT UNNEST(v.qv) AS x, UNNEST(c.c) AS y))
+        |             + c.cn2, c.cluster) AS rk
+        |    FROM qn v CROSS JOIN newcells c WHERE v.vec_id < 5) WHERE rk = 1
+        |), prv AS (
+        |  SELECT p.probe_id, p.pcell,
+        |         list_transform(generate_series(1, 64), d -> v.qv[d] * 1000 - c.c[d]) AS rv
+        |  FROM proute p JOIN q v ON v.vec_id = p.probe_id JOIN newcells c ON c.cluster = p.pcell
+        |), prsub AS (
+        |  SELECT probe_id, pcell, m, list_slice(rv, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM prv, (SELECT UNNEST(generate_series(0, 7)) AS m)
+        |), prsubn AS (
+        |  SELECT probe_id, pcell, m, sv,
+        |         CAST((SELECT SUM(u * u) FROM UNNEST(sv) AS t(u)) AS BIGINT) AS sn2
+        |  FROM prsub
+        |), dtab AS (
+        |  SELECT p.probe_id, p.pcell, p.m AS pm, c.cid,
+        |         p.sn2 - 2 * (SELECT SUM(x * y) FROM (SELECT UNNEST(p.sv) AS x, UNNEST(c.cv) AS y)) + c.cn2 AS pdist
+        |  FROM prsubn p JOIN pcb2 c ON p.m = c.cm
+        |), adc AS (
+        |  SELECT d.probe_id, k.vec_id AS cand_id, CAST(SUM(d.pdist) AS BIGINT) AS adist
+        |  FROM codes k
+        |  JOIN dtab d ON k.m = d.pm AND k.code = d.cid AND k.cell = d.pcell
+        |             AND k.vec_id <> d.probe_id
+        |  GROUP BY d.probe_id, k.vec_id
+        |), shortlist AS (
+        |  SELECT probe_id, cand_id, adist FROM (
+        |    SELECT probe_id, cand_id, adist,
+        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rk
+        |    FROM adc) WHERE rk <= 20
+        |), exact AS (
+        |  SELECT s.probe_id, s.cand_id, s.adist,
+        |         CAST((SELECT SUM((x - y) * (x - y))
+        |               FROM (SELECT UNNEST(qc.qv) AS x, UNNEST(qp.qv) AS y)) AS BIGINT) AS edist
+        |  FROM shortlist s
+        |  JOIN q qc ON qc.vec_id = s.cand_id
+        |  JOIN q qp ON qp.vec_id = s.probe_id
+        |), eranked AS (
+        |  SELECT probe_id, cand_id, adist, edist,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY edist, cand_id) AS rk
+        |  FROM exact
+        |)
+        |SELECT probe_id, cand_id, adist, edist FROM eranked WHERE rk <= 5
+        |ORDER BY probe_id, cand_id""".stripMargin),
     "sim_pq_adc_topk" ->
       """WITH q AS (
         |  SELECT vec_id,

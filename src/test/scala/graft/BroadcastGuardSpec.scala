@@ -125,6 +125,29 @@ class BroadcastGuardSpec extends SparkSpec {
         "<= 5-probe hint — the audit adds only a full-outer join of two " +
         "<= 25-row rank tables and a <= |probes|-group aggregate, no " +
         "new hint"),
+    "sim_ivfpq_compact_topk" -> (6,
+      "sim_ivfpq_append's exact bounds over the COMPACTED generation: " +
+        "the reclaim job's own hints (touched-cells semi + tombstone " +
+        "anti) live inside the gc table's one-time write, and the " +
+        "declared plan needs no anti-join at all — the six hints are " +
+        "the probe-side pipeline's: persisted cells twice, persisted " +
+        "codebook once, the <= 160-row scan table, the <= 100-row " +
+        "re-rank shortlist, and the <= 5-row probe vectors"),
+    "sim_ivfpq_gc_stats" -> (1,
+      "the per-cell tombstone counts: grouped on `cell`, whose domain " +
+        "is the <= 8-row (9 post-split) trained cell table's ids — the " +
+        "routing argmin never mints a cell id — but `cell` is not a " +
+        "catalog-bounded enumeration column the root rules can see; " +
+        "<= |cells| rows broadcast into the stored-counts join"),
+    "sim_ivfpq_cell_split" -> (6,
+      "sim_ivfpq_append's exact bounds over the SPLIT generation: the " +
+        "split job's hints (parent argmax, 2-means seeds/rounds, the " +
+        "member re-encode) live inside the two tables' one-time " +
+        "writes; the declared plan is the probe pipeline over the " +
+        "9-row split cells table — hinted twice (assign routing + " +
+        "residualize) — plus the persisted codebook, the <= 180-row " +
+        "scan table, the <= 100-row shortlist, and the <= 5-row probe " +
+        "vectors"),
     "sim_ivfpq_drift_guard" -> (3,
       "the frozen-artifact encode pass over the corpus: the <= 8-row " +
         "persisted cell table hinted twice (KMeans.assign routing cross " +

@@ -285,4 +285,65 @@ class PartitionPruningSpec extends SparkSpec {
         "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
     }
   }
+
+  /** Shared arm for the round-18 maintenance generations: run `q`, find
+    * the FileSourceScanExec over the table whose path contains
+    * `tableTag`, and pin dynamic pruning engaged at exactly the probed
+    * cell count. Same fixture-asymmetry knobs as the append case. */
+  private def assertDppOn(tableTag: String,
+      probedCells: Long,
+      q: => org.apache.spark.sql.DataFrame): Unit = {
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100000")
+    spark.conf.set("spark.sql.defaultSizeInBytes", (1L << 20).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val out = q
+    try {
+      assert(out.collect().nonEmpty)
+      val scans = out.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains(tableTag)) => s
+      }
+      assert(scans.nonEmpty, s"no FileSourceScanExec over $tableTag")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(
+        _.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+        s"no dynamic pruning filter on the $tableTag scan: ${scan.partitionFilters}")
+      val partsRead = scan.metrics("numPartitions").value
+      assert(partsRead == probedCells,
+        s"read $partsRead cell partitions, probes route to $probedCells")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.defaultSizeInBytes")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
+
+  test("compacted scan keeps DPP: reclaiming tombstones costs no pruning") {
+    import graft.queries.SimilarityQueries
+    val (_, cellsT, cbT) = SimilarityQueries.ivfpqAppendPersisted(spark, sfDir)
+    val probedCells = SimilarityQueries
+      .ivfpqProbeTablesFrozen(spark, sfDir, cellsT, cbT)
+      .select("pcell").distinct().count()
+    assertDppOn("graft_ivfpqap_gc_", probedCells,
+      SimilarityQueries.simIvfPqCompactTopk(spark, sfDir))
+  }
+
+  test("split scan keeps DPP: the 9-cell generation prunes to the routed cells") {
+    import graft.queries.SimilarityQueries
+    val (_, cells2) = SimilarityQueries.ivfpqSplitTables(spark, sfDir)
+    val (_, _, cbT) = SimilarityQueries.ivfpqAppendPersisted(spark, sfDir)
+    val probedCells = SimilarityQueries
+      .ivfpqProbeTablesFrozen(spark, sfDir, cells2, cbT)
+      .select("pcell").distinct().count()
+    assertDppOn("graft_ivfpqsp_codes_", probedCells,
+      SimilarityQueries.simIvfPqCellSplit(spark, sfDir))
+  }
 }
