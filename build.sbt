@@ -31,6 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The 143-query inventory compiles thousands of codegen classes per
+  // bench/verify session (LocalSpark raises the codegen class cache for
+  // the same reason); the JVM default 240 MB code cache can fill and
+  // silently disable the JIT mid-run — headroom keeps compiled code hot.
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++
   // Debug hook for the FORKED test/run JVMs (sbt's own JAVA_OPTS doesn't
   // reach them): e.g. GRAFT_TEST_OPTS="-Dgraft.cc.debug=true" surfaces

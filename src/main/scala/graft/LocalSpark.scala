@@ -13,13 +13,28 @@ import org.apache.spark.sql.SparkSession
   *    Spark 4 without it; a no-op for the current µs fixtures.
   *  - shuffle.partitions = cpus: local[N] has N cores; the 200-partition
   *    default just adds scheduling overhead at test scale.
-  */
+  *  - codegen.cache.maxEntries (STATIC conf, so it must be set here at
+  *    builder time): the default 100-entry compiled-class cache thrashes
+  *    under a 143-query inventory — every query generates several
+  *    whole-stage-codegen classes, so by the time a query's rep 2 runs
+  *    the bench has evicted its entries, recompiles the same source, and
+  *    executes a freshly-loaded class the JIT has never seen (measured:
+  *    mr_range_source reads ~1 executor-CPU-s isolated but 6–7 CPU-s
+  *    inside the 143-query bench session — round-18 StageProfile). A
+  *    larger cache keeps the compiled class AND its accumulated JIT
+  *    state live across reps/queries — code caching, never data: every
+  *    invocation still computes from the parquet inputs. 4096 ≈ an
+  *    order above the inventory's distinct codegen units; entries are
+  *    class references, so the cost is MBs. A long-lived production
+  *    driver serving a query library would set exactly this. */
 object LocalSpark {
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.codegen.cache.maxEntries",
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -43,6 +43,7 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
 SPARK_GRAFT_BENCH_REPS="${SPARK_GRAFT_BENCH_REPS:-3}" \
 SPARK_GRAFT_BENCH_OUT="$OUT" \
 java $ADD_OPENS \
+  -XX:ReservedCodeCacheSize=512m \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-48g}" \
   -cp "$CLASSES:/opt/spark/jars/*" \
