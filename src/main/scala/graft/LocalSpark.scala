@@ -35,6 +35,19 @@ object LocalSpark {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.codegen.cache.maxEntries",
       sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+    // Never take the bypass-merge shuffle write path: it opens (and then
+    // merge-concatenates) one file PER REDUCE PARTITION per map task,
+    // and with shuffle.partitions = cpus every SQL exchange sits under
+    // the 200-partition bypass threshold — measured 100–150 ms of
+    // (user+system) CPU per map task of pure file-stream churn on tiny
+    // iterative stages (graph_pagerank's 7k-row rounds: 1.4–1.9 CPU-s
+    // per round with bypass, 0.2 CPU-s with the serialized unsafe
+    // writer; whole query 10.0 → 4.3 CPU-s). The unsafe writer sorts
+    // partition ids over serialized rows and writes ONE file + index per
+    // task — strictly fewer syscalls at any width; deployments with
+    // > 200-partition shuffles never used bypass in the first place. */
+    .config("spark.shuffle.sort.bypassMergeThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "0"))
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -102,16 +102,19 @@ object ColFns {
   def normDigest(c: Column): Column = md5(lower(trim(c)))
 
   /** Whitespace tokenization shared with the oracle: split on single
-    * spaces, drop empties. DuckDB: string_split(text, ' ') + filter. */
-  def words(c: Column): Column =
-    filter(split(c, " "), w => w =!= "")
+    * spaces, drop empties. DuckDB: string_split(text, ' ') + filter.
+    * Backed by the codegen'd [[SpaceWords]] expression since round 18 —
+    * the `filter(split(...))` HOF form evaluates interpreted (no codegen
+    * for higher-order functions) and tokenization sits in the single-task
+    * scan stage of most text/dedup queries; TextOpsSpec pins equality. */
+  def words(c: Column): Column = TextOps.spaceWords(c)
 
   /** Word 3-grams ("shingles") of a words array. Caller must ensure
-    * size(words) >= 3: Spark's sequence() flips to a descending range when
-    * start > stop, which would index out of bounds. */
-  def shingles3(w: Column): Column =
-    transform(sequence(lit(0), size(w) - 3), i =>
-      concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))
+    * size(words) >= 3 (below that the codegen'd [[NgramsConcat]] returns
+    * an empty array; the previous HOF form was undefined there, so the
+    * precondition is unchanged). One codegen'd pass since round 18 — see
+    * [[words]]; TextOpsSpec pins equality against the HOF form. */
+  def shingles3(w: Column): Column = TextOps.ngramsConcat(w, 3)
 
   /** First 15 hex chars of md5 as a non-negative long (60-bit range) —
     * the portable "big" hash. DuckDB: CAST('0x' || substring(md5(x),1,15)

@@ -455,7 +455,17 @@ object DedupQueries {
     * [[ngramJaccardCapped]]'s scaladoc for why the cut is an aggregate +
     * SHUFFLE_HASH semi join, not a window). */
   private def dfCappedShingles(shRaw: DataFrame, cap: Int): DataFrame = {
-    val dig = shRaw.select(col("doc_id"), md5Long60(col("s")).as("s"))
+    // Snapshot the digested stream BEFORE the cap (round-18 optimization):
+    // `dig` feeds both sides of the semi join (the df aggregate's build
+    // side AND the probe side), and un-snapshotted lineage instantiated
+    // the full scan + tokenize + shingle + md5 chain once per side —
+    // StageProfile showed two sequential ~1.2 s single-task stages, each
+    // re-reading the corpus, in both dedup_containment and
+    // dedup_ngram_jaccard_capped. One cached (doc_id, 8-byte digest)
+    // stream (the same narrow row class the capped snapshot below already
+    // holds) now feeds both; the shingle work runs once.
+    val dig = Sessions.snapshot(
+      shRaw.select(col("doc_id"), md5Long60(col("s")).as("s")))._2
     val keptS = dig.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap)
       .select("s")

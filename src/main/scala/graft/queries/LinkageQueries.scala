@@ -207,12 +207,20 @@ object LinkageQueries {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .groupBy("o").agg(sort_array(collect_set(col("p"))).as("arr"))
       .filter(size(col("arr")) <= MaxOrderItems)
-    val pairCombos = flatten(transform(col("arr"), (x, i) =>
-      transform(slice(col("arr"), i + lit(2), size(col("arr"))),
-        y => struct(x.as("pa"), y.as("pb")))))
+    // Pair expansion as two chained Generates (posexplode anchor, explode
+    // of the strict suffix) instead of one flatten(transform(transform))
+    // expression: higher-order functions evaluate INTERPRETED inside an
+    // otherwise codegen'd stage (boxed lambda calls + a zipped array
+    // allocation per element), and this expansion was the pair stage's
+    // dominant CPU (round-18 StageProfile: 2.1–3.0 executor-CPU-s at
+    // sf0.1 for ~1.2 M pairs). Generate/slice are codegen'd; the pair
+    // multiset is identical (arr is sorted-distinct, so suffix pairing
+    // enumerates exactly the pa < pb combinations once each).
     baskets
-      .select(explode(pairCombos).as("pr"))
-      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .select(col("arr"), posexplode(col("arr")).as(Seq("i", "pa")))
+      .select(col("pa"),
+        explode(slice(col("arr"), col("i") + lit(2), size(col("arr")))).as("pb"))
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= MinSupport)
       .select("pa", "pb")

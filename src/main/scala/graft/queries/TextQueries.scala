@@ -87,20 +87,22 @@ object TextQueries {
     * diversity — all ratios of exact integers, so the double arithmetic is
     * bit-identical in both engines. */
   val textQualityScore: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"),
-        size(col("w")).cast("long").as("n_words"),
-        size(array_distinct(col("w"))).cast("long").as("n_uniq"),
-        hits(col("w"), stopEn).cast("long").as("n_stop"))
-      .filter(col("n_words") > 0)
-      .select(col("doc_id"), col("n_words"), col("n_uniq"),
-        round(
-          least(col("n_words") / 100.0, lit(1.0)) * 0.4 +
-            (lit(1.0) - col("n_stop") / col("n_words").cast("double")) * 0.4 +
-            (col("n_uniq") / col("n_words").cast("double")) * 0.2,
-          6).as("score"))
-      .orderBy("doc_id")
+    // Snapshot below the output sort — the textFingerprint rationale.
+    org.apache.spark.sql.graftx.Sessions.snapshot(
+      Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          size(array_distinct(col("w"))).cast("long").as("n_uniq"),
+          hits(col("w"), stopEn).cast("long").as("n_stop"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_uniq"),
+          round(
+            least(col("n_words") / 100.0, lit(1.0)) * 0.4 +
+              (lit(1.0) - col("n_stop") / col("n_words").cast("double")) * 0.4 +
+              (col("n_uniq") / col("n_words").cast("double")) * 0.2,
+            6).as("score")))
+      ._2.orderBy("doc_id")
 
   /** Corpus-trained bigram-LM fluency scoring — the language-model
     * quality filter of CCNet-style curation (Wenzek et al. 2020,
@@ -200,8 +202,8 @@ object TextQueries {
     * LITERAL array against the doc's words (array_contains per
     * stopword), not the doc's words against a set — counting DISTINCT
     * stopword hits without a per-doc distinct over the word array. */
-  val textGopherRules: Q = (s, d) =>
-    Tables.documents(s, d)
+  val textGopherRules: Q = (s, d) => {
+    val flags = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), words(col("text")).as("w"),
         split(col("text"), "\n").as("ls"))
       .select(col("doc_id"),
@@ -245,7 +247,12 @@ object TextQueries {
         col("wc_ok") && col("wlen_ok") && col("stop_ok") && col("alpha_ok") &&
           col("sym_ok") && col("bullet_ok") && col("ellipsis_ok") &&
           col("dupline_ok"))
-      .orderBy("doc_id")
+    // Snapshot below the output sort — the textFingerprint rationale:
+    // the rule flags (regex line filters, word-length aggregate) are the
+    // expensive part, and the ORDER BY's sampling pass would run them
+    // all twice.
+    org.apache.spark.sql.graftx.Sessions.snapshot(flags)._2.orderBy("doc_id")
+  }
 
   /** CCNet's perplexity-tercile corpus partition (Wenzek et al. 2020
     * §4.3: score every document with the LM, sort per language, cut in
@@ -405,14 +412,24 @@ object TextQueries {
     * minimum shingle hash (a 1-permutation MinHash — the rolling-hash
     * fingerprint family). Join either column to find candidate dups. */
   val textFingerprint: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), words(lower(trim(col("text")))).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        md5Long60(concat_ws(" ", col("w"))).as("fp_doc"),
-        transform(array_distinct(shingles3(col("w"))), sh => md5(sh)).as("shash"))
-      .select(col("doc_id"), col("fp_doc"), array_min(col("shash")).as("fp_min_shingle"))
-      .orderBy("doc_id")
+    // Snapshot below the output sort (round-18 optimization, guide §2.4):
+    // a global ORDER BY over an exchange-free map-only chain makes the
+    // range partitioner's boundary-sampling pass re-execute the whole
+    // scan + digest chain a SECOND time (measured: two back-to-back
+    // 0.45 s single-task stages, each tokenizing and md5-ing the full
+    // corpus). The snapshot materializes the narrow per-doc fingerprint
+    // rows once; sampling and the sort shuffle then read the cache. At
+    // scale the cached table is (doc_id, 2 longs) — far narrower than
+    // the text it derives from.
+    org.apache.spark.sql.graftx.Sessions.snapshot(
+      Tables.documents(s, d)
+        .select(col("doc_id"), words(lower(trim(col("text")))).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          md5Long60(concat_ws(" ", col("w"))).as("fp_doc"),
+          transform(array_distinct(shingles3(col("w"))), sh => md5(sh)).as("shash"))
+        .select(col("doc_id"), col("fp_doc"), array_min(col("shash")).as("fp_min_shingle")))
+      ._2.orderBy("doc_id")
 
   /** Top-5 words per language — partitioned top-k (window rank over a
     * grouped aggregate), the per-group form of the global top-k in
@@ -634,18 +651,22 @@ object TextQueries {
     * permille uses integer `div`, never float division, so the oracle
     * hash cannot drift on a rounding boundary. */
   val textRepetitionRatio: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), shingles3(col("w")).as("sh"))
-      .select(col("doc_id"),
-        size(col("sh")).cast("long").as("n_shingles"),
-        size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
-      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
-        call_function("div",
-          (col("n_shingles") - col("n_distinct")) * 1000L,
-          col("n_shingles")).as("dup_pml"))
-      .orderBy("doc_id")
+    // Snapshot below the output sort — the textFingerprint rationale:
+    // without it the ORDER BY's range-boundary sampling re-runs the
+    // full tokenize + shingle + distinct chain a second time.
+    org.apache.spark.sql.graftx.Sessions.snapshot(
+      Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), shingles3(col("w")).as("sh"))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+          call_function("div",
+            (col("n_shingles") - col("n_distinct")) * 1000L,
+            col("n_shingles")).as("dup_pml")))
+      ._2.orderBy("doc_id")
 
   /** Benchmark decontamination: flag training docs sharing any word
     * 3-gram with a held-out eval slice (here a deterministic 5% hash
@@ -899,10 +920,11 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), words(col("text")).as("w"))
         .filter(size(col("w")) >= 8)
-        .select(col("doc_id"), explode(array_distinct(transform(
-          sequence(lit(0), size(col("w")) - 8),
-          i => concat_ws(" ", (0 until 8).map(j => element_at(col("w"), i + j + 1)): _*))))
-          .as("g0"))
+        // 8-gram build via the codegen'd NgramsConcat (round 18) — the
+        // interpreted-HOF form was this single-task scan stage's
+        // dominant CPU; TextOpsSpec pins equality.
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextOps.ngramsConcat(col("w"), 8))).as("g0"))
         .select(col("doc_id"), md5Long60(col("g0")).as("g")))._2
     val df = sp.groupBy("g").agg(count(lit(1)).as("df"))
     sp.join(df, "g")
@@ -963,10 +985,11 @@ object TextQueries {
     val base = docs.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
     val sp = org.apache.spark.sql.graftx.Sessions.snapshot(
       docs.filter(size(col("w")) >= 8)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), size(col("w")) - 8),
-          i => concat_ws(" ", (0 until 8).map(j => element_at(col("w"), i + j + 1)): _*)))
-          .as(Seq("i", "g0")))
+        // Codegen'd 8-gram build — the textDupSpanRatio note applies;
+        // posexplode positions are unchanged (same array, same order).
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextOps.ngramsConcat(col("w"), 8))
+            .as(Seq("i", "g0")))
         .select(col("doc_id"), col("i").cast("long").as("i"), md5Long60(col("g0")).as("g")))._2
     val df = sp.select(col("doc_id"), col("g")).distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
