@@ -248,11 +248,18 @@ object ExtensionQueries {
     * lateness at 12 buckets — a simulation artifact, gone with a real
     * arrival column. */
   val eventsLatenessHistogram: Q = (s, d) => {
-    val arr = Tables.events(s, d)
-      .select(col("event_id"), nsToEpochSec(col("ts")).as("sec"))
-      .withColumn("arr",
-        col("sec") + md5Long(col("event_id").cast("string")) % 3600L)
-      .withColumn("arr_min", floorDiv(col("arr"), 60L))
+    // The simulated-arrival frame snapshots (round-18): it feeds the
+    // bucket aggregate AND the final lateness join, and un-snapshotted
+    // lineage re-ran the scan + per-event md5 once per reader (two
+    // full single-task passes in StageProfile). Cached rows are two
+    // longs per event — far narrower than the recompute.
+    val arr = org.apache.spark.sql.graftx.Sessions.snapshot(
+      Tables.events(s, d)
+        .select(col("event_id"), nsToEpochSec(col("ts")).as("sec"))
+        .withColumn("arr",
+          col("sec") + md5Long(col("event_id").cast("string")) % 3600L)
+        .withColumn("arr_min", floorDiv(col("arr"), 60L))
+        .select(col("sec"), col("arr_min")))._2
     val buckets = arr.groupBy("arr_min").agg(max(col("sec")).as("max_sec"))
       .withColumn("arr_day", floorDiv(col("arr_min"), 1440L))
     val wDay = Window.partitionBy("arr_day").orderBy("arr_min")

@@ -135,24 +135,30 @@ object TextQueries {
     * precedent). The stream snapshot is read twice (model + scoring),
     * the round-3 rule. */
   val textLmFluency: Q = (s, d) => {
+    // Bigram key as the single string "w1 w2" (round 18): words are
+    // split on space so no word contains one — the packed key is
+    // injective and grouping/joining on it is exactly the (w1, w2)
+    // grouping, while the shuffle keys halve and the n-gram build rides
+    // the codegen'd NgramsConcat instead of the interpreted
+    // struct-lambda. The context count recovers w1 as the prefix before
+    // the FIRST space (substring_index — exact for the same reason).
     val big = org.apache.spark.sql.graftx.Sessions.snapshot(
       Tables.documents(s, d)
         .select(col("doc_id"), words(col("text")).as("w"))
         .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), size(col("w")) - 2),
-          i => struct(element_at(col("w"), i + 1).as("w1"),
-                      element_at(col("w"), i + 2).as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .groupBy("doc_id", "w1", "w2")
+        .select(col("doc_id"),
+          explode(graft.functions.TextOps.ngramsConcat(col("w"), 2)).as("g"))
+        .groupBy("doc_id", "g")
         .agg(count(lit(1)).as("tf")))._2
     val model = org.apache.spark.sql.graftx.Sessions.snapshot(
-      big.groupBy("w1", "w2").agg(sum(col("tf")).as("c12")))._2
-    val ctx = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val pm = model.join(ctx, Seq("w1"))
-      .select(col("w1"), col("w2"),
+      big.groupBy("g").agg(sum(col("tf")).as("c12")))._2
+    val ctx = model.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val pm = model.withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(ctx, Seq("w1"))
+      .select(col("g"),
         call_function("div", lit(1000000L) * col("c12"), col("c1")).as("p"))
-    big.join(pm, Seq("w1", "w2"))
+    big.join(pm, Seq("g"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_bigrams"),
            round(sum(col("tf") * col("p")).cast("double") /
@@ -282,22 +288,23 @@ object TextQueries {
     val big = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(transform(
-        sequence(lit(0), size(col("w")) - 2),
-        i => struct(element_at(col("w"), i + 1).as("w1"),
-                    element_at(col("w"), i + 2).as("w2")))).as("b"))
-      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy("doc_id", "lang", "w1", "w2")
+      // Packed "w1 w2" bigram key + codegen'd build — the textLmFluency
+      // note (injective: words contain no space).
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextOps.ngramsConcat(col("w"), 2)).as("g"))
+      .groupBy("doc_id", "lang", "g")
       .agg(count(lit(1)).as("tf"))
     val bigSnap = org.apache.spark.sql.graftx.Sessions.snapshot(big)._2
     val model = org.apache.spark.sql.graftx.Sessions.snapshot(
-      bigSnap.groupBy("w1", "w2").agg(sum(col("tf")).as("c12")))._2
-    val ctx = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val pm = model.join(ctx, Seq("w1"))
-      .select(col("w1"), col("w2"),
+      bigSnap.groupBy("g").agg(sum(col("tf")).as("c12")))._2
+    val ctx = model.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val pm = model.withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(ctx, Seq("w1"))
+      .select(col("g"),
         call_function("div", lit(1000000L) * col("c12"), col("c1")).as("p"))
     val scores = org.apache.spark.sql.graftx.Sessions.snapshot(
-      bigSnap.join(pm, Seq("w1", "w2"))
+      bigSnap.join(pm, Seq("g"))
         .groupBy("doc_id", "lang")
         .agg(floorDiv(sum(col("tf") * col("p")), sum(col("tf"))).as("s")))._2
     val cnt = scores.groupBy("lang", "s").agg(count(lit(1)).as("cnt"))
@@ -798,9 +805,10 @@ object TextQueries {
     val bg = Tables.documents(s, d)
       .select(col("lang"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
+      // Codegen'd bigram build (round 18) — the NgramsConcat swap; the
+      // interpreted transform/concat_ws lambda was the scan stage's CPU.
       .select(col("lang"),
-        explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
-          concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)))).as("bigram"))
+        explode(graft.functions.TextOps.ngramsConcat(col("w"), 2)).as("bigram"))
     val counts = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(desc("n"), asc("bigram"))
