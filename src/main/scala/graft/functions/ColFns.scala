@@ -27,9 +27,15 @@ object ColFns {
 
   /** Quantize a float-array embedding to integer microunits. Exact and
     * identical in both engines (same double rounding, ties impossible for
-    * generated float data). */
-  def quantizeVec(c: Column): Column =
-    transform(c, x => round(x.cast("double") * 1000000d).cast("long"))
+    * generated float data). Backed by the codegen'd [[QuantizeVec]]
+    * expression since round 19 — the `transform(...)` HOF form evaluates
+    * interpreted (no codegen for higher-order functions) inside the scan
+    * stage of every similarity/embedding query; VecOpsSpec pins equality. */
+  def quantizeVec(c: Column): Column = VecOps.quantizeVec(c, 1000000d)
+
+  /** Millunit (×1e3) variant — the IVF/PQ/semdedup working scale (squared
+    * sums must stay within BIGINT). Same codegen'd expression. */
+  def quantizeVecMilli(c: Column): Column = VecOps.quantizeVec(c, 1000d)
 
   /** Exact integer dot product of two quantized vectors (scale 1e12).
     * Backed by the codegen'd QDotProduct expression — the declarative

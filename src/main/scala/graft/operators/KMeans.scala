@@ -107,12 +107,12 @@ object KMeans {
   }
 
   /** Quantize float embeddings to the millunit integer frame `assign`
-    * consumes. */
+    * consumes. Codegen'd ([[graft.functions.QuantizeVec]]) since round 19
+    * — the transform-HOF form ran interpreted in the corpus scan stage. */
   private[graft] def quantize(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+        graft.functions.ColFns.quantizeVecMilli(col("embedding")).as("qv"))
       .withColumn("n2", qnorm2(col("qv")))
 
   /** @param embeddings (vec_id, embedding: array<float/double>) — ids

@@ -871,8 +871,7 @@ object DedupQueries {
   /** The millunit-quantized corpus frame every semdedup stage reads. */
   private def semdedupQuantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"),
-        x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+      .select(col("vec_id"), quantizeVecMilli(col("embedding")).as("qv"))
       .withColumn("n2", qnorm2(col("qv")))
 
   /** Level 0 of the routed assignment: the ≤ k-row cell-seed table with

@@ -199,12 +199,21 @@ object ExtensionQueries {
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
              .as("rev"),
            count(lit(1)).as("n_rows"))
+    // coalesce(sum(n_rows), 0): on an EMPTY join input the true ROLLUP
+    // still emits its grand-total row with n_rows = 0 (a COUNT), while a
+    // bare re-aggregated SUM would read null — unreachable on this
+    // fixture (the 3-way join is never empty) but the re-aggregation
+    // pattern must not silently diverge if reused (ADVICE r18). rev
+    // stays a bare SUM: the rollup's own grand-total rev over zero rows
+    // IS null.
     val lvl1 = base.groupBy(col("n_name"))
-      .agg(sum(col("rev")).as("rev"), sum(col("n_rows")).as("n_rows"))
+      .agg(sum(col("rev")).as("rev"),
+        coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"))
       .select(col("n_name"), lit(null).cast("string").as("c_mktsegment"),
         col("rev"), col("n_rows"))
     val lvl2 = base
-      .agg(sum(col("rev")).as("rev"), sum(col("n_rows")).as("n_rows"))
+      .agg(sum(col("rev")).as("rev"),
+        coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"))
       .select(lit(null).cast("string").as("n_name"),
         lit(null).cast("string").as("c_mktsegment"), col("rev"), col("n_rows"))
     base.select(col("n_name"), col("c_mktsegment"), col("rev"), col("n_rows"))

@@ -121,7 +121,7 @@ object SimilarityQueries {
   val simAnnIvf: Q = (s, d) => {
     val q3 = Tables.embeddings(s, d).select(
       col("vec_id"), col("label"),
-      transform(col("embedding"), x => round(x.cast("double") * 1000d).cast("long")).as("q3"),
+      quantizeVecMilli(col("embedding")).as("q3"),
       quantizeVec(col("embedding")).as("qv"))
     val sumCols = (0 until 64).map(i => sum(element_at(col("q3"), i + 1)).as(s"s$i"))
     val cents = q3.groupBy("label")
@@ -401,8 +401,7 @@ object SimilarityQueries {
   val embPqCodes: Q = (s, d) => {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+        quantizeVecMilli(col("embedding")).as("qv"))
     val sub = q
       .select(col("vec_id"), explode(array((0 until 8).map(m =>
         struct(lit(m.toLong).as("m"),
@@ -450,8 +449,7 @@ object SimilarityQueries {
   val embPqTrainedCodes: Q = (s, d) => {
     val q = org.apache.spark.sql.graftx.Sessions.snapshot(
       Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"),
-          x => round(x.cast("double") * 1000d).cast("long")).as("qv")))._2
+        .select(col("vec_id"), quantizeVecMilli(col("embedding")).as("qv")))._2
     val sub = q
       .select(col("vec_id"), explode(array((0 until 8).map(m =>
         struct(lit(m.toLong).as("m"),
@@ -517,8 +515,7 @@ object SimilarityQueries {
   val simPqAdcTopk: Q = (s, d) => {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+        quantizeVecMilli(col("embedding")).as("qv"))
     val sub = q
       .select(col("vec_id"), explode(array((0 until 8).map(m =>
         struct(lit(m.toLong).as("m"),
@@ -621,8 +618,7 @@ object SimilarityQueries {
       nprobe: Int): (DataFrame, DataFrame) = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+        quantizeVecMilli(col("embedding")).as("qv"))
     val sub = q
       .select(col("vec_id"), col("label"), explode(array((0 until 8).map(m =>
         struct(lit(m.toLong).as("m"),
@@ -750,8 +746,7 @@ object SimilarityQueries {
   private[graft] def ivfpqResidualIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+        quantizeVecMilli(col("embedding")).as("qv"))
     // ONE per-cell aggregate feeds both consumers: (n_l, cs) for the
     // cleared-denominator routing, cmean (floor-mean micro-units) for
     // the residuals. The division lambda is interpreted over ≤ |cells|
@@ -771,7 +766,7 @@ object SimilarityQueries {
     val rq = q.join(broadcast(cents.select(col("c_label").as("rl"), col("cmean"))),
         col("label") === col("rl"))
       .select(col("vec_id"), col("label"),
-        zip_with(col("qv"), col("cmean"), (x, c) => x * 1000L - c).as("rv"))
+        graft.functions.VecOps.zipScaleSub(col("qv"), col("cmean"), 1000L).as("rv"))
     val sub = rq
       .select(col("vec_id"), col("label"), explode(array((0 until 8).map(m =>
         struct(lit(m.toLong).as("m"),
@@ -809,7 +804,7 @@ object SimilarityQueries {
       .join(broadcast(cents.select(col("c_label").as("pl"), col("cmean").as("pcm"))),
         col("c_label") === col("pl"))
       .select(col("probe_id"), col("c_label").as("pcell"),
-        zip_with(col("p3"), col("pcm"), (x, c) => x * 1000L - c).as("prv"))
+        graft.functions.VecOps.zipScaleSub(col("p3"), col("pcm"), 1000L).as("prv"))
     val dtab = pr
       .select(col("probe_id"), col("pcell"), explode(array((0 until 8).map(m =>
         struct(lit(m.toLong).as("m"),
@@ -951,11 +946,10 @@ object SimilarityQueries {
   private[graft] def rerankRefine(s: SparkSession, d: String,
       shortlist: DataFrame): DataFrame = {
     val q = Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"),
-        x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+      .select(col("vec_id"), quantizeVecMilli(col("embedding")).as("qv"))
     val pv = q.filter(col("vec_id") < 5)
       .select(col("vec_id").as("p_id"), col("qv").as("pqv"))
-    val diff = zip_with(col("qv"), col("pqv"), (x, y) => x - y)
+    val diff = graft.functions.VecOps.zipScaleSub(col("qv"), col("pqv"), 1L)
     val w = Window.partitionBy("probe_id").orderBy(asc("edist"), asc("cand_id"))
     q.join(broadcast(shortlist), col("vec_id") === col("cand_id"))
       .join(broadcast(pv), col("probe_id") === col("p_id"))
@@ -1055,7 +1049,7 @@ object SimilarityQueries {
     val rq = cells.join(broadcast(c2.select(col("cluster").as("rc"), col("c"))),
         col("cluster") === col("rc"))
       .select(col("vec_id"), col("cluster"),
-        zip_with(col("qv"), col("c"), (x, cd) => x * 1000L - cd).as("rv"))
+        graft.functions.VecOps.zipScaleSub(col("qv"), col("c"), 1000L).as("rv"))
     // snapshotFlatStats, not snapshot: the training chain's origin size
     // estimate is a product of its bounded cross joins (~10¹¹⁴ bytes at
     // fixture scale) and would ride the snapshot leaf into every
@@ -1290,7 +1284,7 @@ object SimilarityQueries {
     val pr = assigned.join(broadcast(cellsT.select(
         col("cluster").as("rc"), col("c"))), col("cluster") === col("rc"))
       .select(col("vec_id").as("probe_id"), col("cluster").as("pcell"),
-        zip_with(col("qv"), col("c"), (x, cd) => x * 1000L - cd).as("prv"))
+        graft.functions.VecOps.zipScaleSub(col("qv"), col("c"), 1000L).as("prv"))
     probeDtabFromResiduals(pr, cbT)
   }
 
@@ -1337,7 +1331,7 @@ object SimilarityQueries {
     val pr = routed.join(broadcast(cellsT.select(
         col("cluster").as("rc"), col("c"))), col("cluster") === col("rc"))
       .select(col("vec_id").as("probe_id"), col("cluster").as("pcell"),
-        zip_with(col("qv"), col("c"), (x, cd) => x * 1000L - cd).as("prv"))
+        graft.functions.VecOps.zipScaleSub(col("qv"), col("c"), 1000L).as("prv"))
     probeDtabFromResiduals(pr, cbT)
   }
 
@@ -1379,7 +1373,7 @@ object SimilarityQueries {
     val rq = assigned.join(broadcast(cellsT.select(
         col("cluster").as("rc"), col("c"))), col("cluster") === col("rc"))
       .select(col("vec_id"), col("cluster"),
-        zip_with(col("qv"), col("c"), (x, cd) => x * 1000L - cd).as("rv"))
+        graft.functions.VecOps.zipScaleSub(col("qv"), col("c"), 1000L).as("rv"))
     rq.select(col("vec_id"), col("cluster"),
         explode(array((0 until 8).map(m =>
           struct(lit(m.toLong).as("m"),

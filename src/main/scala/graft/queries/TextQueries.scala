@@ -214,11 +214,19 @@ object TextQueries {
         split(col("text"), "\n").as("ls"))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
-        aggregate(transform(col("w"), x => length(x).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("sum_len"),
-        size(filter(typedLit(stopEn), x =>
-          array_contains(col("w"), x))).cast("long").as("n_stop_kinds"),
-        size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        // Round-19 HOF sweep: the word-length sum, the stopword-kind
+        // count and the alpha-word count all ran INTERPRETED in this
+        // single-task scan stage (aggregate/filter lambdas). sum_len and
+        // n_alpha are codegen'd one-pass expressions (TextOpsSpec pins
+        // equality; the [a-z] regex is exactly an ASCII-lowercase byte
+        // scan — 0x61–0x7A cannot occur inside a multi-byte UTF-8
+        // sequence); n_stop_kinds becomes a sum of codegen'd
+        // array_contains probes — stopEn is distinct, so the count of
+        // list members present equals the sum of per-member hits.
+        graft.functions.TextOps.sumCharLen(col("w")).as("sum_len"),
+        stopEn.map(sw => when(array_contains(col("w"), lit(sw)), 1L)
+          .otherwise(0L)).reduce(_ + _).as("n_stop_kinds"),
+        graft.functions.TextOps.countAsciiLowerWords(col("w")).as("n_alpha"),
         (length(col("text")) -
           length(replace(col("text"), lit("#"), lit(""))))
           .cast("long").as("n_hash"),
@@ -434,8 +442,13 @@ object TextQueries {
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"),
           md5Long60(concat_ws(" ", col("w"))).as("fp_doc"),
-          transform(array_distinct(shingles3(col("w"))), sh => md5(sh)).as("shash"))
-        .select(col("doc_id"), col("fp_doc"), array_min(col("shash")).as("fp_min_shingle")))
+          // One codegen'd pass (round 19): ≡ array_min(transform(
+          // array_distinct(shingles), md5)) — a min is duplicate-blind,
+          // so the distinct was only allocation; the md5-per-element
+          // lambda ran interpreted in this single-task scan stage.
+          // VecOpsSpec pins equality against both HOF forms.
+          graft.functions.VecOps.md5MinArray(shingles3(col("w")))
+            .as("fp_min_shingle")))
       ._2.orderBy("doc_id")
 
   /** Top-5 words per language — partitioned top-k (window rank over a
@@ -830,7 +843,10 @@ object TextQueries {
     Tables.documents(s, d)
       .select(col("source"), words(col("text")).as("w"))
       .select(col("source"), size(col("w")).cast("long").as("n_words"),
-        filter(col("w"), x => !x.isin(block.map(t => t: Any): _*)).as("kept"))
+        // Codegen'd hash-probe filter (round 19): the filter-HOF lambda
+        // ran a |block|-long interpreted comparison chain per word in
+        // the scan stage. TextOpsSpec pins equality.
+        graft.functions.TextOps.filterOutWords(col("w"), block).as("kept"))
       .select(col("source"), col("n_words"),
         size(col("kept")).cast("long").as("n_kept"),
         concat_ws(" ", col("kept")).as("scrubbed"))
@@ -1018,9 +1034,13 @@ object TextQueries {
     val keptAgg = tok.join(covered, Seq("doc_id", "idx"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nk"),
-        concat_ws(" ", transform(
-          sort_array(collect_list(struct(col("idx"), col("word")))),
-          x => x.getField("word"))).as("kept_text"))
+        // getField over the struct ARRAY (GetArrayStructFields — codegen)
+        // instead of a transform lambda doing the same field extraction
+        // interpreted, element by element (round 19; same rows, same
+        // order, same strings).
+        concat_ws(" ",
+          sort_array(collect_list(struct(col("idx"), col("word"))))
+            .getField("word")).as("kept_text"))
     base.join(keptAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("nk"), lit(0L)).as("n_kept"),

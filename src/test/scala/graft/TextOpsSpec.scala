@@ -62,6 +62,19 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("NgramsConcat null elements: skipped the concat_ws way (ADVICE r18)") {
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("w",
+      ArrayType(StringType, containsNull = true), nullable = true)))
+    val rows = Seq(Row(Seq("a", null, "c", "d")), Row(Seq(null, null, null)),
+      Row(Seq("x", "y", null)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .select(TextOps.ngramsConcat(col("w"), 3).as("a"),
+        hofNgrams(col("w"), 3).as("b"))
+    assert(df.filter(not(col("a") <=> col("b"))).count() == 0)
+  }
+
   test("NgramsConcat edge cases: exactly-n words, below-n words, unicode") {
     import spark.implicits._
     val df = Seq(
@@ -83,5 +96,67 @@ class TextOpsSpec extends SparkSpec {
     val a = Tables.documents(spark, sfDir).select(TextOps.spaceWords(col("text")).as("w"))
     val b = Tables.documents(spark, sfDir).select(hofWords(col("text")).as("w"))
     assert(a.schema("w").dataType == b.schema("w").dataType)
+  }
+
+  // ---- round-19 HOF sweep: the gopher/scrub primitives ----
+
+  private def hofSumLen(w: org.apache.spark.sql.Column) =
+    aggregate(transform(w, x => length(x).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  private def hofAlpha(w: org.apache.spark.sql.Column) =
+    size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+
+  private val blockW = Seq("the", "a", "of", "and", "to", "table", "row")
+
+  private def hofScrub(w: org.apache.spark.sql.Column) =
+    filter(w, x => !x.isin(blockW.map(t => t: Any): _*))
+
+  test("SumCharLen / CountAsciiLowerWords / FilterOutWords ≡ HOF forms on fixture words") {
+    val df = Tables.documents(spark, sfDir)
+      .select(TextOps.spaceWords(col("text")).as("w"))
+      .select(
+        TextOps.sumCharLen(col("w")).as("a1"), hofSumLen(col("w")).as("b1"),
+        TextOps.countAsciiLowerWords(col("w")).as("a2"), hofAlpha(col("w")).as("b2"),
+        TextOps.filterOutWords(col("w"), blockW).as("a3"), hofScrub(col("w")).as("b3"))
+    assert(df.filter(not(col("a1") <=> col("b1")) ||
+      not(col("a2") <=> col("b2")) || not(col("a3") <=> col("b3"))).count() == 0)
+    assert(df.schema("a3").dataType == df.schema("b3").dataType)
+  }
+
+  test("gopher stopword-kind count: sum of array_contains ≡ size(filter(stop-list))") {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val df = Tables.documents(spark, sfDir)
+      .select(TextOps.spaceWords(col("text")).as("w"))
+      .select(
+        stop.map(sw => when(array_contains(col("w"), lit(sw)), 1L)
+          .otherwise(0L)).reduce(_ + _).as("a"),
+        size(filter(typedLit(stop), x =>
+          array_contains(col("w"), x))).cast("long").as("b"))
+    assert(df.filter(not(col("a") <=> col("b"))).count() == 0)
+  }
+
+  test("round-19 primitives: adversarial arrays (nulls, empties, unicode, block hits)") {
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("w",
+      ArrayType(StringType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(Seq("the", "quick", "브라운", "FOX", "…", "a1", "Z")),
+      Row(Seq("table", "row", "of", "and")),
+      Row(Seq.empty[Any]),
+      Row(Seq(null, "x", "the")),
+      Row(Seq(null, null)),
+      Row(null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .select(
+        TextOps.sumCharLen(col("w")).as("a1"), hofSumLen(col("w")).as("b1"),
+        TextOps.countAsciiLowerWords(col("w")).as("a2"), hofAlpha(col("w")).as("b2"),
+        TextOps.filterOutWords(col("w"), blockW).as("a3"), hofScrub(col("w")).as("b3"))
+    // Note the null-array row too: under the engine's ANSI-default
+    // sessions size(null) is NULL (the -1 legacy branch needs ANSI off),
+    // so even n_alpha matches the HOF form there.
+    assert(df.filter(not(col("a1") <=> col("b1")) ||
+      not(col("a2") <=> col("b2")) || not(col("a3") <=> col("b3"))).count() == 0)
   }
 }
