@@ -48,6 +48,17 @@ object LocalSpark {
     // > 200-partition shuffles never used bypass in the first place. */
     .config("spark.shuffle.sort.bypassMergeThreshold",
       sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "0"))
+    // AQE small-partition coalescing dials (round-19 measurement of the
+    // 8-beats-32-cores inversion, VERDICT r18 #3) — env-overridable for
+    // A/B, defaults = Spark defaults so the bench stays comparable and
+    // nothing is tuned to local[32]; see OPTIMIZATION_r19.md for the
+    // measured matrix and why the defaults stand.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64MB"))
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1MB"))
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -29,11 +29,23 @@ object PlanFormat {
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
+      // Snapshot-child plans too (round-18 verdict #5): a rewrite below a
+      // snapshot leaf — e.g. the Generate pair expansion feeding the graph
+      // family — is invisible in the parent's formatted plan, so each
+      // snapshot's own child plan is appended under a labelled header.
+      org.apache.spark.sql.graftx.Sessions.beginPlanTextCapture()
+      // NonFatal only (round-18 ADVICE): after an OOM/linkage error the
+      // JVM is broken — die loudly rather than write a plausible-looking
+      // 'PLAN FAILED' artifact from it (the Bench.runOnce doctrine).
       val text =
         try fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        catch { case e: Throwable => s"PLAN FAILED: $e" }
-      Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), text)
+        catch { case scala.util.control.NonFatal(e) => s"PLAN FAILED: $e" }
+      val snapTexts = org.apache.spark.sql.graftx.Sessions.endPlanTextCapture()
+      val full = text + snapTexts.zipWithIndex.map { case (t, i) =>
+        s"\n\n=== snapshot child ${i + 1} (plan of the subtree materialized into the LogicalRDD leaf) ===\n$t"
+      }.mkString
+      Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), full)
       org.apache.spark.sql.graftx.Sessions.releaseSnapshots()
       println(s"wrote $outDir/${name}_$tag.txt")
     }

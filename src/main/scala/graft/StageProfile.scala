@@ -10,8 +10,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * of the optimization playbook (guide §1): where do this query's wall
   * and CPU actually go, stage by stage? Runs the query `reps` times
   * (first rep discarded as warm-up/ingest) and prints each metered rep's
-  * stages: wall (executorRunTime/parallelism is NOT wall — we print the
-  * stage's submission→completion span), executor CPU, task count, input
+  * stages: span (the stage's submission→completion elapsed — NOT wall:
+  * spans of CONCURRENT stages overlap, so the printed spanSum can exceed
+  * the rep wall; ADVICE r18), executor CPU, task count, input
   * records, shuffle read/write records. Sorted by CPU so the hog stage
   * is on top.
   *
@@ -25,6 +26,10 @@ object StageProfile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = LocalSpark.session(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // ADVICE r18: surface the effective STATIC conf (a shared JVM keeps
+    // the first session's value and only warns).
+    System.err.println("[profile] effective spark.sql.codegen.cache.maxEntries=" +
+      spark.conf.get("spark.sql.codegen.cache.maxEntries"))
     val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
 
     final case class StageRow(id: Int, name: String, wallMs: Long, cpuMs: Long,
@@ -61,9 +66,10 @@ object StageProfile {
       val snap = rows.synchronized(rows.toVector)
       println(f"%n=== $name rep $rep wall=$wall%.3fs stages=${snap.size} " +
         f"cpuSum=${snap.map(_.cpuMs).sum / 1e3}%.3fs " +
-        f"stageWallSum=${snap.map(_.wallMs).sum / 1e3}%.3fs ===")
+        f"stageSpanSum=${snap.map(_.wallMs).sum / 1e3}%.3fs " +
+        "(concurrent stages overlap; spanSum can exceed wall) ===")
       if (rep > 1) {
-        println("stage    wall     cpu  tasks      input   shufRead  shufWrite    spill  name")
+        println("stage    span     cpu  tasks      input   shufRead  shufWrite    spill  name")
         snap.sortBy(-_.cpuMs).take(30).foreach(r => println(fmt(r)))
       }
       org.apache.spark.sql.graftx.Sessions.releaseSnapshots()

@@ -89,6 +89,15 @@ object Sessions {
     // window nothing is retained, so library callers pay nothing.
     if (planCaptureActive.get())
       capturedPlans.add(df.queryExecution.executedPlan)
+    // Snapshot-CHILD formatted plans for PlanFormat (round-18 verdict #5:
+    // a rewrite below a snapshot leaf is invisible in the parent query's
+    // formatted plan — the round-18 Generate pair expansion had to be
+    // verified from code + StageProfile instead of plans/). Only while a
+    // text-capture window is open: explainString plans the child QE,
+    // which is pure waste in Bench/Verify.
+    if (planTextCaptureActive.get())
+      capturedPlanTexts.add(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     val snap = classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[classic.SparkSession],
       LogicalRDD.fromDataset(rdd, df.asInstanceOf[classic.Dataset[Row]],
@@ -147,6 +156,30 @@ object Sessions {
   private val planCaptureActive = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val capturedPlans = new java.util.concurrent.ConcurrentLinkedQueue[
     org.apache.spark.sql.execution.SparkPlan]
+
+  private val planTextCaptureActive = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val capturedPlanTexts = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  /** Opens a snapshot-child FORMATTED-PLAN capture window (PlanFormat
+    * evidence plumbing — see the note in [[snapshot]]). Single-threaded
+    * harness contract, like [[beginPlanCapture]]. */
+  def beginPlanTextCapture(): Unit = {
+    capturedPlanTexts.clear()
+    planTextCaptureActive.set(true)
+  }
+
+  /** Closes the window, returning each snapshot child's formatted plan
+    * in snapshot order. Idempotent: a second call returns empty. */
+  def endPlanTextCapture(): Seq[String] = {
+    planTextCaptureActive.set(false)
+    val out = Seq.newBuilder[String]
+    var t = capturedPlanTexts.poll()
+    while (t != null) {
+      out += t
+      t = capturedPlanTexts.poll()
+    }
+    out.result()
+  }
 
   /** Opens a plan-capture window: subsequent snapshots retain their
     * executed plans (strongly) until [[endPlanCapture]]. Measurement
