@@ -30,7 +30,8 @@ import org.apache.spark.sql.SparkSession
 object LocalSpark {
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
-    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.codegen.cache.maxEntries",

@@ -423,10 +423,56 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"),
            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-           call_function("percentile", col("l_extendedprice"), lit(0.5)).as("exact_median"))
+           // non-null price count — the percentile semantics count only
+           // non-null inputs; equals n on this fixture but the formula
+           // must not silently assume it
+           count(col("l_extendedprice")).as("nn_price"))
+    // Exact median via a sort-based window pick instead of the generic
+    // `percentile` aggregate (round-19 measurement: the Percentile
+    // buffer — a boxed OpenHashMap holding ~200k near-distinct prices
+    // per group — cost ~2.5 of this query's 3.4 executor-CPU-s across
+    // its partial/merge/final stages; StageProfile stages 39/41 burned
+    // 1.0 CPU-s each on THREE shuffled rows). The window form sorts
+    // primitive doubles under whole-stage codegen and keeps the exact
+    // value: row_number over price order picks the two middle rows, and
+    // the interpolation below is the Percentile formula verbatim
+    // (lower + (higher − lower) · (pos − ⌊pos⌋) with pos = (n−1)·0.5 in
+    // double arithmetic) — ApproxStatsSpec pins bit-equality against
+    // the percentile() aggregate on fixture and synthetic odd/even/
+    // duplicate-heavy groups. At scale both shapes gather every value
+    // of a group (the exact-median contract); the sort-based one spills
+    // gracefully where the hash-map buffer OOMs. The emitted columns
+    // are unchanged (exact_median itself never leaves the plan — it
+    // feeds the approx_ok comparison).
+    // The group count n rides in from `sketches` over a 3-row broadcast
+    // (AQE reuses the aggregate's exchange) instead of a second
+    // whole-partition count window — one 600k-row window pass, not two.
+    val wOrd = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val pos = (col("cnt") - 1L).cast("double") * lit(0.5)
+    val mid = base
+      .filter(col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("r", row_number().over(wOrd))
+      .join(broadcast(sketches.select(col("l_returnflag").as("c_flag"),
+        col("nn_price").as("cnt"))), col("l_returnflag") === col("c_flag"))
+      .filter(col("r") === floor(pos).cast("long") + 1L ||
+              col("r") === ceil(pos).cast("long") + 1L)
+      .groupBy("l_returnflag")
+      .agg(min(col("l_extendedprice")).as("m_lower"),
+           max(col("l_extendedprice")).as("m_higher"),
+           min(pos - floor(pos)).as("m_frac"))
+      .select(col("l_returnflag").as("m_flag"),
+        (col("m_lower") + (col("m_higher") - col("m_lower")) * col("m_frac"))
+          .as("exact_median"))
+    // Snapshot the 3-row median table: StageProfile showed the window
+    // branch otherwise executing twice (once to build the broadcast,
+    // once re-planned under AQE) — the snapshot pins ONE 600k-row
+    // window pass and the joins read the cached rows.
+    val midSnap = org.apache.spark.sql.graftx.Sessions.snapshot(mid)._2
     val exact = base.select("l_returnflag", "l_partkey").distinct()
       .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
-    sketches.join(exact, "l_returnflag")
+    sketches.join(midSnap, col("l_returnflag") === col("m_flag"))
+      .join(exact, "l_returnflag")
       .select(col("l_returnflag"), col("n"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * 0.05 &&
          abs(col("approx_median") - col("exact_median")) <= abs(col("exact_median")) * 0.05)
