@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftx.Sessions
 
-import graft.functions.ColFns.{packableId, packPair, unpackPairA, unpackPairB}
 import graft.sources.Tables
 
 /** Corpus linkage & structure: approximate string matching, posting-list
@@ -217,23 +216,14 @@ object LinkageQueries {
     // sf0.1 for ~1.2 M pairs). Generate/slice are codegen'd; the pair
     // multiset is identical (arr is sorted-distinct, so suffix pairing
     // enumerates exactly the pa < pb combinations once each).
-    // The support count groups on the PACKED pair (one long instead of
-    // two — round 19, the C7/dedup packed-key precedent): halves the
-    // pair-scale shuffle key bytes and keeps the map-side hash aggregate
-    // on a primitive key. packableId raises loudly past the 2³² id
-    // domain (the documented re-parameterization bound shared with the
-    // dedup pair family); the unpack after the support filter restores
-    // the exact (pa, pb) output contract — unsigned shift, so ids with
-    // the sign bit set cannot corrupt (unreachable here by the guard).
     baskets
       .select(col("arr"), posexplode(col("arr")).as(Seq("i", "pa")))
       .select(col("pa"),
         explode(slice(col("arr"), col("i") + lit(2), size(col("arr")))).as("pb"))
-      .select(packPair(packableId(col("pa")), packableId(col("pb"))).as("pk"))
-      .groupBy(col("pk"))
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= MinSupport)
-      .select(unpackPairA(col("pk")).as("pa"), unpackPairB(col("pk")).as("pb"))
+      .select("pa", "pb")
   }
 
   val graphTriangleCount: Q = (s, d) => {
